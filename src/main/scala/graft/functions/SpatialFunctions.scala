@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
+import graft.core.{Geom, GridIndex, S2, Hex}
+
+/**
+ * Column-level spatial functions (SURVEY §2.10).
+ *
+ * `gridCellId` is deliberately NOT a custom expression: the planar cell
+ * key is plain integer math over built-ins, so it stays inside
+ * WholeStageCodegen and Catalyst can constant-fold / push around it —
+ * "functions, not UDFs". It mirrors graft.core.GridIndex bit-for-bit
+ * (property-tested in SpatialFunctionsSpec).
+ *
+ * PIP and the spherical encoders are custom Catalyst expressions
+ * (CodegenFallback for now; doGenCode is a later optimization — SURVEY
+ * §4.2 allows nullSafeEval-first).
+ */
+object SpatialFunctions {
+
+  /** Planar grid cell id as pure column math; mirrors GridIndex.cellId. */
+  def gridCellId(x: Column, y: Column, res: Int): Column = {
+    val size = GridIndex.cellSize(res).toDouble
+    val lim  = (1L << res) - 1
+    def axis(c: Column): Column =
+      greatest(lit(0L), least(lit(lim),
+        floor((c + lit(GridIndex.Offset.toDouble)) / lit(size)).cast(LongType)))
+    lit(res.toLong << 40) + shiftleft(axis(x), 20) + axis(y)
+  }
+
+  /** S2 cell id at `level` from (lat, lng) degree columns. */
+  def s2CellId(lat: Column, lng: Column, level: Int): Column =
+    colOf(S2CellIdExpr(exprOf(lat), exprOf(lng), exprOf(lit(level))))
+
+  /** H3-style hex cell id at `res` from planar (x, y) columns. */
+  def hexCellId(x: Column, y: Column, res: Int): Column =
+    colOf(HexCellIdExpr(exprOf(x), exprOf(y), exprOf(lit(res))))
+
+  /** Array of grid cells within Chebyshev distance k (kNN expansion). */
+  def gridKRing(cell: Column, k: Int): Column =
+    colOf(GridKRingExpr(exprOf(cell), exprOf(lit(k))))
+
+  /** Array of hex cells within hex distance k. */
+  def hexKRing(cell: Column, k: Int): Column =
+    colOf(HexKRingExpr(exprOf(cell), exprOf(lit(k))))
+
+  /** Exact point-in-polygon over a rings column
+    * ARRAY<ARRAY<STRUCT<x:DOUBLE, y:DOUBLE>>> (ray cast + winding
+    * fallback; boundary = inside). */
+  def pointInPolygon(x: Column, y: Column, rings: Column): Column =
+    colOf(PointInPolygonExpr(exprOf(x), exprOf(y), exprOf(rings)))
+
+  /** Internal-row rings -> Geom.Rings. Shared by expressions. */
+  private[graft] def ringsFromCatalyst(rd: ArrayData): Geom.Rings = {
+    val nRings = rd.numElements()
+    val out = new Array[Array[(Double, Double)]](nRings)
+    var r = 0
+    while (r < nRings) {
+      val ringData = rd.getArray(r)
+      val n = ringData.numElements()
+      val ring = new Array[(Double, Double)](n)
+      var i = 0
+      while (i < n) {
+        val row = ringData.getStruct(i, 2)
+        ring(i) = (row.getDouble(0), row.getDouble(1))
+        i += 1
+      }
+      out(r) = ring
+      r += 1
+    }
+    out
+  }
+}
+
+case class S2CellIdExpr(lat: Expression, lng: Expression, level: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = lat
+  override def second: Expression = lng
+  override def third: Expression = level
+  override def dataType: DataType = LongType
+  override def nullSafeEval(latV: Any, lngV: Any, levV: Any): Any =
+    S2.cellId(latV.asInstanceOf[Double], lngV.asInstanceOf[Double], levV.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(lat = a, lng = b, level = c)
+  override def prettyName: String = "s2_cell_id"
+}
+
+case class HexCellIdExpr(x: Expression, y: Expression, res: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = res
+  override def dataType: DataType = LongType
+  override def nullSafeEval(xv: Any, yv: Any, rv: Any): Any =
+    Hex.cellId(xv.asInstanceOf[Double], yv.asInstanceOf[Double], rv.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(x = a, y = b, res = c)
+  override def prettyName: String = "hex_cell_id"
+}
+
+case class GridKRingExpr(cell: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(c: Any, kv: Any): Any =
+    new GenericArrayData(GridIndex.kRing(c.asInstanceOf[Long], kv.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(cell = l, k = r)
+  override def prettyName: String = "grid_k_ring"
+}
+
+case class HexKRingExpr(cell: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(c: Any, kv: Any): Any =
+    new GenericArrayData(Hex.kRing(c.asInstanceOf[Long], kv.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(cell = l, k = r)
+  override def prettyName: String = "hex_k_ring"
+}
+
+case class PointInPolygonExpr(x: Expression, y: Expression, rings: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = rings
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(xv: Any, yv: Any, rv: Any): Any = {
+    val rg = SpatialFunctions.ringsFromCatalyst(rv.asInstanceOf[ArrayData])
+    Geom.pointInPolygon(xv.asInstanceOf[Double], yv.asInstanceOf[Double], rg)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(x = a, y = b, rings = c)
+  override def prettyName: String = "st_point_in_polygon"
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.{ImageRow, TileRow}
+import graft.core.{PixelCodec, GridIndex, Geom}
+
+/**
+ * The core tiler — the engine's analogue of the reference's
+ * `tile_rasters` / blockwise reads
+ * (/root/reference/geospatial_learn/raster.py:445-470 and the 256-px
+ * block loops raster.py:1104-1127, learning.py:1362-1396; 256 px is the
+ * reference's own "quickest" block size, learning.py:1283-1285).
+ *
+ * One image row fans out to (tile x overlapping-cell x band) rows via
+ * `flatMap` (Generator-shaped, SURVEY §2.10): pixel decode happens here,
+ * executor-side, never on the driver. Tiles are keyed by every planar
+ * grid cell they overlap; DOWNSTREAM OWNERSHIP RULE: a pixel belongs to
+ * a (tile, cell) row iff its center lies inside that cell's bounds —
+ * so multi-cell tiles never double-count and no distinct/shuffle is
+ * needed to dedupe.
+ *
+ * Scale notes: payload per row is <= tileSize^2 floats (~256 KB at 256),
+ * well inside executor memory at any partition count; the fan-out factor
+ * is bounded (<= 4 cells when cellRes matches tileSize, x bands), so a
+ * 10^12-image table maps to a predictable row multiple with zero shuffle.
+ */
+object Tiler {
+
+  /** Grid resolution whose cell size (world units) equals tileSize * px
+    * when px = 1; callers pass the res matching their tile/pixel scale. */
+  def resForCellSize(sizeWorldUnits: Double): Int = {
+    val r = GridIndex.WorldPow - (math.log(sizeWorldUnits) / math.log(2.0)).round.toInt
+    math.max(0, math.min(GridIndex.MaxRes, r))
+  }
+
+  /** Tile world bounds are shrunk by epsilon before cell covering so an
+    * exactly-aligned tile edge doesn't pull in a neighbor cell it only
+    * touches. Geotransform convention (x_min, px, 0, y_max, 0, -px) per
+    * raster.py:260-266. */
+  def tiles(images: Dataset[ImageRow], tileSize: Int, cellRes: Int,
+            nodata: Float = Float.NaN)
+           (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    val eps = 1e-9
+    images.flatMap { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val nTx = (img.w + tileSize - 1) / tileSize
+      val nTy = (img.h + tileSize - 1) / tileSize
+      val out = scala.collection.mutable.ArrayBuffer.empty[TileRow]
+      var ty = 0
+      while (ty < nTy) {
+        var tx = 0
+        while (tx < nTx) {
+          val x0 = tx * tileSize
+          val y0 = ty * tileSize
+          val tw = math.min(tileSize, img.w - x0)
+          val th = math.min(tileSize, img.h - y0)
+          val wx0 = img.x_min + x0 * img.px
+          val wy1 = img.y_max - y0 * img.px
+          val wy0 = wy1 - th * img.px
+          val wx1 = wx0 + tw * img.px
+          val cells = GridIndex.coverBBox(
+            Geom.BBox(wx0 + eps, wy0 + eps, wx1 - eps, wy1 - eps), cellRes)
+          var band = 0
+          while (band < dec.bands.length) {
+            val src = dec.bands(band)
+            val px = new Array[Float](tw * th)
+            var r = 0
+            while (r < th) {
+              System.arraycopy(src, (y0 + r) * img.w + x0, px, r * tw, tw)
+              r += 1
+            }
+            cells.foreach { c =>
+              out += TileRow(img.image_id, c, tx, ty, wx0, wy1, img.px,
+                band, px, tw, th, nodata)
+            }
+            band += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+  }
+}

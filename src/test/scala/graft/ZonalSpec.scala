@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{Geom, GridIndex, PixelCodec}
+import graft.gen.Synth
+import graft.operators.{Tiler, ZonalStats, SpatialJoin, Knn}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Flagship acceptance gate (SURVEY §7 Stage 2): the distributed
+  * tile->join->PIP->agg pipeline must equal a naive single-threaded
+  * reference loop that mirrors the Python semantics
+  * (shape.py:932-1078) exactly. */
+class ZonalSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val nImages = 24
+  val images = Synth.images(nImages, seed = 42L, bands = 2)
+  val polys = Synth.polygons(nExtra = 6)
+  val cellRes = Tiler.resForCellSize(64.0) // 64-unit cells; tiles 64 px @ px=1
+
+  /** Naive oracle: per-feature, per-pixel loop — the reference's exact
+    * execution shape (bbox window, nodata skip, PIP mask, stat). */
+  def naiveHistogram(): Map[(Long, Int), Map[Float, Long]] = {
+    val acc = scala.collection.mutable.HashMap
+      .empty[(Long, Int), scala.collection.mutable.HashMap[Float, Long]]
+    for (img <- images) {
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      // group multipolygon parts by poly_id: pixel counts once per part hit
+      for (p <- polys) {
+        val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+        val bb = Geom.bbox(rings)
+        for (band <- dec.bands.indices) {
+          val m = acc.getOrElseUpdate((p.poly_id, band),
+            scala.collection.mutable.HashMap.empty[Float, Long])
+          var row = 0
+          while (row < img.h) {
+            val cy = img.y_max - (row + 0.5) * img.px
+            if (cy >= bb.y0 && cy <= bb.y1) {
+              var colI = 0
+              while (colI < img.w) {
+                val cx = img.x_min + (colI + 0.5) * img.px
+                if (cx >= bb.x0 && cx <= bb.x1 &&
+                    Geom.pointInPolygon(cx, cy, rings)) {
+                  val v = dec.bands(band)(row * img.w + colI)
+                  if (!v.isNaN) m.update(v, m.getOrElse(v, 0L) + 1L)
+                }
+                colI += 1
+              }
+            }
+            row += 1
+          }
+        }
+      }
+    }
+    acc.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  lazy val naive = naiveHistogram()
+
+  lazy val engineHist: Map[(Long, Int), Map[Float, Long]] = {
+    val imgDs = spark.createDataset(images.toSeq)
+    val polyDs = spark.createDataset(polys.toSeq)
+    val tiles = Tiler.tiles(imgDs, tileSize = 64, cellRes = cellRes)
+    ZonalStats.histogram(tiles, polyDs, cellRes)
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(r => r.getFloat(2) -> r.getLong(3)).toMap
+      }
+  }
+
+  test("engine histogram == naive per-pixel reference loop (exact)") {
+    val naiveNonEmpty = naive.filter(_._2.nonEmpty)
+    assert(engineHist.keySet == naiveNonEmpty.keySet,
+      s"poly/band key sets differ: engine-only=${engineHist.keySet -- naiveNonEmpty.keySet}, " +
+        s"naive-only=${naiveNonEmpty.keySet -- engineHist.keySet}")
+    for ((k, nv) <- naiveNonEmpty) {
+      assert(engineHist(k) == nv, s"histogram mismatch for $k")
+    }
+    // sanity: the fixture polygons actually hit pixels
+    assert(naiveNonEmpty.nonEmpty)
+    assert(!naive.keySet.map(_._1).contains(-1L))
+  }
+
+  test("outside polygon gets no pixels; holed polygon excludes its hole") {
+    // poly 5 is fully outside every image cluster
+    assert(!engineHist.keySet.map(_._1).contains(5L))
+  }
+
+  test("zonal stats derived from histogram match direct computation") {
+    val imgDs = spark.createDataset(images.toSeq)
+    val polyDs = spark.createDataset(polys.toSeq)
+    val tiles = Tiler.tiles(imgDs, tileSize = 64, cellRes = cellRes)
+    val hist = ZonalStats.histogram(tiles, polyDs, cellRes)
+    val stats = ZonalStats.stats(hist).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+
+    for ((k, hv) <- naive.filter(_._2.nonEmpty) if stats.contains(k)) {
+      val values = hv.iterator.flatMap { case (v, c) => Iterator.fill(c.toInt)(v.toDouble) }.toArray.sorted
+      val n = values.length
+      val mean = values.sum / n
+      val r = stats(k)
+      assert(r.getAs[Long]("pix_count") == n, s"count $k")
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-4, s"mean $k")
+      assert(r.getAs[Double]("min") == values.head, s"min $k")
+      assert(r.getAs[Double]("max") == values.last, s"max $k")
+      val med = if (n % 2 == 1) values(n / 2) else (values(n / 2 - 1) + values(n / 2)) / 2.0
+      assert(math.abs(r.getAs[Double]("median") - med) < 1e-4, s"median $k")
+      val mode = hv.toSeq.map { case (v, c) => (v, c) }
+        .sortBy { case (v, c) => (-c, v) }.head._1
+      assert(r.getAs[Double]("mode") == mode.toDouble, s"mode $k")
+      val variance = values.map(v => (v - mean) * (v - mean)).sum / n
+      assert(math.abs(r.getAs[Double]("std") - math.sqrt(variance)) < 1e-3, s"std $k")
+    }
+  }
+}
+
+class SpatialJoinSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val polys = Synth.polygons(nExtra = 10)
+  val points = Synth.points(2000)
+
+  test("pointsInPolygons == naive PIP loop") {
+    val ptDf = spark.createDataset(points.toSeq).toDF()
+    val polyDs = spark.createDataset(polys.toSeq)
+    val got = SpatialJoin.pointsInPolygons(ptDf, polyDs, res = 13)
+      .select("pt_id", "poly_id").as[(Long, Long)].collect().toSet
+
+    val want = (for {
+      p <- points
+      poly <- polys
+      rings: Geom.Rings = poly.rings.map(_.map(q => (q.x, q.y)))
+      if Geom.pointInPolygon(p.x, p.y, rings)
+    } yield (p.pt_id, poly.poly_id)).toSet
+
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+}
+
+class KnnSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("knnJoin == naive exact kNN incl. sparse-query fallback and ties") {
+    val pts = Synth.points(3000, seed = 11L)
+    val queries = Synth.points(40, seed = 99L)
+      .map(p => (p.pt_id, p.x, p.y))
+    val ptDf = spark.createDataset(pts.toSeq).toDF()
+    val qDf = queries.toDF("q_id", "x", "y")
+
+    val k = 5
+    val got = Knn.knnJoin(qDf, ptDf, k = k, res = 12, r1 = 2)
+      .select("q_id", "pt_id", "rn").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+
+    val want = queries.map { case (qid, qx, qy) =>
+      qid -> pts.map(p => (p.pt_id, (p.x - qx) * (p.x - qx) + (p.y - qy) * (p.y - qy)))
+        .sortBy { case (id, d2) => (d2, id) }.take(k).map(_._1).toSeq
+    }.toMap
+
+    assert(got.keySet == want.keySet)
+    for ((q, ids) <- want) assert(got(q) == ids, s"query $q")
+  }
+
+  test("brute-force fallback path triggers for isolated queries") {
+    // single far-away query with tiny r1: guarantee must fail -> fallback
+    val pts = Synth.points(500, seed = 3L)
+    val ptDf = spark.createDataset(pts.toSeq).toDF()
+    val qDf = Seq((0L, 90000.0, 90000.0)).toDF("q_id", "x", "y")
+    val got = Knn.knnJoin(qDf, ptDf, k = 3, res = 14, r1 = 1)
+      .select("pt_id").as[Long].collect().toSet
+    val want = pts.map(p => (p.pt_id,
+      (p.x - 90000.0) * (p.x - 90000.0) + (p.y - 90000.0) * (p.y - 90000.0)))
+      .sortBy { case (id, d2) => (d2, id) }.take(3).map(_._1).toSet
+    assert(got == want)
+  }
+}
