@@ -17,9 +17,63 @@ object SparkEntry {
     val tiles = Tiler.tiles(images, tileSize = 64, cellRes = cellRes)
     ZonalStats.stats(ZonalStats.histogram(tiles, polys, cellRes))
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  /** One per implemented operator from SURVEY.md §2 (+ the training-data
+    * pipeline ops). Names map 1:1 to oracleSql keys where SQL-expressible;
+    * the rest are deterministic rows-only checks with ScalaTest oracles. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val Q = graft.queries.Queries
+    Map(
+      "q_zonal_box_stats" -> (Q.qZonalBoxStats _),
+      "q_zonal_frac"      -> (Q.qZonalFrac _),
+      "q_zonal_point"     -> (Q.qZonalPoint _),
+      "q_knn"             -> (Q.qKnn _),
+      "q_mask_rules"      -> (Q.qMaskRules _),
+      "q_combine_scene"   -> (Q.qCombineScene _),
+      "q_temporal_comp"   -> (Q.qTemporalComp _),
+      "q_hist_ecdf"       -> (Q.qHistEcdf _),
+      "q_hist_match"      -> (Q.qHistMatch _),
+      "q_rgb_indices"     -> (Q.qRgbIndices _),
+      "q_rmse"            -> (Q.qRmse _),
+      "q_confusion"       -> (Q.qConfusion _),
+      "q_entropy"         -> (Q.qEntropy _),
+      "q_tokens"          -> (Q.qTokens _),
+      "q_dedup_exact"     -> (Q.qDedupExact _),
+      "q_jaccard_pairs"   -> (Q.qJaccardPairs _),
+      "q_text_quality"    -> (Q.qTextQuality _),
+      "q_lang_predict"    -> (Q.qLangPredict _),
+      // engine-only (no SQL oracle -> driver rows-only check; exactness
+      // covered by ScalaTest oracles):
+      "q_minhash_pairs"   -> (Q.qMinhashPairs _),
+      "q_simhash_pairs"   -> (Q.qSimhashPairs _),
+      "q_fingerprint"     -> (Q.qFingerprint _),
+      "q_ann_topk"        -> (Q.qAnnTopK _),
+      "q_ann_lsh"         -> (Q.qAnnLsh _),
+      "q_pipeline_zonal"  -> (Q.qPipelineZonal _)
+    )
+  }
+
+  /** DuckDB SQL oracles, same column names/types as the Spark results. */
+  def oracleSql: Map[String, String] = {
+    val Q = graft.queries.Queries
+    Map(
+      "q_zonal_box_stats" -> Q.qZonalBoxStatsSql,
+      "q_zonal_frac"      -> Q.qZonalFracSql,
+      "q_zonal_point"     -> Q.qZonalPointSql,
+      "q_knn"             -> Q.qKnnSql,
+      "q_mask_rules"      -> Q.qMaskRulesSql,
+      "q_combine_scene"   -> Q.qCombineSceneSql,
+      "q_temporal_comp"   -> Q.qTemporalCompSql,
+      "q_hist_ecdf"       -> Q.qHistEcdfSql,
+      "q_hist_match"      -> Q.qHistMatchSql,
+      "q_rgb_indices"     -> Q.qRgbIndicesSql,
+      "q_rmse"            -> Q.qRmseSql,
+      "q_confusion"       -> Q.qConfusionSql,
+      "q_entropy"         -> Q.qEntropySql,
+      "q_tokens"          -> Q.qTokensSql,
+      "q_dedup_exact"     -> Q.qDedupExactSql,
+      "q_jaccard_pairs"   -> Q.qJaccardPairsSql,
+      "q_text_quality"    -> Q.qTextQualitySql,
+      "q_lang_predict"    -> Q.qLangPredictSql
+    )
+  }
 }

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (ARRAY<FLOAT>) — builder
+ * brief: brute-force cosine top-k baseline + an LSH-bucketed scale path.
+ *
+ * Dot products run through `zip_with`/`aggregate` higher-order functions
+ * (codegen'd, no UDF); accumulation in DOUBLE in index order, so results
+ * are deterministic.
+ */
+object EmbedOps {
+
+  /** Sum_i a_i*b_i in double, sequential index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force cosine top-k: each query scans the corpus once.
+   * The QUERY side is broadcast (it is the small side by contract); the
+   * corpus streams, so the cost is one corpus scan per batch of queries,
+   * distributed — never a shuffle of the corpus.
+   * queries: (q_id, embedding); corpus: (vec_id, embedding).
+   * Ties break on vec_id. Returns (q_id, vec_id, cos, rn).
+   */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("q_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(q), col("q_id").isNotNull) // cross join, broadcast NL
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("q_id", "vec_id", "cos", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane sign bit: the plane for
+    * (plane p, dim i) is derived from xxhash64(p, i) mapped to ±1;
+    * sign(sum_i v_i * r_pi) -> bit p. Pure column math. */
+  def lshSignature(emb: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // r_pi = +1 if hash bit else -1
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v.cast("double") *
+            (xxhash64(lit(p), i).bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate near-duplicate pairs: bucket by the
+   * hyperplane signature (optionally banded into chunks), exact-verify
+   * cosine within buckets. Recall < 1 by design — this is the 100 TB
+   * scale path; the brute-force top-k above is the exactness baseline.
+   */
+  def lshCosinePairs(corpus: DataFrame, planes: Int, bandBits: Int,
+                     minCos: Double): DataFrame = {
+    require(planes % bandBits == 0)
+    val nBands = planes / bandBits
+    val mask = (1L << bandBits) - 1
+    val sig = corpus.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes).as("sig"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.select(col("band"), col("bh"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = banded.select(col("band"), col("bh"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("band", "bh")).where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= minCos)
+      .groupBy("v1", "v2").agg(max("cos").as("cos"))
+  }
+
+  /** IVF-style partitioned ANN: assign corpus vectors to their nearest
+    * of `centroids` (broadcast), probe nProbe nearest lists per query.
+    * Returns top-k per query from the probed lists only (approximate). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val cent = centroids.select(col("c_id"), col("embedding").as("cent"))
+    def nearestLists(df: DataFrame, emb: String, n: Int, out: String) = {
+      val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc)
+      df.join(broadcast(cent), cent("c_id").isNotNull)
+        .withColumn("__d", cosine(col(emb), col("cent")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= n)
+        .drop("cent", "__d", "__rn")
+        .withColumnRenamed("c_id", out)
+    }
+    val assigned = nearestLists(corpus.select(col("vec_id"), col("embedding")), "embedding", 1, "list_id")
+    val probed = nearestLists(queries.select(col("q_id"), col("embedding").as("qe")), "qe", nProbe, "list_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probed, Seq("list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("q_id", "vec_id", "cos", "rn")
+  }
+}

@@ -1,0 +1,252 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
+
+/**
+ * Large-scale training-data pipeline text operators (builder brief:
+ * dedup, text analysis). All deterministic; heavy lifting stays in
+ * codegen'd built-ins (split/explode/xxhash64/groupBy); custom Catalyst
+ * expressions only where a scalar has no built-in form (SimHash, rolling
+ * fingerprint).
+ *
+ * Scale notes: every dedup path is shuffle-bounded by (doc, feature)
+ * rows, never by doc pairs — candidate pairs only materialize inside an
+ * LSH band bucket. Exact dedup is one hash-groupBy.
+ */
+object TextOps {
+
+  // ------------------------------------------------------------ analysis
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: letter runs, digit runs, or single non-space
+    * symbols — the standard pre-tokenizer shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality features per doc: chars, tokens, mean token length,
+    * punctuation ratio, stopword ratio — the length/punct/stopword
+    * heuristics of standard corpus-quality scoring. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val nChar = length(text)
+    val punct = nChar - length(regexp_replace(text, "[.,;:!?]", ""))
+    val stops = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stops, t)))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      round((nChar - nTok + 1).cast("double") / nTok, 4).as("mean_tok_len"),
+      round(punct.cast("double") / greatest(nChar, lit(1)), 4).as("punct_ratio"),
+      round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio"))
+  }
+
+  /** Language-marker scores (n-gram/stopword heuristic). Deterministic
+    * CASE-expressible so it is DuckDB-oracle-checkable: score(lang) =
+    * occurrences of that language's marker words. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " et "),
+    "es" -> Seq(" el ", " y "),
+    "zh" -> Seq("的"))
+
+  private def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)).cast(IntegerType)
+
+  /** argmax over marker scores; first-listed language wins ties. */
+  def langPredict(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => occurrences(text, m)).reduce(_ + _)
+    }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit(scores.head._1)) { case (acc, (l, s)) =>
+      when(s === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup: one hash-groupBy on the (normalized) content. Returns
+    * (keep_id, n_dups) — min doc id is kept, reference-free. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(lower(col(textCol)).as("__norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /** Word shingles (n-grams) as one row per (id, shingle-hash). distinct
+    * per doc. xxhash64 is Spark's codegen'd 64-bit hash. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    docs.select(col(idCol).as("doc"), toks.as("__toks"), idx.as("__idx"))
+      .select(col("doc"),
+        explode(transform(col("__idx"),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+  }
+
+  /**
+   * MinHash signatures + LSH banding -> candidate near-dup pairs with
+   * verified shingle-Jaccard (shingle->minhash->band->bucket-join).
+   * numHashes perm functions are xxhash64(shingle, seed); bands of
+   * rowsPerBand each. Returns (d1, d2, jaccard_est) for pairs sharing
+   * >= 1 band bucket, d1 < d2, with the estimated Jaccard from signature
+   * agreement.
+   */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    // signature: numHashes min-aggregates in ONE pass (partial+final agg)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // LSH: hash each band slice; bucket-join within (band, hash)
+    val banded = sig.select(col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.select(col("band"), col("bh"), col("doc").as("d1"), col("sig").as("s1"))
+    val b = banded.select(col("band"), col("bh"), col("doc").as("d2"), col("sig").as("s2"))
+    a.join(b, Seq("band", "bh")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("jaccard_est"))
+      .groupBy("d1", "d2").agg(max("jaccard_est").as("jaccard_est"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
+    * via token-set self-join (|A ∩ B| from a token equi-join — never a
+    * doc-pair cross join). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .where(col("t") =!= "")
+    val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("doc").as("d1"), col("t"))
+      .join(tok.select(col("doc").as("d2"), col("t")), Seq("t"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** 64-bit SimHash of the whitespace token multiset. */
+  def simHash(text: Column): Column = colOf(SimHashExpr(exprOf(text)))
+
+  /** SimHash near-dup candidates: block on 16-bit chunks (any doc pair
+    * within Hamming distance <= 3 shares at least one of 4 chunks),
+    * verify with bit_count(xor) <= maxHamming. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = docs.select(col(idCol).as("doc"), simHash(col(textCol)).as("sig"))
+    val chunked = withSig.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+    val a = chunked.select(col("chunk"), col("ch"), col("doc").as("d1"), col("sig").as("s1"))
+    val b = chunked.select(col("chunk"), col("ch"), col("doc").as("d2"), col("sig").as("s2"))
+    a.join(b, Seq("chunk", "ch")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("d1", "d2").agg(min("hamming").as("hamming"))
+  }
+
+  /** Winnowing-style document fingerprint: min of rolling polynomial
+    * hashes over character windows of length w. */
+  def fingerprint(text: Column, w: Int): Column =
+    colOf(RollingFingerprintExpr(exprOf(text), exprOf(lit(w))))
+}
+
+/** 64-bit SimHash: per whitespace token, splitmix64 the token bytes;
+  * add +1/-1 per bit position; sign -> bit. */
+case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = s.length
+    while (start < n) {
+      var end = start
+      while (end < n && s.charAt(end) != ' ') end += 1
+      if (end > start) {
+        var h = 0xcbf29ce484222325L
+        var i = start
+        while (i < end) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+        // splitmix finalizer
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h = h ^ (h >>> 31)
+        var b = 0
+        while (b < 64) { counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      start = end + 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Min rolling polynomial hash over char windows of length w (Rabin-Karp
+  * base 257 in 64-bit); empty/short text hashes the whole string. */
+case class RollingFingerprintExpr(child: Expression, w: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = w
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, wv: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val win = wv.asInstanceOf[Int]
+    val n = s.length
+    if (n == 0) return 0L
+    val base = 257L
+    if (n <= win) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * base + s.charAt(i); i += 1 }
+      return h
+    }
+    var pw = 1L
+    var i = 0
+    while (i < win - 1) { pw *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < win) { h = h * base + s.charAt(i); i += 1 }
+    var minH = h
+    i = win
+    while (i < n) {
+      h = (h - s.charAt(i - win) * pw) * base + s.charAt(i)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, w = r)
+  override def prettyName: String = "rolling_fingerprint"
+}
