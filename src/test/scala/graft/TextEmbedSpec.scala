@@ -1,0 +1,178 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.gen.Synth
+import graft.text.{TextOps, EmbedOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  val nearDup = base.replace("today", "tonight")
+  val other = "completely different content about spark shuffle partitions and broadcast joins everywhere"
+
+  lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, other), (3L, base), // 3 = exact dup of 0
+    (4L, "der hund und die katze und der vogel"),
+    (5L, "le chat et le chien et le poisson")
+  ).toDF("doc_id", "text")
+
+  test("dedupExact groups exact duplicates, keeps min id") {
+    val r = TextOps.dedupExact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) == 2L) // docs 0 and 3
+    assert(r.values.sum == 6L)
+    assert(!r.contains(3L))
+  }
+
+  test("ngramJaccardPairs equals naive token-set jaccard") {
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSet
+    val naive = for {
+      (i, a) <- Seq((0L, base), (1L, nearDup), (2L, other), (3L, base), (4L, "der hund und die katze und der vogel"), (5L, "le chat et le chien et le poisson"))
+      (j, b) <- Seq((0L, base), (1L, nearDup), (2L, other), (3L, base), (4L, "der hund und die katze und der vogel"), (5L, "le chat et le chien et le poisson"))
+      if i < j
+      ja = toks(a).intersect(toks(b)).size.toDouble /
+        toks(a).union(toks(b)).size
+      if ja >= 0.5
+    } yield ((i, j), ja)
+    val got = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got.keySet == naive.map(_._1).toSet)
+    naive.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"$k") }
+  }
+
+  test("minHashLsh finds exact and near duplicates with high estimate") {
+    val pairs = TextOps.minHashLsh(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 64, bands = 16)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(pairs(0L -> 3L) == 1.0)        // exact dup: all signatures agree
+    assert(pairs.getOrElse(0L -> 1L, 0.0) > 0.5) // near dup: one token changed
+    assert(!pairs.contains(0L -> 2L) || pairs(0L -> 2L) < 0.2) // unrelated
+  }
+
+  test("simHash: identical -> 0 hamming, near-dup small, unrelated large") {
+    val sigs = docs.select($"doc_id", TextOps.simHash($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)),
+      s"near=${ham(sigs(0L), sigs(1L))} far=${ham(sigs(0L), sigs(2L))}")
+  }
+
+  test("simHashPairs blocking finds all pairs within maxHamming (vs naive)") {
+    val sigs = docs.select($"doc_id", TextOps.simHash($"text"))
+      .as[(Long, Long)].collect().toMap
+    val maxH = 20
+    val naive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= maxH
+    } yield (a, b, h)).toSet
+    // blocking guarantee only holds for <= 3 with 4 chunks; verify the
+    // guarantee regime exactly:
+    val got3 = TextOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val naive3 = naive.filter(_._3 <= 3).map { case (a, b, h) => (a, b, h) }
+    assert(got3 == naive3)
+  }
+
+  test("langPredict picks marker language") {
+    val r = docs.select($"doc_id", TextOps.langPredict($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(r(4L) == "de")
+    assert(r(5L) == "fr")
+    assert(r(0L) == "en")
+  }
+
+  test("fingerprint and quality features are deterministic and sane") {
+    val r1 = docs.select($"doc_id", TextOps.fingerprint($"text", 16),
+      TextOps.qualityFeatures($"text").getField("n_tokens"),
+      TextOps.bpeishTokenCount($"text")).collect()
+    val r2 = docs.select($"doc_id", TextOps.fingerprint($"text", 16),
+      TextOps.qualityFeatures($"text").getField("n_tokens"),
+      TextOps.bpeishTokenCount($"text")).collect()
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)))
+    val row0 = r1.find(_.getLong(0) == 0L).get
+    assert(row0.getInt(2) == base.split(" ").length)
+  }
+}
+
+class EmbedOpsSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Clustered synthetic embeddings: nClusters base directions, members
+    * = base + small noise -> high intra-cluster cosine. */
+  def clustered(n: Int, dim: Int, nClusters: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rng = new Synth.Rng(seed)
+    val bases = Array.fill(nClusters)(Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    (0 until n).map { i =>
+      val b = bases(i % nClusters)
+      (i.toLong, b.map(v => v + (rng.nextDouble() * 0.1 - 0.05).toFloat))
+    }
+  }
+
+  def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  lazy val vecs = clustered(300, 16, 12, seed = 5L)
+  lazy val corpus = vecs.toDF("vec_id", "embedding")
+
+  test("cosineTopK == naive brute force (exact, ordered, tie-broken)") {
+    val queries = vecs.take(10).map { case (id, e) => (id, e) }
+      .toDF("q_id", "embedding")
+    val got = EmbedOps.cosineTopK(queries, corpus, k = 4)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).map { case (q, r) => q -> r.sortBy(_._3).map(_._2).toSeq }
+    val want = vecs.take(10).map { case (qid, qe) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(qe, e)) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSeq
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((q, ids) <- want) assert(got(q) == ids, s"query $q: got=${got(q)} want=$ids")
+  }
+
+  test("lshCosinePairs: precision exact (verified in-query), recall high on clusters") {
+    val minCos = 0.9
+    val truePairs = (for {
+      (i, a) <- vecs; (j, b) <- vecs if i < j && cos(a, b) >= minCos
+    } yield (i, j)).toSet
+    val got = EmbedOps.lshCosinePairs(corpus, planes = 16, bandBits = 4, minCos = minCos)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truePairs)) // precision 1 by construction
+    val recall = got.size.toDouble / truePairs.size
+    assert(recall >= 0.7, s"recall=$recall (${got.size}/${truePairs.size})")
+  }
+
+  test("ivfTopK: high recall vs brute force with nProbe=3") {
+    val queries = vecs.take(10).toDF("q_id", "embedding")
+    val centroids = vecs.grouped(25).map(_.head).zipWithIndex
+      .map { case ((_, e), i) => (i.toLong, e) }.toSeq.toDF("c_id", "embedding")
+    val got = EmbedOps.ivfTopK(queries, corpus, centroids, k = 4, nProbe = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val want = vecs.take(10).map { case (qid, qe) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(qe, e)) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSet
+    }.toMap
+    val hits = want.keys.toSeq
+      .map(q => got.getOrElse(q, Set.empty[Long]).intersect(want(q)).size).sum
+    val recall = hits.toDouble / (want.size * 4)
+    assert(recall >= 0.8,
+      s"recall=$recall gotKeys=${got.keys.toSeq.sorted} " +
+        s"got0=${got.getOrElse(0L, Set.empty[Long])} want0=${want(0L)}")
+  }
+}
