@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{PolyRow, TileRow}
+import graft.core.{Geom, GridIndex}
+
+/**
+ * GLCM texture statistics per polygon (reference texture_stats,
+ * shape.py:1566-1731; GLCM via skimage greycomatrix shape.py:1704-1711):
+ * contrast, dissimilarity, homogeneity, ASM, energy, correlation.
+ *
+ * Distributed shape: like ZonalStats.histogram but emitting PAIR
+ * histograms (q1, q2, cnt) for pixel pairs at offset (dx, dy) where both
+ * pixels fall inside the polygon (and inside the owning cell, so tile
+ * overlap never double-counts). Values are quantized to `levels` bins
+ * (SURVEY §7 hard-point 5: bounded buffer; the reference's uint8 regime
+ * quantized the same way). The co-occurrence matrix is made symmetric
+ * (skimage symmetric=True) by emitting both (q1,q2) and (q2,q1).
+ *
+ * Deviation noted: pixel pairs crossing a TILE boundary are not formed
+ * (tile-local pairs only) — at 256-px tiles that is <1% of pairs; the
+ * reference forms pairs across its full per-feature window.
+ */
+object Glcm {
+
+  def pairHistogram(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
+                    dx: Int = 1, dy: Int = 0, levels: Int = 32, maxVal: Float = 256f)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pc = ZonalStats.polyCells(polys, cellRes)
+    val joined = tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
+    val lv = levels
+    joined.flatMap { case (t, p) =>
+      val cb = GridIndex.cellBounds(p.cell_id)
+      val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+      val acc = new scala.collection.mutable.HashMap[(Int, Int), Long]
+      def quant(v: Float): Int = math.min(lv - 1, math.max(0, (v / maxVal * lv).toInt))
+      def inside(row: Int, c: Int): Boolean = {
+        val cx = t.x_min + (c + 0.5) * t.px
+        val cy = t.y_max - (row + 0.5) * t.px
+        cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
+          Geom.pointInPolygon(cx, cy, rings)
+      }
+      var row = 0
+      while (row < t.th - math.abs(dy)) {
+        var c = 0
+        while (c < t.tw - math.abs(dx)) {
+          if (inside(row, c) && inside(row + dy, c + dx)) {
+            val a = quant(t.pixels(row * t.tw + c))
+            val b = quant(t.pixels((row + dy) * t.tw + (c + dx)))
+            acc.update((a, b), acc.getOrElse((a, b), 0L) + 1L)
+            acc.update((b, a), acc.getOrElse((b, a), 0L) + 1L) // symmetric
+          }
+          c += 1
+        }
+        row += 1
+      }
+      acc.iterator.map { case ((a, b), n) => (p.poly_id, t.band, a, b, n) }
+    }.toDF("poly_id", "band", "q1", "q2", "cnt")
+      .groupBy("poly_id", "band", "q1", "q2").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Texture properties from the merged pair histogram — exactly the
+    * skimage greycoprops formulas the reference calls. */
+  def textureStats(pairHist: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("poly_id", "band")
+    val p = col("cnt") / col("n") // normalized joint probability
+    val d = (col("q1") - col("q2")).cast("double")
+    val withN = pairHist.withColumn("n", sum("cnt").over(w))
+    // marginal means/stds for correlation (symmetric matrix: mu_i = mu_j)
+    val withMu = withN
+      .withColumn("mu", sum(col("q1") * p).over(w))
+    val sig2 = sum((col("q1") - col("mu")) * (col("q1") - col("mu")) * p)
+    withMu.groupBy("poly_id", "band").agg(
+      round(sum(d * d * p), 6).as("contrast"),
+      round(sum(abs(d) * p), 6).as("dissimilarity"),
+      round(sum(p / (lit(1.0) + d * d)), 6).as("homogeneity"),
+      round(sum(p * p), 6).as("asm"),
+      round(sqrt(sum(p * p)), 6).as("energy"),
+      round(
+        when(sig2 <= 0, lit(1.0)).otherwise(
+          sum((col("q1") - col("mu")) * (col("q2") - col("mu")) * p) / sig2),
+        6).as("correlation"))
+  }
+}

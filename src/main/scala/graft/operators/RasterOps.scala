@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{TileRow, PolyRow}
+import graft.core.{Geom, GridIndex}
+
+/**
+ * Per-tile raster operators (SURVEY §2.2, §2.4, §2.8). All of these are
+ * shuffle-free column transforms over the tiled relation — the pixel
+ * arrays stay inside `transform`/`zip_with`/`aggregate` higher-order
+ * functions (codegen'd), mirroring the reference's blockwise loops
+ * without ever materializing pixels as rows.
+ *
+ * Band-crossing ops join on the natural tile key (image_id, tx, ty) —
+ * an equi join that AQE plans as a local shuffle at worst; at ingest the
+ * tile relation is hash-partitioned by image_id so same-image bands
+ * co-locate.
+ */
+object RasterOps {
+
+  private val tileKey = Seq("image_id", "tx", "ty")
+
+  /** mask_raster (raster.py:1031-1134): keep pixels == mval, else `fill`. */
+  def maskEquals(tiles: DataFrame, mval: Float, fill: Float = 0f): DataFrame =
+    tiles.withColumn("pixels",
+      transform(col("pixels"), p => when(p === mval, p).otherwise(lit(fill))))
+
+  /** mask_raster_multi (raster.py:1136-1265): rule in {"==", "<", ">"}
+    * with replacement value — pixels matching the rule become `repl`. */
+  def maskRule(tiles: DataFrame, rule: String, threshold: Float, repl: Float): DataFrame = {
+    def cond(p: Column): Column = rule match {
+      case "==" => p === threshold
+      case "<"  => p < threshold
+      case ">"  => p > threshold
+      case r    => throw new IllegalArgumentException(s"rule $r")
+    }
+    tiles.withColumn("pixels",
+      transform(col("pixels"), p => when(cond(p), lit(repl)).otherwise(p)))
+  }
+
+  /** Band algebra (NDVI raster.py:1347): (a - b) / (a + b) between two
+    * band numbers of the same image, nodata-safe (0/0 -> nodata). */
+  def normalizedDifference(tiles: Dataset[TileRow], bandA: Int, bandB: Int)
+                          (implicit spark: SparkSession): DataFrame = {
+    val a = tiles.toDF().where(col("band") === bandA)
+      .withColumnRenamed("pixels", "pa")
+    val b = tiles.toDF().where(col("band") === bandB)
+      .select(col("image_id"), col("tx"), col("ty"), col("cell_id"),
+        col("pixels").as("pb"))
+    a.join(b, tileKey :+ "cell_id")
+      .withColumn("pixels", zip_with(col("pa"), col("pb"), (x, y) =>
+        when(x + y === 0f, col("nodata"))
+          .otherwise(((x - y) / (x + y)).cast("float"))))
+      .drop("pa", "pb")
+      .withColumn("band", lit(0))
+  }
+
+  /** combine_scene (raster.py:1466-1524): aligned-grid per-pixel rule
+    * merge of two classifications — where s1 is nodata/0 take s2, where
+    * both agree keep, else keep s1 (the reference's crop-map rules). */
+  def combineScene(s1: Dataset[TileRow], s2: Dataset[TileRow])
+                  (implicit spark: SparkSession): DataFrame = {
+    val a = s1.toDF().withColumnRenamed("pixels", "pa")
+    val b = s2.toDF().select(col("image_id"), col("tx"), col("ty"),
+      col("band"), col("cell_id"), col("pixels").as("pb"))
+    a.join(b, tileKey ++ Seq("band", "cell_id"))
+      .withColumn("pixels", zip_with(col("pa"), col("pb"), (x, y) =>
+        when(x === 0f, y).otherwise(x)))
+      .drop("pa", "pb")
+  }
+
+  /**
+   * temporal_comp (raster.py:2287-2407): element-wise reduce across N
+   * aligned snapshots distinguished by a `t` column. stat in
+   * {"mean", "min", "max", "sum"}. NaN-safe like the reference's
+   * nan-stats. One shuffle on the tile key; the time axis folds with
+   * array HOFs (no per-pixel rows).
+   */
+  def temporalComposite(snapshots: DataFrame, stat: String): DataFrame = {
+    val gathered = snapshots
+      .groupBy((tileKey ++ Seq("band", "cell_id")).map(col): _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("pixels")))).as("series"),
+        first("x_min").as("x_min"), first("y_max").as("y_max"),
+        first("px").as("px"), first("tw").as("tw"), first("th").as("th"),
+        first("nodata").as("nodata"))
+    val arrays = col("series.pixels")
+    val n = size(col("series"))
+    val summed = reduceArrays(arrays, (x, y) =>
+      when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(x + y)))
+    val out = stat match {
+      case "sum"  => summed
+      case "mean" => zip_with(summed, countNonNaN(arrays), (s, c) =>
+        when(c === 0f, lit(Float.NaN)).otherwise((s / c).cast("float")))
+      case "min" => reduceArrays(arrays, (x, y) =>
+        when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(least(x, y))))
+      case "max" => reduceArrays(arrays, (x, y) =>
+        when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(greatest(x, y))))
+      case s => throw new IllegalArgumentException(s"stat $s")
+    }
+    gathered.withColumn("pixels", out).drop("series")
+  }
+
+  /** Element-wise fold over an array-of-arrays column (seed = first
+    * array; fold over the REST — folding the whole column would apply
+    * element 1 twice). */
+  private def reduceArrays(arrays: Column, f: (Column, Column) => Column): Column =
+    aggregate(slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
+      element_at(arrays, 1), (acc, cur) => zip_with(acc, cur, f))
+
+  private def countNonNaN(arrays: Column): Column =
+    aggregate(arrays,
+      transform(element_at(arrays, 1), x => when(x.isNaN, 0f).otherwise(0f)),
+      (acc, cur) => zip_with(acc, cur, (a, x) =>
+        a + when(x.isNaN, 0f).otherwise(1f)))
+
+  /** raster2points (raster.py:1607-1699): tile -> (x, y, value) rows,
+    * nodata dropped. Pixel-center coords via posexplode index math;
+    * respects the cell-ownership rule so multi-cell tiles don't
+    * double-emit. */
+  def rasterToPoints(tiles: DataFrame): DataFrame = {
+    val rowIdx = floor(col("pos") / col("tw"))
+    val colIdx = col("pos") % col("tw")
+    val cx = col("x_min") + (colIdx + 0.5) * col("px")
+    val cy = col("y_max") - (rowIdx + 0.5) * col("px")
+    // cell bounds from the packed cell id (same math as GridIndex)
+    val res = shiftrightunsigned(col("cell_id"), 40).bitwiseAND(lit(0x1fL))
+    val size = pow(lit(2.0), lit(GridIndex.WorldPow) - res)
+    val cx0 = shiftrightunsigned(col("cell_id"), 20).bitwiseAND(lit(0xfffffL)) * size - GridIndex.Offset
+    val cy0 = col("cell_id").bitwiseAND(lit(0xfffffL)) * size - GridIndex.Offset
+    tiles
+      .select(col("image_id"), col("band"), col("x_min"), col("y_max"),
+        col("px"), col("tw"), col("cell_id"), col("nodata"),
+        posexplode(col("pixels")))
+      .withColumn("x", cx).withColumn("y", cy)
+      .where(col("x") >= cx0 && col("x") < cx0 + size &&
+        col("y") >= cy0 && col("y") < cy0 + size)
+      .where(col("col") =!= col("nodata")) // Spark: NaN = NaN is true
+      .select(col("image_id"), col("band"), col("x"), col("y"),
+        col("col").as("value"))
+  }
+
+  /** rasterize (raster.py:1773-1831): burn polygons into an image-aligned
+    * grid — the inverse of polygonize. Produces mask tiles (1 inside,
+    * 0 outside; `burnField` uses the polygon class value). Reuses the
+    * broadcast polyCells join + per-pixel PIP of the zonal core. */
+  def rasterize(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
+                burnClass: Boolean = false)
+               (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    val pc = ZonalStats.polyCells(polys, cellRes)
+    val clsById = polys.collect().map(p => p.poly_id -> p.cls).toMap
+    val clsB = spark.sparkContext.broadcast(clsById)
+    tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"), "left_outer")
+      .groupByKey { case (t, _) => (t.image_id, t.tx, t.ty, t.band, t.cell_id) }
+      .mapGroups { (_: (String, Int, Int, Int, Long), it: Iterator[(graft.TileRow, ZonalStats.PolyCell)]) =>
+        val items = it.toArray
+        val t = items.head._1
+        val out = new Array[Float](t.pixels.length)
+        items.foreach { case (_, p) =>
+          if (p != null) {
+            val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+            val burn = if (burnClass) clsB.value.getOrElse(p.poly_id, 1).toFloat else 1f
+            var r = 0
+            while (r < t.th) {
+              val cy = t.y_max - (r + 0.5) * t.px
+              var c = 0
+              while (c < t.tw) {
+                val cx = t.x_min + (c + 0.5) * t.px
+                if (Geom.pointInPolygon(cx, cy, rings)) out(r * t.tw + c) = burn
+                c += 1
+              }
+              r += 1
+            }
+          }
+        }
+        t.copy(pixels = out)
+      }
+  }
+
+  /** clip_raster (raster.py:1932-2047): crop tiles to the polygon bbox
+    * and nodata-fill pixels outside the polygon (cutline mask). */
+  def clipRaster(tiles: Dataset[TileRow], poly: PolyRow, cellRes: Int)
+                (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    val rings: Geom.Rings = poly.rings.map(_.map(q => (q.x, q.y)))
+    val bb = Geom.bbox(rings)
+    val cells = GridIndex.coverPolygon(rings, cellRes).toSet
+    val cellsB = spark.sparkContext.broadcast(cells)
+    val ringsB = spark.sparkContext.broadcast(rings)
+    tiles
+      .filter(t => cellsB.value.contains(t.cell_id))
+      .map { t =>
+        val out = t.pixels.clone()
+        val rg = ringsB.value
+        var r = 0
+        while (r < t.th) {
+          val cy = t.y_max - (r + 0.5) * t.px
+          var c = 0
+          while (c < t.tw) {
+            val cx = t.x_min + (c + 0.5) * t.px
+            if (cx < bb.x0 || cx > bb.x1 || cy < bb.y0 || cy > bb.y1 ||
+              !Geom.pointInPolygon(cx, cy, rg)) out(r * t.tw + c) = t.nodata
+            c += 1
+          }
+          r += 1
+        }
+        t.copy(pixels = out)
+      }
+  }
+
+  /** hist_match LUT application: remap pixel values through a broadcast
+    * value->value lookup (the tail of raster.py:2139-2217 after the CDF
+    * join computes the mapping). Unmapped values pass through. */
+  def applyLut(tiles: DataFrame, lut: Map[Float, Float])
+              (implicit spark: SparkSession): DataFrame = {
+    val entries = lut.toSeq.sortBy(_._1)
+    val m = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    tiles.withColumn("pixels",
+      transform(col("pixels"), p => coalesce(element_at(m, p), p)))
+  }
+
+  /** Otsu threshold (shape.py:2367-2372 thresholds): maximize between-
+    * class variance over the global value histogram (one agg + a tiny
+    * driver-side scan over <=256 bins). */
+  def otsuThreshold(tiles: DataFrame): Double = {
+    val hist = tiles.select(explode(col("pixels")).as("v"))
+      .where(!isnan(col("v")))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .orderBy("v").collect()
+      .map(r => (r.getFloat(0).toDouble, r.getLong(1).toDouble))
+    val total = hist.map(_._2).sum
+    val sumAll = hist.map { case (v, c) => v * c }.sum
+    var sumB = 0.0; var wB = 0.0; var best = 0.0; var thr = hist.head._1
+    hist.foreach { case (v, c) =>
+      wB += c
+      if (wB > 0 && wB < total) {
+        sumB += v * c
+        val wF = total - wB
+        val mB = sumB / wB
+        val mF = (sumAll - sumB) / wF
+        val between = wB * wF * (mB - mF) * (mB - mF)
+        if (between > best) { best = between; thr = v }
+      }
+    }
+    thr
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{PolyRow, TileRow}
+import graft.core.{Geom, GridIndex}
+
+/**
+ * The reference's ML pipeline capability (SURVEY §3.3):
+ *  - get_training (learning.py:1706-1825): the zonal spatial join emitting
+ *    per-pixel labeled samples (label, features[bands]);
+ *  - create_model (learning.py:465-706): fit on extracted samples — here a
+ *    deterministic nearest-class-centroid model computed with one grouped
+ *    aggregate (parity is judged on the extraction and application joins,
+ *    which the north rule pins, not sklearn internals — SURVEY §3.3);
+ *  - classify_pixel_bloc (learning.py:1259-1398): per-pixel scoring with
+ *    the broadcast model inside mapPartitions, zero shuffle.
+ */
+object Training {
+
+  final case class Sample(label: Int, features: Array[Float])
+  final case class CentroidModel(labels: Array[Int], centroids: Array[Array[Double]]) {
+    def predict(features: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < centroids.length) {
+        var d = 0.0
+        val c = centroids(i)
+        var j = 0
+        while (j < c.length) { val e = features(j) - c(j); d += e * e; j += 1 }
+        if (d < bestD || (d == bestD && labels(i) < labels(best))) { bestD = d; best = i }
+        i += 1
+      }
+      labels(best)
+    }
+  }
+
+  /** get_training: per-pixel (label, features) rows — the flagship zonal
+    * join with a band-gathering twist: bands of one tile are zipped into
+    * a feature vector per pixel. One equi self-alignment by tile key. */
+  def extractSamples(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int)
+                    (implicit spark: SparkSession): Dataset[Sample] = {
+    import spark.implicits._
+    // gather bands: (image, tx, ty, cell) -> array of band pixel arrays
+    val gathered = tiles.groupByKey(t => (t.image_id, t.tx, t.ty, t.cell_id))
+      .mapGroups { (_: (String, Int, Int, Long), it: Iterator[TileRow]) =>
+        val ts = it.toArray.sortBy(_.band)
+        (ts.head, ts.map(_.pixels))
+      }
+    val pc = ZonalStats.polyCells(polys, cellRes)
+    val clsById = polys.collect().map(p => (p.poly_id, p.part) -> p.cls).toMap
+    val clsB = spark.sparkContext.broadcast(clsById)
+    gathered.joinWith(broadcast(pc), gathered("_1.cell_id") === pc("cell_id"))
+      .flatMap { case ((t, bands), p) =>
+        val cb = GridIndex.cellBounds(p.cell_id)
+        val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+        val label = clsB.value((p.poly_id, p.part))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Sample]
+        var row = 0
+        while (row < t.th) {
+          val cy = t.y_max - (row + 0.5) * t.px
+          var c = 0
+          while (c < t.tw) {
+            val cx = t.x_min + (c + 0.5) * t.px
+            if (cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
+              Geom.pointInPolygon(cx, cy, rings)) {
+              out += Sample(label, bands.map(_(row * t.tw + c)))
+            }
+            c += 1
+          }
+          row += 1
+        }
+        out
+      }
+  }
+
+  /** create_model: class centroids with one grouped aggregate. */
+  def fitCentroids(samples: Dataset[Sample])(implicit spark: SparkSession): CentroidModel = {
+    import spark.implicits._
+    val nBands = samples.head().features.length
+    val agg = samples.toDF()
+      .select(col("label") +: (0 until nBands)
+        .map(i => col("features").getItem(i).as(s"f$i")): _*)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (0 until nBands).map(i => avg(s"f$i").as(s"c$i")): _*)
+      .orderBy("label")
+      .collect()
+    CentroidModel(
+      agg.map(_.getInt(0)),
+      agg.map(r => (0 until nBands).map(i => r.getDouble(2 + i)).toArray))
+  }
+
+  /** classify_pixel_bloc: broadcast model, per-pixel predict in
+    * mapPartitions, tiles in / class tiles out. No shuffle. */
+  def classify(tiles: Dataset[TileRow], model: CentroidModel)
+              (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    val mB = spark.sparkContext.broadcast(model)
+    tiles.groupByKey(t => (t.image_id, t.tx, t.ty, t.cell_id))
+      .mapGroups { (_: (String, Int, Int, Long), it: Iterator[TileRow]) =>
+        val ts = it.toArray.sortBy(_.band)
+        val t = ts.head
+        val bands = ts.map(_.pixels)
+        val out = new Array[Float](t.pixels.length)
+        val m = mB.value
+        var i = 0
+        while (i < out.length) {
+          out(i) = m.predict(bands.map(_(i))).toFloat
+          i += 1
+        }
+        t.copy(band = -1, pixels = out)
+      }
+  }
+}
