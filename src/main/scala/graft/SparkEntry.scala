@@ -48,7 +48,17 @@ object SparkEntry {
       "q_fingerprint"     -> (Q.qFingerprint _),
       "q_ann_topk"        -> (Q.qAnnTopK _),
       "q_ann_lsh"         -> (Q.qAnnLsh _),
-      "q_pipeline_zonal"  -> (Q.qPipelineZonal _)
+      "q_pipeline_zonal"  -> (Q.qPipelineZonal _),
+      "q_raster_points"   -> (Q.qRasterPoints _),
+      "q_polygonize"      -> (Q.qPolygonize _),
+      "q_shape_props"     -> (Q.qShapeProps _),
+      "q_glcm"            -> (Q.qGlcm _),
+      "q_classify"        -> (Q.qClassify _),
+      "q_mosaic"          -> (Q.qMosaic _),
+      "q_image_features"  -> (Q.qImageFeatures _),
+      "q_transcode"       -> (Q.qTranscode _),
+      "q_clip_poly"       -> (Q.qClipPoly _),
+      "q_geojson"         -> (Q.qGeoJson _)
     )
   }
 

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{ImageRow, TileRow}
+import graft.core.PixelCodec
+
+/**
+ * Whole-image operators over the opaque-binary multimodal column
+ * (SURVEY §2.1, §2.8). These are the Scala-native equivalent of the
+ * reference's per-file GDAL passes and of "decode / feature-extract /
+ * resize / frame-sample over binary columns" from the training-data
+ * brief: the binary payload stays opaque in the relation; decode happens
+ * only inside the typed map, batch-shaped, executor-side. No shuffle in
+ * any of these.
+ */
+object ImageOps {
+
+  /** batch_translate (raster.py:473-523): format transcode — decode with
+    * the row's fmt, re-encode with `toFmt`, phash recomputed from the
+    * DECODED pixels so the lossy invariant stays checkable. */
+  def transcode(images: Dataset[ImageRow], toFmt: String)
+               (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val enc = PixelCodec.encode(toFmt, img.w, img.h, dec.bands)
+      val dec2 = PixelCodec.decode(enc, toFmt, img.w, img.h)
+      img.copy(bytes = enc, fmt = toFmt,
+        phash = PixelCodec.phash64(img.w, img.h, dec2.bands(0)))
+    }
+  }
+
+  /** array2raster / inverse tiler (raster.py:287-371): reassemble an
+    * image from its tiles (geo-config copied from the tile rows, i.e.
+    * the `_copy_dataset_config` idiom raster.py:2532-2580). Tiles must
+    * be cell-deduplicated first (distinct on tile key). One shuffle
+    * keyed by image. */
+  def assemble(tiles: Dataset[TileRow], w: Int, h: Int, fmt: String,
+               caption: String = "")(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    tiles.dropDuplicates("image_id", "tx", "ty", "band")
+      .groupByKey(_.image_id)
+      .mapGroups { (id: String, it: Iterator[TileRow]) =>
+        val ts = it.toArray
+        val nBands = ts.map(_.band).max + 1
+        val bands = Array.fill(nBands)(new Array[Float](w * h))
+        // image origin = min tile origin
+        val x0 = ts.map(_.x_min).min
+        val y1 = ts.map(_.y_max).max
+        val px = ts.head.px
+        ts.foreach { t =>
+          val offC = math.round((t.x_min - x0) / px).toInt
+          val offR = math.round((y1 - t.y_max) / px).toInt
+          var r = 0
+          while (r < t.th) {
+            System.arraycopy(t.pixels, r * t.tw, bands(t.band), (offR + r) * w + offC, t.tw)
+            r += 1
+          }
+        }
+        val enc = PixelCodec.encode(fmt, w, h, bands)
+        ImageRow(id, enc, w, h, fmt, caption,
+          PixelCodec.phash64(w, h, bands(0)), x0, y1, px)
+      }
+  }
+
+  /** bbox2raster (raster.py:209-282): construct an ImageRow from a pixel
+    * array + bbox (geo struct derived from the bbox + pixel size). */
+  def fromArray(imageId: String, bands: Array[Array[Float]], w: Int, h: Int,
+                xMin: Double, yMax: Double, px: Double, fmt: String,
+                caption: String = ""): ImageRow = {
+    val enc = PixelCodec.encode(fmt, w, h, bands)
+    ImageRow(imageId, enc, w, h, fmt, caption,
+      PixelCodec.phash64(w, h, bands(0)), xMin, yMax, px)
+  }
+
+  /** write_vrt (raster.py:424-442): a virtual mosaic is just a union-all
+    * scan — multiple parquet paths read as one relation. */
+  def openMosaic(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** Resize by integer factor (box average) — the multimodal "resize"
+    * plumbing; deterministic, no external libs. */
+  def resize(images: Dataset[ImageRow], factor: Int)
+            (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val nw = math.max(1, img.w / factor); val nh = math.max(1, img.h / factor)
+      val out = dec.bands.map { b =>
+        Array.tabulate(nw * nh) { i =>
+          val r = i / nw; val c = i % nw
+          var s = 0.0; var n = 0
+          var dr = 0
+          while (dr < factor) {
+            var dc = 0
+            while (dc < factor) {
+              val sr = r * factor + dr; val sc = c * factor + dc
+              if (sr < img.h && sc < img.w) { s += b(sr * img.w + sc); n += 1 }
+              dc += 1
+            }
+            dr += 1
+          }
+          (s / n).toFloat
+        }
+      }
+      val enc = PixelCodec.encode(img.fmt, nw, nh, out)
+      img.copy(bytes = enc, w = nw, h = nh,
+        phash = PixelCodec.phash64(nw, nh, out(0)), px = img.px * factor)
+    }
+  }
+
+  /** Frame sampling over a multi-band payload (the "video" analog of the
+    * multimodal brief): keep every `stride`-th band. */
+  def frameSample(images: Dataset[ImageRow], stride: Int)
+                 (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val kept = dec.bands.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, kept))
+    }
+  }
+
+  /** Per-image feature extraction: phash + per-band mean/std — the
+    * "feature-extract" stage of the multimodal pipeline, one row per
+    * (image, band). */
+  def features(images: Dataset[ImageRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    images.flatMap { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      dec.bands.zipWithIndex.map { case (b, i) =>
+        var s = 0.0; var s2 = 0.0
+        b.foreach { v => s += v; s2 += v.toDouble * v }
+        val n = b.length
+        val mean = s / n
+        (img.image_id, i, img.phash, mean, math.sqrt(math.max(0, s2 / n - mean * mean)),
+          img.caption)
+      }
+    }.toDF("image_id", "band", "phash", "mean", "std", "caption")
+  }
+
+  /** 3x3 convolution (edge-replicated) — the representative of the
+    * reference's local-kernel family (SURVEY §2.8: Quegan filter, edge
+    * detectors etc. are all per-image kernels in mapPartitions). */
+  def convolve3x3(images: Dataset[ImageRow], kernel: Array[Float])
+                 (implicit spark: SparkSession): Dataset[ImageRow] = {
+    require(kernel.length == 9)
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val out = dec.bands.map { b =>
+        Array.tabulate(img.w * img.h) { i =>
+          val r = i / img.w; val c = i % img.w
+          var s = 0.0
+          var k = 0
+          while (k < 9) {
+            val rr = math.min(img.h - 1, math.max(0, r + k / 3 - 1))
+            val cc = math.min(img.w - 1, math.max(0, c + k % 3 - 1))
+            s += b(rr * img.w + cc) * kernel(k)
+            k += 1
+          }
+          s.toFloat
+        }
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, out),
+        phash = PixelCodec.phash64(img.w, img.h, out(0)))
+    }
+  }
+
+  /** temp_match (utilities.py:1110-1239): normalized cross-correlation of
+    * a small broadcast template over each image; returns best match per
+    * image: (image_id, row, col, score). */
+  def templateMatch(images: Dataset[ImageRow], template: Array[Float],
+                    tw: Int, th: Int, band: Int = 0)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tB = spark.sparkContext.broadcast(template)
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val b = dec.bands(band)
+      val t = tB.value
+      val tMean = t.map(_.toDouble).sum / t.length
+      val tVar = t.map(v => (v - tMean) * (v - tMean)).sum
+      var best = (-1, -1, Double.MinValue)
+      var r = 0
+      while (r + th <= img.h) {
+        var c = 0
+        while (c + tw <= img.w) {
+          var s = 0.0; var s2 = 0.0; var cross = 0.0
+          var k = 0
+          while (k < tw * th) {
+            val v = b((r + k / tw) * img.w + c + k % tw)
+            s += v; s2 += v.toDouble * v
+            cross += (t(k) - tMean) * v
+            k += 1
+          }
+          val n = tw * th
+          val wVar = s2 - s * s / n
+          val denom = math.sqrt(tVar * wVar)
+          val score = if (denom <= 0) 0.0 else cross / denom
+          if (score > best._3) best = (r, c, score)
+          c += 1
+        }
+        r += 1
+      }
+      (img.image_id, best._1, best._2, best._3)
+    }.toDF("image_id", "row", "col", "score")
+  }
+}

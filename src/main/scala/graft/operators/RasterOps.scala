@@ -114,6 +114,47 @@ object RasterOps {
       (acc, cur) => zip_with(acc, cur, (a, x) =>
         a + when(x.isNaN, 0f).otherwise(1f)))
 
+  /** _merge / mosaic (gdal_merge.py:288-533 via raster.py:1449-1464):
+    * composite N aligned rasters into one — per aligned tile, first
+    * non-nodata value wins in image_id order (the reference's last-file-
+    * wins becomes a deterministic priority fold). Tiles must share the
+    * grid (same x_min/y_max/tw/th per cell), as gdal_merge assumes. */
+  def mosaic(tiles: DataFrame): DataFrame = {
+    val gathered = tiles
+      .groupBy(col("cell_id"), col("band"), col("tx"), col("ty"),
+        col("x_min"), col("y_max"), col("tw"), col("th"))
+      .agg(sort_array(collect_list(struct(col("image_id"), col("pixels"),
+        col("nodata")))).as("layers"),
+        first("px").as("px"), first("nodata").as("nodata"))
+    val arrays = col("layers.pixels")
+    val nod = col("nodata")
+    val composited = aggregate(
+      slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
+      element_at(arrays, 1),
+      (acc, cur) => zip_with(acc, cur, (a, x) => when(a === nod, x).otherwise(a)))
+    gathered.withColumn("pixels", composited)
+      .withColumn("image_id", lit("mosaic")).drop("layers")
+  }
+
+  /** combine_grid (utilities.py:887-918): per-pixel product then relabel
+    * (here: product; relabel is a LUT via applyLut). */
+  def combineGrid(s1: Dataset[TileRow], s2: Dataset[TileRow])
+                 (implicit spark: SparkSession): DataFrame = {
+    val a = s1.toDF().withColumnRenamed("pixels", "pa")
+    val b = s2.toDF().select(col("image_id"), col("tx"), col("ty"),
+      col("band"), col("cell_id"), col("pixels").as("pb"))
+    a.join(b, tileKey ++ Seq("band", "cell_id"))
+      .withColumn("pixels", zip_with(col("pa"), col("pb"), (x, y) => x * y))
+      .drop("pa", "pb")
+  }
+
+  /** stat_comp (raster.py:2410-2528): composite across the BAND axis of
+    * one raster — same fold as temporalComposite with band as the series
+    * key. No shuffle beyond the tile-key group. */
+  def bandComposite(tiles: DataFrame, stat: String): DataFrame =
+    temporalComposite(
+      tiles.withColumn("t", col("band")).withColumn("band", lit(0)), stat)
+
   /** raster2points (raster.py:1607-1699): tile -> (x, y, value) rows,
     * nodata dropped. Pixel-center coords via posexplode index math;
     * respects the cell-ownership rule so multi-cell tiles don't

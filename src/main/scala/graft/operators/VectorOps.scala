@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{PolyRow, Pt}
+import graft.core.Geom
+
+/**
+ * Vector-layer operators (SURVEY §2.1-2.3 vector rows).
+ */
+object VectorOps {
+
+  /** sqlfilter (shape.py:621-654): OGR SQL over a layer == spark.sql over
+    * a registered view of the polygon relation. */
+  def sqlFilter(polys: Dataset[PolyRow], sql: String)
+               (implicit spark: SparkSession): DataFrame = {
+    polys.toDF().createOrReplaceTempView("layer")
+    spark.sql(sql)
+  }
+
+  /** filter_shp (shape.py:657-699): attribute predicate writes a label
+    * onto matching rows (schema mutation -> withColumn). */
+  def filterLabel(polys: Dataset[PolyRow], predicate: org.apache.spark.sql.Column,
+                  labelCol: String, label: String): DataFrame =
+    polys.toDF().withColumn(labelCol, when(predicate, lit(label)))
+
+  /** write_id_field (shape.py:1536-1564): sequential FID assignment ->
+    * row_number over a deterministic order. */
+  def writeIdField(df: DataFrame, orderCol: String, idCol: String = "fid"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(idCol, row_number().over(Window.orderBy(orderCol)))
+  }
+
+  /** shp2gj (shape.py:54-92): GeoJSON Feature strings per polygon row. */
+  def toGeoJson(polys: Dataset[PolyRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    polys.map { p =>
+      val coords = p.rings.map(ring =>
+        (ring :+ ring.head).map(q => s"[${q.x},${q.y}]").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      (p.poly_id, s"""{"type":"Feature","geometry":{"type":"Polygon","coordinates":$coords},""" +
+        s""""properties":{"poly_id":${p.poly_id},"class":${p.cls},"name":"${p.name}","measure":${p.measure}}}""")
+    }.toDF("poly_id", "geojson")
+  }
+
+  /**
+   * clip_poly (shape.py:2772-2808, ogr.Layer.Clip) for rectangular clip
+   * geometries (the tile-grid case, raster.py:1833-1883): Sutherland-
+   * Hodgman clip of every polygon against every rectangle it overlaps.
+   * Rect relation: (rect_id, x0, y0, x1, y1) — broadcast (tile grids are
+   * small); polygons stream.
+   */
+  def clipToRects(polys: Dataset[PolyRow], rects: Seq[(Long, Geom.BBox)])
+                 (implicit spark: SparkSession): Dataset[PolyRow] = {
+    import spark.implicits._
+    val rB = spark.sparkContext.broadcast(rects)
+    polys.flatMap { p =>
+      val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+      val bb = Geom.bbox(rings)
+      rB.value.flatMap { case (rid, rect) =>
+        if (!rect.intersects(bb)) None
+        else {
+          val clipped = rings.map(r => clipRingToRect(r, rect)).filter(_.length >= 3)
+          if (clipped.isEmpty || clipped(0).isEmpty) None
+          else Some(PolyRow(p.poly_id * 100000 + rid, p.part,
+            clipped.map(_.map { case (x, y) => Pt(x, y) }),
+            p.cls, p.name, p.measure))
+        }
+      }
+    }
+  }
+
+  /** Sutherland-Hodgman against an axis-aligned rect. */
+  private[operators] def clipRingToRect(ring: Array[(Double, Double)],
+                                        r: Geom.BBox): Array[(Double, Double)] = {
+    type P = (Double, Double)
+    def clipEdge(pts: Array[P], inside: P => Boolean, intersect: (P, P) => P): Array[P] = {
+      if (pts.isEmpty) return pts
+      val out = scala.collection.mutable.ArrayBuffer.empty[P]
+      val n = pts.length
+      var i = 0
+      while (i < n) {
+        val cur = pts(i); val prev = pts((i + n - 1) % n)
+        val cIn = inside(cur); val pIn = inside(prev)
+        if (cIn) {
+          if (!pIn) out += intersect(prev, cur)
+          out += cur
+        } else if (pIn) out += intersect(prev, cur)
+        i += 1
+      }
+      out.toArray
+    }
+    def ix(a: P, b: P, x: Double): P = {
+      val t = (x - a._1) / (b._1 - a._1); (x, a._2 + t * (b._2 - a._2))
+    }
+    def iy(a: P, b: P, y: Double): P = {
+      val t = (y - a._2) / (b._2 - a._2); (a._1 + t * (b._1 - a._1), y)
+    }
+    var p = ring
+    p = clipEdge(p, _._1 >= r.x0, (a, b) => ix(a, b, r.x0))
+    p = clipEdge(p, _._1 <= r.x1, (a, b) => ix(a, b, r.x1))
+    p = clipEdge(p, _._2 >= r.y0, (a, b) => iy(a, b, r.y0))
+    p = clipEdge(p, _._2 <= r.y1, (a, b) => iy(a, b, r.y1))
+    p
+  }
+}

@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg-style snapshot-tagged table (SURVEY §2.9, §4.2): the batch
+ * checkpoint/resume substrate the north rule requires ("all stages
+ * checkpoint to snapshot-tagged state so a killed job resumes
+ * per-partition with lineage and row-count/byte metrics") — implemented
+ * in-project because no Iceberg jar ships in /opt/spark/jars.
+ *
+ * Layout:
+ *   root/data/v{N}/<partKey>=<value>/ part files   (one dir per snapshot)
+ *   root/manifests/v{N}.json                     (atomic temp+rename)
+ *
+ * A manifest records, per partition value: rows, bytes, the snapshot
+ * version that wrote it (lineage), and the writer label. Snapshot N's
+ * manifest carries the union of all live partitions (parent chain
+ * folded), so readers need exactly one manifest. Commits are idempotent:
+ * already-committed partition values are dropped from the incoming
+ * DataFrame before writing, so a re-run after a crash rewrites nothing
+ * and a partial data dir without a manifest is simply invisible.
+ *
+ * Scale: the manifest is O(partitions) JSON — fine for the ~10^4-10^5
+ * partitions a 100 TB table would use at this layer (coarse partition
+ * values, e.g. ingest shards), and the data path is plain partitioned
+ * parquet so all scan pruning stays native.
+ */
+class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
+
+  final case class PartMeta(rows: Long, bytes: Long, snapshot: Int, writer: String)
+
+  private def manifestDir = Paths.get(root, "manifests")
+  private def dataDir(v: Int) = Paths.get(root, "data", s"v$v")
+
+  def currentVersion: Int = {
+    if (!Files.isDirectory(manifestDir)) return 0
+    Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** partition value -> metadata, from the latest manifest. */
+  def committed(): Map[String, PartMeta] = {
+    val v = currentVersion
+    if (v == 0) return Map.empty
+    parseManifest(new String(Files.readAllBytes(
+      manifestDir.resolve(s"v$v.json")), "UTF-8"))
+  }
+
+  /**
+   * Commit `df` (string-typed partition column `partKey`): drops rows of
+   * already-committed partitions, writes the remainder partitioned by
+   * `partKey` under a fresh snapshot dir, then atomically publishes
+   * manifest v(N+1) = parent ∪ new partitions with per-partition rows +
+   * bytes. Returns the set of partition values actually written.
+   */
+  def commit(df: DataFrame, writer: String): Set[String] = {
+    val prior = committed()
+    val fresh =
+      if (prior.isEmpty) df
+      else df.filter(!col(partKey).isin(prior.keys.toSeq: _*))
+    val v = currentVersion + 1
+    val outDir = dataDir(v)
+    // row counts per partition (metrics) in one agg pass
+    val counts = fresh.groupBy(partKey).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return Set.empty
+    fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
+    // byte metrics from the files just written
+    val bytes = counts.keys.map { k =>
+      val pdir = outDir.resolve(s"$partKey=$k")
+      val sz = if (Files.isDirectory(pdir))
+        Files.list(pdir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+      else 0L
+      k -> sz
+    }.toMap
+    val merged = prior ++ counts.map { case (k, n) =>
+      k -> PartMeta(n, bytes(k), v, writer)
+    }
+    publishManifest(v, merged)
+    counts.keySet
+  }
+
+  /** Work not yet committed: anti-join of the key list vs the manifest. */
+  def pending(allKeys: Seq[String]): Seq[String] = {
+    val done = committed().keySet
+    allKeys.filterNot(done)
+  }
+
+  /** Read the live table: every committed partition from the snapshot
+    * that wrote it (lineage-directed scan). Partitions are grouped per
+    * snapshot so each read has a consistent basePath (vN levels are not
+    * key=value dirs), then unioned. */
+  def read(): DataFrame = {
+    val parts = committed()
+    require(parts.nonEmpty, s"empty snapshot table at $root")
+    parts.toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>
+      spark.read
+        .option("basePath", dataDir(v).toString)
+        .parquet(ps.map { case (k, _) =>
+          dataDir(v).resolve(s"$partKey=$k").toString }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  // --------------------------------------------------------------- json
+
+  private def publishManifest(v: Int, parts: Map[String, PartMeta]): Unit = {
+    Files.createDirectories(manifestDir)
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val body = parts.toSeq.sortBy(_._1).map { case (k, m) =>
+      s"${q(k)}: {\"rows\": ${m.rows}, \"bytes\": ${m.bytes}, " +
+        s"\"snapshot\": ${m.snapshot}, \"writer\": ${q(m.writer)}}"
+    }.mkString("{", ", ", "}")
+    val json = s"""{"version": $v, "partitions": $body}"""
+    val tmp = manifestDir.resolve(s".v$v.json.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, manifestDir.resolve(s"v$v.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def parseManifest(json: String): Map[String, PartMeta] = {
+    // minimal parser for the exact shape we write
+    val entry = """"((?:[^"\\]|\\.)*)":\s*\{"rows":\s*(\d+),\s*"bytes":\s*(\d+),\s*"snapshot":\s*(\d+),\s*"writer":\s*"((?:[^"\\]|\\.)*)"\}""".r
+    entry.findAllMatchIn(json).map { m =>
+      unescape(m.group(1)) -> PartMeta(m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toInt, unescape(m.group(5)))
+    }.toMap
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+}

@@ -433,4 +433,102 @@ object Queries {
 
   def qPipelineZonal(spark: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.entry(spark)
+
+  // --- image-pipeline operator surface (deterministic synthetic input;
+  //     driver rows-only check, exactness covered in ScalaTest)
+
+  import graft.{ImageRow, PolyRow}
+  import graft.operators._
+  import org.apache.spark.sql.Encoders
+
+  private def synthImages(spark: SparkSession, n: Int, bands: Int = 2) =
+    spark.createDataset(graft.gen.Synth.images(n, seed = 42L, bands = bands).toSeq)(
+      Encoders.product[ImageRow])
+  private def synthPolys(spark: SparkSession) =
+    spark.createDataset(graft.gen.Synth.polygons(nExtra = 6).toSeq)(
+      Encoders.product[PolyRow])
+
+  def qRasterPoints(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(synthImages(spark, 8), 64, cellRes)
+    RasterOps.rasterToPoints(tiles.toDF())
+      .groupBy("image_id", "band")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+  }
+
+  def qPolygonize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Polygonize.polygonize(synthImages(spark, 8, bands = 1), band = 0, quant = 64f)
+      .toDF().select(col("image_id"), col("value"), col("pixel_count"),
+        size(col("ring")).as("ring_len"))
+  }
+
+  def qShapeProps(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    ShapeProps.props(synthPolys(spark)).toDF()
+      .select(col("poly_id"), col("part"), round(col("area"), 4).as("area"),
+        round(col("perimeter"), 4).as("perimeter"),
+        round(col("major_axis"), 4).as("major_axis"),
+        round(col("solidity"), 4).as("solidity"))
+  }
+
+  def qGlcm(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(synthImages(spark, 12), 64, cellRes)
+    Glcm.textureStats(Glcm.pairHistogram(tiles, synthPolys(spark), cellRes))
+  }
+
+  def qClassify(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(synthImages(spark, 12), 64, cellRes)
+    val samples = Training.extractSamples(tiles, synthPolys(spark), cellRes)
+    val model = Training.fitCentroids(samples)
+    Training.classify(tiles, model).toDF()
+      .select(col("image_id"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("class_sum"))
+      .groupBy("image_id").agg(round(sum("class_sum"), 2).as("class_mass"))
+  }
+
+  def qMosaic(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val imgs = synthImages(spark, 8)
+    val tiles = Tiler.tiles(imgs, 64, cellRes)
+    RasterOps.mosaic(tiles.toDF())
+      .select(col("cell_id"), col("band"), col("tx"), col("ty"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
+      .groupBy("band").agg(count(lit(1)).as("n_tiles"), round(sum("mass"), 2).as("mass"))
+  }
+
+  def qImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    ImageOps.features(synthImages(spark, 24))
+      .select(col("image_id"), col("band"), col("phash"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"))
+  }
+
+  def qTranscode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // raw-le -> qnt8 transcode must keep phash stable (PSNR >= 40 regime)
+    val src = synthImages(spark, 16)
+    ImageOps.transcode(src, graft.core.PixelCodec.FmtQnt8).toDF()
+      .select(col("image_id"), col("fmt"), col("phash"), length(col("bytes")).as("nbytes"))
+  }
+
+  def qClipPoly(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val rects = (0 until 4).flatMap(i => (0 until 4).map(j =>
+      ((i * 4 + j).toLong, graft.core.Geom.BBox(-2000.0 + i * 1000, -2000.0 + j * 1000,
+        -1000.0 + i * 1000, -1000.0 + j * 1000))))
+    VectorOps.clipToRects(synthPolys(spark), rects).toDF()
+      .select(col("poly_id"), col("cls"), size(col("rings")).as("n_rings"))
+  }
+
+  def qGeoJson(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    VectorOps.toGeoJson(synthPolys(spark))
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core.PixelCodec
+import graft.gen.Synth
+import graft.operators.{ImageOps, Tiler, RasterOps, VectorOps}
+import graft.core.Geom
+
+class ImageOpsSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val imgs = Synth.images(6, seed = 77L, bands = 2)
+  lazy val ds = spark.createDataset(imgs.toSeq)
+
+  test("transcode raw<->rle lossless, ->qnt8 holds PSNR>=40 and phash") {
+    val rle = ImageOps.transcode(ds, PixelCodec.FmtRle).collect()
+      .map(i => i.image_id -> i).toMap
+    imgs.foreach { src =>
+      val dst = rle(src.image_id)
+      val a = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h)
+      val b = PixelCodec.decode(dst.bytes, dst.fmt, dst.w, dst.h)
+      if (!PixelCodec.isLossy(src.fmt))
+        a.bands.zip(b.bands).foreach { case (x, y) => assert(x.sameElements(y)) }
+      else a.bands.zip(b.bands).foreach { case (x, y) =>
+        assert(PixelCodec.psnr(x, y) == Double.PositiveInfinity) }
+      assert(dst.caption == src.caption) // caption equality invariant
+    }
+    val q = ImageOps.transcode(ds, PixelCodec.FmtQnt8).collect()
+    q.zip(imgs).foreach { case (dst, src) =>
+      val a = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h)
+      val b = PixelCodec.decode(dst.bytes, dst.fmt, dst.w, dst.h)
+      a.bands.zip(b.bands).foreach { case (x, y) =>
+        assert(PixelCodec.psnr(x, y) >= 40.0)
+      }
+      assert(dst.phash == src.phash, s"phash drifted for ${src.image_id}")
+    }
+  }
+
+  test("tile -> assemble round-trips the image exactly (inverse tiler)") {
+    val src = imgs.head
+    val one = spark.createDataset(Seq(src))
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(one, 64, cellRes)
+    val back = ImageOps.assemble(tiles, src.w, src.h, PixelCodec.FmtRawLe,
+      src.caption).collect().head
+    val a = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h)
+    val b = PixelCodec.decode(back.bytes, back.fmt, back.w, back.h)
+    assert(b.bands.length == a.bands.length)
+    if (!PixelCodec.isLossy(src.fmt))
+      a.bands.zip(b.bands).foreach { case (x, y) => assert(x.sameElements(y)) }
+    assert(back.x_min == src.x_min && back.y_max == src.y_max)
+  }
+
+  test("resize halves dims and box-averages; frameSample keeps every 2nd band") {
+    val r = ImageOps.resize(ds, 2).collect().head
+    val src = imgs.head
+    assert(r.w == src.w / 2 && r.h == src.h / 2 && r.px == 2.0)
+    val a = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h).bands(0)
+    val b = PixelCodec.decode(r.bytes, r.fmt, r.w, r.h).bands(0)
+    // spot-check one box average (top-left)
+    val want = (a(0) + a(1) + a(src.w) + a(src.w + 1)) / 4.0f
+    assert(math.abs(b(0) - want) < (if (PixelCodec.isLossy(src.fmt)) 1f else 1e-4f))
+    val fs = ImageOps.frameSample(ds, 2).collect().head
+    assert(PixelCodec.decode(fs.bytes, fs.fmt, fs.w, fs.h).bands.length == 1)
+  }
+
+  test("convolve3x3 identity kernel is a no-op; box blur smooths") {
+    val id = Array[Float](0, 0, 0, 0, 1, 0, 0, 0, 0)
+    val src = imgs.head
+    val one = spark.createDataset(Seq(src.copy(fmt = PixelCodec.FmtRawLe,
+      bytes = PixelCodec.encode(PixelCodec.FmtRawLe, src.w, src.h,
+        PixelCodec.decode(src.bytes, src.fmt, src.w, src.h).bands))))
+    val out = ImageOps.convolve3x3(one, id).collect().head
+    val a = PixelCodec.decode(one.collect().head.bytes, PixelCodec.FmtRawLe, src.w, src.h)
+    val b = PixelCodec.decode(out.bytes, out.fmt, out.w, out.h)
+    assert(a.bands(0).sameElements(b.bands(0)))
+  }
+
+  test("templateMatch finds the planted template location") {
+    val w = 64; val h = 64
+    val base = Array.fill(w * h)(10f)
+    // plant a distinctive 4x4 gradient at (20, 33)
+    val tpl = Array.tabulate(16)(i => (i * 13 % 7) * 30f)
+    for (r <- 0 until 4; c <- 0 until 4) base((20 + r) * w + 33 + c) = tpl(r * 4 + c)
+    val img = ImageOps.fromArray("m", Array(base), w, h, 0, h, 1.0, PixelCodec.FmtRawLe)
+    val hit = ImageOps.templateMatch(spark.createDataset(Seq(img)), tpl, 4, 4)
+      .collect().head
+    assert(hit.getInt(1) == 20 && hit.getInt(2) == 33, s"got $hit")
+    assert(hit.getDouble(3) > 0.99)
+  }
+
+  test("clipToRects: Sutherland-Hodgman rect clip areas sum to original") {
+    val ring = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val rects = Seq(
+      (0L, Geom.BBox(-5, -5, 5, 5)), (1L, Geom.BBox(5, -5, 15, 5)),
+      (2L, Geom.BBox(-5, 5, 5, 15)), (3L, Geom.BBox(5, 5, 15, 15)))
+    val poly = PolyRow(1, 0, Array(ring.map { case (x, y) => Pt(x, y) }), 1, "sq", 0.0)
+    val clipped = VectorOps.clipToRects(spark.createDataset(Seq(poly)), rects).collect()
+    assert(clipped.length == 4)
+    val total = clipped.map(p =>
+      Geom.area(p.rings.map(_.map(q => (q.x, q.y))))).sum
+    assert(math.abs(total - 100.0) < 1e-9)
+    clipped.foreach(p => assert(math.abs(
+      Geom.area(p.rings.map(_.map(q => (q.x, q.y)))) - 25.0) < 1e-9))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.plans.SnapshotTable
+import java.nio.file.{Files, Paths}
+
+/** SURVEY §5.2 item 4: kill mid-job, re-run, identical final table and
+  * only pending partitions recomputed. */
+class SnapshotSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def freshRoot(): String = {
+    val p = Files.createTempDirectory("graft_snap_").toString
+    p
+  }
+
+  def workload(keys: Seq[String]) =
+    keys.flatMap(k => (0 until 10).map(i => (k, i.toLong, s"payload-$k-$i")))
+      .toDF("shard", "seq", "payload")
+
+  test("commit + read round-trips with per-partition metrics") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    val keys = Seq("a", "b", "c")
+    val written = t.commit(workload(keys), writer = "stage1")
+    assert(written == keys.toSet)
+    val meta = t.committed()
+    assert(meta.keySet == keys.toSet)
+    meta.values.foreach { m =>
+      assert(m.rows == 10)
+      assert(m.bytes > 0)
+      assert(m.snapshot == 1)
+      assert(m.writer == "stage1")
+    }
+    val back = t.read()
+    assert(back.count() == 30)
+    assert(back.select("shard").distinct().as[String].collect().toSet == keys.toSet)
+  }
+
+  test("killed-job resume: second run commits ONLY pending partitions") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    val all = Seq("p0", "p1", "p2", "p3", "p4", "p5")
+    // run 1 "crashes" after 2 partitions
+    t.commit(workload(all.take(2)), writer = "run1")
+    assert(t.currentVersion == 1)
+    // run 2: derive pending from the manifest, process only those
+    val todo = t.pending(all)
+    assert(todo == all.drop(2))
+    val written2 = t.commit(workload(all), writer = "run2") // idempotent dedupe
+    assert(written2 == all.drop(2).toSet, "already-committed shards must be skipped")
+    // final table identical to a single-shot run
+    val got = t.read().select("shard", "seq", "payload")
+      .as[(String, Long, String)].collect().toSet
+    val want = workload(all).as[(String, Long, String)].collect().toSet
+    assert(got == want)
+    // lineage: first two shards from snapshot 1, rest from snapshot 2
+    val meta = t.committed()
+    assert(meta("p0").snapshot == 1 && meta("p0").writer == "run1")
+    assert(meta("p5").snapshot == 2 && meta("p5").writer == "run2")
+  }
+
+  test("re-commit of a fully-committed dataset is a no-op") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    t.commit(workload(Seq("x", "y")), writer = "w")
+    val v = t.currentVersion
+    val written = t.commit(workload(Seq("x", "y")), writer = "w2")
+    assert(written.isEmpty)
+    assert(t.currentVersion == v) // no new manifest published
+    assert(t.read().count() == 20)
+  }
+
+  test("orphan data without a manifest is invisible (atomic publish)") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    t.commit(workload(Seq("a")), writer = "w")
+    // simulate crash AFTER data write, BEFORE manifest publish of v2
+    workload(Seq("zz")).write.partitionBy("shard")
+      .parquet(Paths.get(root, "data", "v2").toString)
+    assert(t.committed().keySet == Set("a"))
+    assert(t.read().count() == 10)
+    // the resume path re-commits zz properly (as v2's manifest was never
+    // published, version 2 dir is orphaned; new commit goes to v2... no:
+    // currentVersion reads manifests only, so next commit targets v2 and
+    // overwrites the orphan -- exactly the idempotent-rerun behavior)
+    val w = t.commit(workload(Seq("zz")), writer = "retry")
+    assert(w == Set("zz"))
+    assert(t.read().count() == 20)
+  }
+}
