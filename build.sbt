@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: this sandbox VM faults heap pages in lazily
+  // and erratically (multi-10s stalls measured when a 48g heap grows under
+  // local[32]); -Xms=-Xmx + AlwaysPreTouch faults everything once at
+  // startup and keeps allocation-heavy decode stages stall-free.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

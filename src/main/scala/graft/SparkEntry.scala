@@ -58,7 +58,8 @@ object SparkEntry {
       "q_image_features"  -> (Q.qImageFeatures _),
       "q_transcode"       -> (Q.qTranscode _),
       "q_clip_poly"       -> (Q.qClipPoly _),
-      "q_geojson"         -> (Q.qGeoJson _)
+      "q_geojson"         -> (Q.qGeoJson _),
+      "q_cell_index"      -> (Q.qCellIndex _)
     )
   }
 

@@ -80,27 +80,32 @@ object Synth {
 
   /** The north-rule image table. px (pixel size in world units) fixed at
     * 1.0 so pixel centers land at x_min + col + 0.5 — integer-free, which
-    * keeps every pixel strictly off polygon edges drawn on integers. */
-  def images(n: Int, seed: Long = 42L, bands: Int = 3): IndexedSeq[ImageRow] = {
+    * keeps every pixel strictly off polygon edges drawn on integers.
+    *
+    * `imageAt` is per-index and independent of every other index, so the
+    * table generates DISTRIBUTED (spark.range(n).map(imageAt)) — the
+    * driver never holds the dataset. */
+  def images(n: Int, seed: Long = 42L, bands: Int = 3): IndexedSeq[ImageRow] =
+    (0 until n).map(i => imageAt(i.toLong, seed, bands))
+
+  def imageAt(i: Long, seed: Long = 42L, bands: Int = 3): ImageRow = {
     val clusterCenters = Array((0.0, 0.0), (900.0, 900.0), (-900.0, 600.0))
-    (0 until n).map { i =>
-      val rng = new Rng(seed ^ (i.toLong * 0x5851f42d4c957f2dL))
-      val w = Sizes(rng.nextInt(Sizes.length))
-      val h = Sizes(rng.nextInt(Sizes.length))
-      val fmt = Fmts(rng.nextInt(Fmts.length))
-      val dense = rng.nextDouble() < 0.2
-      val (ox, oy) =
-        if (dense) {
-          val c = clusterCenters(rng.nextInt(clusterCenters.length))
-          (c._1 + rng.nextDouble() * 64 - 32, c._2 + rng.nextDouble() * 64 - 32)
-        } else (rng.nextDouble() * 8000 - 4000, rng.nextDouble() * 8000 - 4000)
-      val bs = Array.tabulate(bands)(b => pixels(seed ^ i, w, h, b))
-      val enc = PixelCodec.encode(fmt, w, h, bs)
-      val dec = PixelCodec.decode(enc, fmt, w, h) // phash over DECODED pixels
-      ImageRow(f"img$i%08d", enc, w, h, fmt, caption(i, rng),
-        PixelCodec.phash64(w, h, dec.bands(0)),
-        x_min = math.floor(ox), y_max = math.floor(oy) + h, px = 1.0)
-    }
+    val rng = new Rng(seed ^ (i * 0x5851f42d4c957f2dL))
+    val w = Sizes(rng.nextInt(Sizes.length))
+    val h = Sizes(rng.nextInt(Sizes.length))
+    val fmt = Fmts(rng.nextInt(Fmts.length))
+    val dense = rng.nextDouble() < 0.2
+    val (ox, oy): (Double, Double) =
+      if (dense) {
+        val c = clusterCenters(rng.nextInt(clusterCenters.length))
+        (c._1 + rng.nextDouble() * 64 - 32, c._2 + rng.nextDouble() * 64 - 32)
+      } else (rng.nextDouble() * 8000 - 4000, rng.nextDouble() * 8000 - 4000)
+    val bs = Array.tabulate(bands)(b => pixels(seed ^ i, w, h, b))
+    val enc = PixelCodec.encode(fmt, w, h, bs)
+    val dec = PixelCodec.decode(enc, fmt, w, h) // phash over DECODED pixels
+    ImageRow(f"img$i%08d", enc, w, h, fmt, caption(i, rng),
+      PixelCodec.phash64(w, h, dec.bands(0)),
+      x_min = math.floor(ox), y_max = math.floor(oy) + h, px = 1.0)
   }
 
   /** Polygon layer per FIXTURES.md §3: boxes, rotated convex, concave "L",

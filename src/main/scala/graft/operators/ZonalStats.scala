@@ -53,11 +53,17 @@ object ZonalStats {
    * center falls inside the polygon (nodata skipped). This is the zonal
    * core; every stat below derives from it.
    */
-  def histogram(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int)
+  def histogram(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
+                pipParallelism: Int = 0)
                (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val pc = polyCells(polys, cellRes)
-    val joined = tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
+    val joined0 = tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
+    // Dense cells concentrate (tile x poly) pairs in few input partitions
+    // and the broadcast join gives AQE no shuffle to split — the salted
+    // repartition below is the north rule's fix. Worth it exactly when the
+    // per-pair PIP kernel dominates the one-off payload shuffle.
+    val joined = if (pipParallelism > 0) joined0.repartition(pipParallelism) else joined0
     joined.flatMap { case (t, p) =>
       val cb = GridIndex.cellBounds(p.cell_id)
       val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))

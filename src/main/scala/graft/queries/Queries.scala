@@ -531,4 +531,19 @@ object Queries {
     implicit val s: SparkSession = spark
     VectorOps.toGeoJson(synthPolys(spark))
   }
+
+  /** The north-rule index surface: every image keyed by planar grid,
+    * S2 (spherical) and H3-style hex cells via the batched Catalyst
+    * expressions, plus k-ring expansion sizes. */
+  def qCellIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialFunctions._
+    implicit val s: SparkSession = spark
+    synthImages(spark, 48).toDF()
+      .withColumn("grid", gridCellId(col("x_min"), col("y_max"), 12))
+      .withColumn("hex", hexCellId(col("x_min"), col("y_max"), 9))
+      .withColumn("s2", s2CellId(col("y_max") / lit(100.0), col("x_min") / lit(100.0), 12))
+      .withColumn("grid_ring", size(gridKRing(col("grid"), 2)))
+      .withColumn("hex_ring", size(hexKRing(col("hex"), 2)))
+      .select("image_id", "phash", "grid", "hex", "s2", "grid_ring", "hex_ring")
+  }
 }
