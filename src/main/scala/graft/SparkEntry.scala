@@ -26,6 +26,7 @@ object SparkEntry {
       "q_zonal_box_stats" -> (Q.qZonalBoxStats _),
       "q_zonal_frac"      -> (Q.qZonalFrac _),
       "q_zonal_point"     -> (Q.qZonalPoint _),
+      "q_zonal_more_stats" -> (Q.qZonalMoreStats _),
       "q_knn"             -> (Q.qKnn _),
       "q_mask_rules"      -> (Q.qMaskRules _),
       "q_combine_scene"   -> (Q.qCombineScene _),
@@ -70,6 +71,7 @@ object SparkEntry {
       "q_zonal_box_stats" -> Q.qZonalBoxStatsSql,
       "q_zonal_frac"      -> Q.qZonalFracSql,
       "q_zonal_point"     -> Q.qZonalPointSql,
+      "q_zonal_more_stats" -> Q.qZonalMoreStatsSql,
       "q_knn"             -> Q.qKnnSql,
       "q_mask_rules"      -> Q.qMaskRulesSql,
       "q_combine_scene"   -> Q.qCombineSceneSql,

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.core.Geom
+
+/**
+ * Allocation-free point-in-polygon over Catalyst's nested ArrayData —
+ * the codegen target of PointInPolygonExpr (SURVEY §4.2: upgrade custom
+ * expressions from CodegenFallback once correct). Reads ring vertices
+ * directly from the unsafe representation: no per-row Array[(Double,
+ * Double)] materialization, so the expression stays cheap inside
+ * WholeStageCodegen's hot loop.
+ *
+ * Semantics are IDENTICAL to Geom.pointInPolygon (boundary = inside,
+ * even-odd with winding fallback on scanline ambiguity) — property-
+ * tested against it in SpatialFunctionsSpec.
+ */
+object PipRuntime {
+
+  private val Eps = 1e-12
+
+  def eval(px: Double, py: Double, rings: ArrayData): Boolean = {
+    var crossings = 0
+    var ambiguous = false
+    val nRings = rings.numElements()
+    var r = 0
+    while (r < nRings) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements()
+      var i = 0
+      while (i < n) {
+        val a = ring.getStruct(i, 2)
+        val b = ring.getStruct((i + 1) % n, 2)
+        val ax = a.getDouble(0); val ay = a.getDouble(1)
+        val bx = b.getDouble(0); val by = b.getDouble(1)
+        if (onSegment(px, py, ax, ay, bx, by)) return true
+        if (math.abs(ay - py) < Eps || math.abs(by - py) < Eps) ambiguous = true
+        if ((ay > py) != (by > py)) {
+          val xInt = ax + (py - ay) / (by - ay) * (bx - ax)
+          if (xInt > px) crossings += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    if (!ambiguous) (crossings & 1) == 1
+    else windingNumber(px, py, rings) != 0
+  }
+
+  private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
+                        bx: Double, by: Double): Boolean = {
+    val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    if (math.abs(cross) > Eps * math.max(1.0, math.hypot(bx - ax, by - ay))) return false
+    val dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+    val len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    dot >= -Eps && dot <= len2 + Eps
+  }
+
+  def windingNumber(px: Double, py: Double, rings: ArrayData): Int = {
+    var wn = 0
+    val nRings = rings.numElements()
+    var r = 0
+    while (r < nRings) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements()
+      var i = 0
+      while (i < n) {
+        val a = ring.getStruct(i, 2)
+        val b = ring.getStruct((i + 1) % n, 2)
+        val ax = a.getDouble(0); val ay = a.getDouble(1)
+        val bx = b.getDouble(0); val by = b.getDouble(1)
+        val isLeft = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+        if (ay <= py) { if (by > py && isLeft > 0) wn += 1 }
+        else if (by <= py && isLeft < 0) wn -= 1
+        i += 1
+      }
+      r += 1
+    }
+    wn
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
 import graft.core.{Geom, GridIndex, S2, Hex}
@@ -18,9 +18,9 @@ import graft.core.{Geom, GridIndex, S2, Hex}
  * "functions, not UDFs". It mirrors graft.core.GridIndex bit-for-bit
  * (property-tested in SpatialFunctionsSpec).
  *
- * PIP and the spherical encoders are custom Catalyst expressions
- * (CodegenFallback for now; doGenCode is a later optimization — SURVEY
- * §4.2 allows nullSafeEval-first).
+ * PIP and the spherical encoders are custom Catalyst expressions with
+ * doGenCode static-call codegen (k-ring generators stay CodegenFallback:
+ * they feed an explode, not a hot scalar loop).
  */
 object SpatialFunctions {
 
@@ -78,27 +78,32 @@ object SpatialFunctions {
   }
 }
 
+/** Codegen'd via a static call — stays inside WholeStageCodegen. */
 case class S2CellIdExpr(lat: Expression, lng: Expression, level: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = lat
   override def second: Expression = lng
   override def third: Expression = level
   override def dataType: DataType = LongType
   override def nullSafeEval(latV: Any, lngV: Any, levV: Any): Any =
     S2.cellId(latV.asInstanceOf[Double], lngV.asInstanceOf[Double], levV.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.S2.cellId($a, $b, $c)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(lat = a, lng = b, level = c)
   override def prettyName: String = "s2_cell_id"
 }
 
 case class HexCellIdExpr(x: Expression, y: Expression, res: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = x
   override def second: Expression = y
   override def third: Expression = res
   override def dataType: DataType = LongType
   override def nullSafeEval(xv: Any, yv: Any, rv: Any): Any =
     Hex.cellId(xv.asInstanceOf[Double], yv.asInstanceOf[Double], rv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.Hex.cellId($a, $b, $c)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(x = a, y = b, res = c)
   override def prettyName: String = "hex_cell_id"
@@ -128,16 +133,20 @@ case class HexKRingExpr(cell: Expression, k: Expression)
   override def prettyName: String = "hex_k_ring"
 }
 
+/** Allocation-free eval over ArrayData (PipRuntime) + codegen via a
+  * static call: the refine predicate of the prefilter join runs inside
+  * WholeStageCodegen with zero per-row materialization. */
 case class PointInPolygonExpr(x: Expression, y: Expression, rings: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = x
   override def second: Expression = y
   override def third: Expression = rings
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(xv: Any, yv: Any, rv: Any): Any = {
-    val rg = SpatialFunctions.ringsFromCatalyst(rv.asInstanceOf[ArrayData])
-    Geom.pointInPolygon(xv.asInstanceOf[Double], yv.asInstanceOf[Double], rg)
-  }
+  override def nullSafeEval(xv: Any, yv: Any, rv: Any): Any =
+    PipRuntime.eval(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      rv.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.PipRuntime.eval($a, $b, $c)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(x = a, y = b, rings = c)
   override def prettyName: String = "st_point_in_polygon"

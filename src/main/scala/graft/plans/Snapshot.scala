@@ -60,7 +60,14 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
    * manifest v(N+1) = parent ∪ new partitions with per-partition rows +
    * bytes. Returns the set of partition values actually written.
    */
-  def commit(df: DataFrame, writer: String): Set[String] = {
+  def commit(df: DataFrame, writer: String): Set[String] =
+    commit(df, writer, Set.empty)
+
+  /** `declaredKeys`: partition values this commit COVERS even if the
+    * DataFrame holds no rows for them — an empty result for a work unit
+    * is still completed work and must publish, or resume would reprocess
+    * it forever. */
+  def commit(df: DataFrame, writer: String, declaredKeys: Set[String]): Set[String] = {
     val prior = committed()
     val fresh =
       if (prior.isEmpty) df
@@ -68,10 +75,13 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     val v = currentVersion + 1
     val outDir = dataDir(v)
     // row counts per partition (metrics) in one agg pass
-    val counts = fresh.groupBy(partKey).count().collect()
+    val counted = fresh.groupBy(partKey).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = counted ++ (declaredKeys -- prior.keySet -- counted.keySet)
+      .map(_ -> 0L)
     if (counts.isEmpty) return Set.empty
-    fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
+    if (counted.nonEmpty)
+      fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
     // byte metrics from the files just written
     val bytes = counts.keys.map { k =>
       val pdir = outDir.resolve(s"$partKey=$k")
@@ -101,7 +111,8 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
   def read(): DataFrame = {
     val parts = committed()
     require(parts.nonEmpty, s"empty snapshot table at $root")
-    parts.toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>
+    parts.filter(_._2.rows > 0) // declared-empty partitions have no files
+      .toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>
       spark.read
         .option("basePath", dataDir(v).toString)
         .parquet(ps.map { case (k, _) =>

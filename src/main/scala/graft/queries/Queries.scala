@@ -121,6 +121,57 @@ object Queries {
        |FROM j GROUP BY poly_id, bucket""".stripMargin
 
   /** zonal_point: coord -> pixel-key gather (shape.py:2525-2613). */
+  /** Deeper zonal stat parity: median (np convention), mode (smallest on
+    * ties), skew/kurtosis from exact integer power sums — the rest of the
+    * shape.py:1023-1068 dispatch, oracle-checked. */
+  def qZonalMoreStats(spark: SparkSession, dir: String): DataFrame = {
+    val j = joinedPts(spark, dir).select(col("poly_id"), col("v"))
+    val med = j.groupBy("poly_id").agg(median(col("v")).as("median_v"))
+    val h = j.groupBy("poly_id", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("poly_id").orderBy(col("c").desc, col("v"))
+    val mode = h.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("poly_id"), col("v").as("mode_v"))
+    val vv = col("v")
+    val mom = j.groupBy("poly_id").agg(
+      count(lit(1)).cast("double").as("n"), sum(vv).as("s1"),
+      sum(vv * vv).as("s2"), sum(vv * vv * vv).as("s3"),
+      sum(vv * vv * vv * vv).as("s4"))
+    val mean = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mean * mean
+    val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+      lit(6.0) * mean * mean * (col("s2") / col("n")) -
+      lit(3.0) * mean * mean * mean * mean
+    val moments = mom.select(col("poly_id"),
+      round(m3 / (m2 * sqrt(m2)), 4).as("skew_v"),
+      round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_v"))
+    med.join(mode, "poly_id").join(moments, "poly_id")
+  }
+
+  val qZonalMoreStatsSql: String =
+    s"""WITH pts AS ($ptsSql),
+       |j AS (SELECT poly_id, v FROM pts JOIN $boxesSql
+       |      ON x > x0 AND x < x1 AND y > y0 AND y < y1),
+       |med AS (SELECT poly_id, median(v) AS median_v FROM j GROUP BY 1),
+       |h AS (SELECT poly_id, v, count(*) AS c FROM j GROUP BY 1, 2),
+       |md AS (SELECT poly_id, v AS mode_v FROM (
+       |  SELECT poly_id, v, row_number() OVER (PARTITION BY poly_id
+       |    ORDER BY c DESC, v) AS rn FROM h) WHERE rn = 1),
+       |mom AS (SELECT poly_id, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s1,
+       |        sum(v*v) AS s2, sum(v*v*v) AS s3, sum(v*v*v*v) AS s4
+       |        FROM j GROUP BY 1),
+       |mm AS (SELECT poly_id,
+       |  round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n)) /
+       |        ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))), 4) AS skew_v,
+       |  round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n) -
+       |         3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+       |        ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 4) AS kurt_v
+       |  FROM mom)
+       |SELECT med.poly_id, median_v, mode_v, skew_v, kurt_v
+       |FROM med JOIN md ON med.poly_id = md.poly_id
+       |JOIN mm ON med.poly_id = mm.poly_id""".stripMargin
+
   def qZonalPoint(spark: SparkSession, dir: String): DataFrame = {
     val grid = part(spark, dir).select(
       (col("p_partkey") % 50).as("ix"),
