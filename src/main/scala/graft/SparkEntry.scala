@@ -60,7 +60,9 @@ object SparkEntry {
       "q_transcode"       -> (Q.qTranscode _),
       "q_clip_poly"       -> (Q.qClipPoly _),
       "q_geojson"         -> (Q.qGeoJson _),
-      "q_cell_index"      -> (Q.qCellIndex _)
+      "q_cell_index"      -> (Q.qCellIndex _),
+      "q_phash_pairs"     -> (Q.qPhashPairs _),
+      "q_image_dedup"     -> (Q.qImageDedup _)
     )
   }
 

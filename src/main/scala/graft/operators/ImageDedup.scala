@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ImageRow
+
+/**
+ * Image near-duplicate detection over the 64-bit perceptual hash column
+ * (the image-payload counterpart of the text dedup family): SimHash-style
+ * 16-bit chunk blocking guarantees every pair within Hamming distance <= 3
+ * shares at least one of the 4 chunks; candidates verify with
+ * bit_count(xor). Exact duplicates (re-encodes, lossy round-trips) land
+ * at distance 0 because phash is computed from DECODED pixels.
+ *
+ * Scale: never a cross join — candidate pairs only materialize inside a
+ * (chunk, value) bucket, the same shuffle shape as the text LSH paths.
+ */
+object ImageDedup {
+
+  def phashPairs(images: Dataset[ImageRow], maxHamming: Int = 3)
+                (implicit spark: SparkSession): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking guarantees recall only to Hamming 3")
+    val withSig = images.toDF().select(col("image_id"), col("phash"))
+    val chunked = withSig.select(col("image_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+    val a = chunked.select(col("chunk"), col("ch"),
+      col("image_id").as("i1"), col("phash").as("p1"))
+    val b = chunked.select(col("chunk"), col("ch"),
+      col("image_id").as("i2"), col("phash").as("p2"))
+    a.join(b, Seq("chunk", "ch")).where(col("i1") < col("i2"))
+      .select(col("i1"), col("i2"),
+        bit_count(col("p1").bitwiseXOR(col("p2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("i1", "i2").agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact image dedup: group by (w, h, phash) then confirm byte-equality
+    * of DECODED pixels within the tiny groups (fmt-independent — a raw-le
+    * and an rle encoding of the same pixels deduplicate). */
+  def dedupExact(images: Dataset[ImageRow])
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    images.groupByKey(i => (i.w, i.h, i.phash))
+      .flatMapGroups { (_: (Int, Int, Long), it: Iterator[ImageRow]) =>
+        val group = it.toArray
+        if (group.length == 1) Iterator((group(0).image_id, 1L))
+        else {
+          // confirm with decoded band-0 equality (lossless fmts exact;
+          // lossy grouped only with themselves via phash+dims)
+          val decoded = group.map { g =>
+            (g, graft.core.PixelCodec.decode(g.bytes, g.fmt, g.w, g.h).bands(0).toSeq)
+          }
+          decoded.groupBy(_._2).valuesIterator.map { dup =>
+            (dup.map(_._1.image_id).min, dup.length.toLong)
+          }
+        }
+      }.toDF("keep_id", "n_dups")
+  }
+}

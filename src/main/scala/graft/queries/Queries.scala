@@ -583,6 +583,39 @@ object Queries {
     VectorOps.toGeoJson(synthPolys(spark))
   }
 
+  /** Image near-dup + exact dedup over the phash/binary payload. The
+    * input plants true duplicates: every image appears once more as a
+    * lossless re-encode (same pixels, different fmt/id). */
+  def qPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.Encoders
+    val base = graft.gen.Synth.images(24, seed = 42L, bands = 1)
+    val dupes = base.map { img =>
+      val dec = graft.core.PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val fmt2 = if (img.fmt == "rle") "raw-le" else "rle"
+      img.copy(image_id = img.image_id + "_dup",
+        bytes = graft.core.PixelCodec.encode(fmt2, img.w, img.h, dec.bands), fmt = fmt2,
+        phash = graft.core.PixelCodec.phash64(img.w, img.h, dec.bands(0)))
+    }
+    val all = spark.createDataset((base ++ dupes).toSeq)(Encoders.product[ImageRow])
+    ImageDedup.phashPairs(all, maxHamming = 2)
+  }
+
+  def qImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.Encoders
+    val base = graft.gen.Synth.images(24, seed = 42L, bands = 1)
+    val dupes = base.take(10).map { img =>
+      val dec = graft.core.PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val fmt2 = if (img.fmt == "rle") "raw-le" else "rle"
+      img.copy(image_id = "z" + img.image_id,
+        bytes = graft.core.PixelCodec.encode(fmt2, img.w, img.h, dec.bands), fmt = fmt2,
+        phash = graft.core.PixelCodec.phash64(img.w, img.h, dec.bands(0)))
+    }
+    val all = spark.createDataset((base ++ dupes).toSeq)(Encoders.product[ImageRow])
+    ImageDedup.dedupExact(all)
+  }
+
   /** The north-rule index surface: every image keyed by planar grid,
     * S2 (spherical) and H3-style hex cells via the batched Catalyst
     * expressions, plus k-ring expansion sizes. */
