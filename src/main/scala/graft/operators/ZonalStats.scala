@@ -164,6 +164,30 @@ object ZonalStats {
 
   /** Per-(poly, value) class fraction — the reference's `zonal_frac`
     * (shape.py:1092-1320), arrays kept typed instead of stringified. */
+  /**
+   * zonal_point (reference shape.py:2525-2613): gather the raster value
+   * under each point — map coord -> grid cell (codegen'd column math),
+   * equi-join points to tiles on cell_id, then the affine pixel lookup
+   * (shape.py:2589-2593) inside the joined row. Points outside every
+   * image drop out of the join (the reference's bounds filter,
+   * shape.py:2747-2750). One hash join keyed by cell; no explode.
+   * Returns (pt_id, image_id, band, value).
+   */
+  def zonalPoint(tiles: Dataset[TileRow], points: DataFrame, cellRes: Int)
+                (implicit spark: SparkSession): DataFrame = {
+    import graft.functions.SpatialFunctions.gridCellId
+    import spark.implicits._
+    val p = points.select(col("pt_id"), col("x"), col("y"),
+      gridCellId(col("x"), col("y"), cellRes).as("__cell"))
+    tiles.toDF().join(p, col("__cell") === col("cell_id"))
+      .withColumn("__col", floor((col("x") - col("x_min")) / col("px")).cast("int"))
+      .withColumn("__row", floor((col("y_max") - col("y")) / col("px")).cast("int"))
+      .where(col("__col") >= 0 && col("__col") < col("tw") &&
+        col("__row") >= 0 && col("__row") < col("th"))
+      .select(col("pt_id"), col("image_id"), col("band"),
+        element_at(col("pixels"), col("__row") * col("tw") + col("__col") + 1).as("value"))
+  }
+
   def frac(hist: DataFrame): DataFrame = {
     val byPoly = Window.partitionBy("poly_id", "band")
     hist.withColumn("n", sum("cnt").over(byPoly))

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.{ImageRow, PolyRow}
+import graft.operators.{Tiler, ZonalStats}
+
+/**
+ * Structured-Streaming ingest for the image table. The reference is
+ * purely batch (SURVEY §1.4/§2.9 — no streams), so this is forward
+ * capability, not parity: a parquet-directory stream of north-rule image
+ * rows is decoded/tiled per micro-batch with the SAME Tiler, joined to
+ * the broadcast polygon cells, and the running zonal histogram is kept
+ * as streaming state by the partial-aggregate update (output: histogram
+ * deltas appended to a parquet sink, so the batch ZonalStats.stats can
+ * fold them at read time — the streaming analog of the snapshot-manifest
+ * resume model; the checkpointLocation carries exactly-once state).
+ */
+object ImageStream {
+
+  /** Start the streaming zonal pipeline over a directory of image
+    * parquet files; emits per-batch histogram rows. */
+  def zonalStream(spark: SparkSession, imagesDir: String, polys: Seq[PolyRow],
+                  cellRes: Int, tileSize: Int, outDir: String,
+                  checkpointDir: String): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[ImageRow].schema
+    val stream = spark.readStream.schema(schema).parquet(imagesDir).as[ImageRow]
+    val polyDs = spark.createDataset(polys)
+    // per micro-batch: decode -> tile -> broadcast PIP join -> histogram
+    val query = stream.writeStream
+      .foreachBatch { (batch: Dataset[ImageRow], batchId: Long) =>
+        val tiles = Tiler.tiles(batch, tileSize, cellRes)
+        ZonalStats.histogram(tiles, polyDs, cellRes)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query
+  }
+
+  /** Fold the streamed histogram deltas into final zonal stats. */
+  def stats(spark: SparkSession, outDir: String): DataFrame = {
+    val hist = spark.read.parquet(outDir)
+      .groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
+    ZonalStats.stats(hist)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.gen.Synth
+import graft.operators.{Tiler, ZonalStats, SpatialJoin}
+import graft.queries.Queries
+import graft.sources.ImageTable
+import java.nio.file.Files
+
+/**
+ * Plan-shape regression gates: the perf-critical physical shapes from
+ * README must SURVIVE refactors — a silent fallback to a shuffle join or
+ * a lost pushdown is a 100x regression at the 100 TB design point even
+ * though every correctness test still passes.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("zonal pipeline: polygon side broadcasts; ONE aggregate exchange") {
+    val images = spark.createDataset(Synth.images(8, seed = 1L, bands = 1).toSeq)
+    val polys = spark.createDataset(Synth.polygons(2).toSeq)
+    val cellRes = Tiler.resForCellSize(64.0)
+    val hist = ZonalStats.histogram(Tiler.tiles(images, 64, cellRes), polys, cellRes)
+    val p = plan(hist)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "zonal join must never sort-merge")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than one shuffle in the zonal pipeline:\n$p")
+  }
+
+  test("pointsInPolygons: broadcast prefilter + codegen'd refine") {
+    val pts = Queries.pts(spark, "/root/testdata/sf0.001")
+    val joined = SpatialJoin.pointsInPolygons(pts,
+      spark.createDataset(Queries.boxPolys), res = 15)
+    joined.collect() // collect() runs THIS QueryExecution -> final adaptive plan
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"))
+    // Catalyst pushed the PIP refine INTO the broadcast join condition
+    assert(p.contains("st_point_in_polygon"))
+    // the final adaptive plan renders codegen stages as "*(n)" prefixes;
+    // the join + PIP must carry one (i.e. run inside WholeStageCodegen)
+    assert(p.contains("*(") && p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("*(")),
+      s"join not inside a codegen span:\n$p")
+  }
+
+  test("relational zonal: parquet scan is column-pruned and filter-pushed") {
+    val q = Queries.qKnn(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,20)]")
+      || p.contains("LessThan(c_custkey,20)"), s"filter not pushed:\n${p.take(2000)}")
+    // lineitem scan must not read l_quantity etc. for the kNN query
+    assert(!p.contains("l_extendedprice"), "kNN scan reads unneeded columns")
+  }
+
+  test("kNN: top-k pruned below the exchange (WindowGroupLimit)") {
+    val q = Queries.qKnn(spark, "/root/testdata/sf0.001")
+    assert(plan(q).contains("WindowGroupLimit"))
+  }
+}
+
+class ImageTableSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("write records observed row/byte metrics; read validates schema") {
+    val images = Synth.images(6, seed = 4L, bands = 1)
+    val path = Files.createTempDirectory("graft_imgtab_").toString + "/t"
+    val (rows, bytes) = ImageTable.write(spark.createDataset(images.toSeq), path)
+    assert(rows == 6)
+    assert(bytes == images.map(_.bytes.length.toLong).sum)
+    val back = ImageTable.read(spark, path).collect()
+    assert(back.map(_.image_id).sorted.sameElements(images.map(_.image_id).sorted))
+    // schema drift fails fast
+    spark.range(3).toDF("image_id").write.mode("overwrite").parquet(path + "_bad")
+    val err = intercept[IllegalArgumentException](ImageTable.read(spark, path + "_bad"))
+    assert(err.getMessage.contains("missing columns"))
+  }
+}
