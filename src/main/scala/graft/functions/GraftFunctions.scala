@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SQL-name registration for the engine's custom expressions, so
+ * `spark.sql` users get the same surface as the Column API (the
+ * reference's users script everything — OGR SQL included — so the SQL
+ * door matters for drop-in parity).
+ */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("st_point_in_polygon",
+      es => PointInPolygonExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_cell_id",
+      es => S2CellIdExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("hex_cell_id",
+      es => HexCellIdExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("grid_k_ring",
+      es => GridKRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hex_k_ring",
+      es => HexKRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => graft.text.SimHashExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_fingerprint",
+      es => graft.text.RollingFingerprintExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("grid_cell_id",
+      es => GridCellIdExpr(es(0), es(1), es(2)), "scala_udf")
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
@@ -78,9 +78,29 @@ object SpatialFunctions {
   }
 }
 
+/** SQL-door form of gridCellId (the Column API composes built-ins and
+  * stays preferable; SQL function resolution needs a self-contained
+  * resolved expression). Codegen'd static call. */
+case class GridCellIdExpr(x: Expression, y: Expression, res: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = res
+  override def dataType: DataType = LongType
+  override def nullSafeEval(xv: Any, yv: Any, rv: Any): Any =
+    GridIndex.cellId(xv.asInstanceOf[Double], yv.asInstanceOf[Double], rv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.GridIndex.cellId($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(x = a, y = b, res = c)
+  override def prettyName: String = "grid_cell_id"
+}
+
 /** Codegen'd via a static call — stays inside WholeStageCodegen. */
 case class S2CellIdExpr(lat: Expression, lng: Expression, level: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
   override def first: Expression = lat
   override def second: Expression = lng
   override def third: Expression = level
@@ -95,7 +115,8 @@ case class S2CellIdExpr(lat: Expression, lng: Expression, level: Expression)
 }
 
 case class HexCellIdExpr(x: Expression, y: Expression, res: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
   override def first: Expression = x
   override def second: Expression = y
   override def third: Expression = res
@@ -137,7 +158,8 @@ case class HexKRingExpr(cell: Expression, k: Expression)
   * static call: the refine predicate of the prefilter join runs inside
   * WholeStageCodegen with zero per-row materialization. */
 case class PointInPolygonExpr(x: Expression, y: Expression, rings: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType, ArrayType(ArrayType(StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))))
   override def first: Expression = x
   override def second: Expression = y
   override def third: Expression = rings

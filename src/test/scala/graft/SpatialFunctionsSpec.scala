@@ -69,3 +69,33 @@ class SpatialFunctionsSpec extends AnyFunSuite with SeededProps {
     }
   }
 }
+
+class GraftFunctionsSqlSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("SQL-registered functions match the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((12.3, 45.6), (-800.0, 900.0)).toDF("x", "y").createOrReplaceTempView("p")
+    val sqlRows = spark.sql(
+      """SELECT grid_cell_id(x, y, 12) AS g, hex_cell_id(x, y, 9) AS h,
+        | s2_cell_id(y / 100.0, x / 100.0, 14) AS s,
+        | size(grid_k_ring(grid_cell_id(x, y, 12), 1)) AS gr,
+        | simhash64('the quick brown fox') AS sh,
+        | rolling_fingerprint('abcdefghij', 4) AS fp,
+        | st_point_in_polygon(x, y,
+        |   array(array(struct(-1000.0 AS x, -1000.0 AS y),
+        |               struct(1000.0 AS x, -1000.0 AS y),
+        |               struct(1000.0 AS x, 1000.0 AS y),
+        |               struct(-1000.0 AS x, 1000.0 AS y)))) AS pip
+        |FROM p""".stripMargin).collect()
+    val r0 = sqlRows(0)
+    assert(r0.getAs[Long]("g") == GridIndex.cellId(12.3, 45.6, 12))
+    assert(r0.getAs[Long]("h") == Hex.cellId(12.3, 45.6, 9))
+    assert(r0.getAs[Long]("s") == S2.cellId(45.6 / 100.0, 12.3 / 100.0, 14))
+    assert(r0.getAs[Int]("gr") == 9)
+    assert(r0.getAs[Boolean]("pip"))
+    assert(sqlRows(1).getAs[Boolean]("pip")) // (-800, 900) inside the big box
+    assert(r0.getAs[Long]("sh") != 0L && r0.getAs[Long]("fp") != 0L)
+  }
+}
