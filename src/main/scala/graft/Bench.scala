@@ -95,7 +95,7 @@ object Bench {
     val small = math.max(1, cpus / 4)
     // big enough that compute (decode + PIP), not job overhead, bounds the
     // wall time at 32 cores — the scaling number is meaningless otherwise
-    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "24576").toInt
+    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "16384").toInt
 
     val headline = Seq(
       "q_zonal_box_stats", "q_zonal_frac", "q_knn", "q_hist_ecdf",
@@ -110,7 +110,8 @@ object Bench {
     val queryTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       try fn(spark, warmDir).count() catch { case _: Throwable => }
-      val (t, _) = time { fn(spark, sfDir).count() }
+      val t = try time { fn(spark, sfDir).count() }._1
+              catch { case _: Throwable => -1.0 }
       name -> t
     }
 
