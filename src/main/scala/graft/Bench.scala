@@ -160,6 +160,11 @@ object Bench {
       f""""t_small_sec":$tSmall%.3f,"t_big_sec":$tBig%.3f,""" +
       f""""pixels":$pixels,"rows_per_sec_small":$thrSmall%.0f,""" +
       f""""rows_per_sec_big":$thrBig%.0f,"efficiency":$eff%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"scaling":$scaling%s,"sf":"$sfDir%s"}""")
+    val jsonLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"scaling":$scaling%s,"sf":"$sfDir%s"}"""
+    println(jsonLine)
+    // the stdout line drowns in sbt [info] noise (round-1 BENCH_r01.json
+    // came back "parsed": null) — ALSO write the machine-readable copy
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), jsonLine)
   }
 }

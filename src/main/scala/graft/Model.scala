@@ -40,6 +40,23 @@ final case class TileRow(
     th: Int,
     nodata: Float)
 
+/** All-bands tile row: what `Tiler.multiTiles` emits — one row per
+  * (image, tile, overlapping cell) carrying EVERY band's pixels, so
+  * band-gathering consumers (sample extraction, per-pixel classification)
+  * never shuffle pixels to re-align bands. */
+final case class MultiTileRow(
+    image_id: String,
+    cell_id: Long,
+    tx: Int,
+    ty: Int,
+    x_min: Double,
+    y_max: Double,
+    px: Double,
+    bands: Array[Array[Float]], // band -> row-major th*tw
+    tw: Int,
+    th: Int,
+    nodata: Float)
+
 /** Vector feature: ring 0 = exterior, others = holes; multipolygons are
   * extra rows sharing poly_id with distinct part (FIXTURES.md §3). */
 final case class PolyRow(

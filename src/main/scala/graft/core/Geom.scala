@@ -76,7 +76,35 @@ object Geom {
       r += 1
     }
     if (!ambiguous) (crossings & 1) == 1
-    else windingNumber(px, py, rings) != 0
+    else {
+      // Orientation-independent fallback: a ring "contains" the point iff
+      // its own winding number is nonzero; even-odd parity across rings
+      // then implements holes REGARDLESS of how callers wind hole rings
+      // (fixtures wind holes the same way as exteriors).
+      var inside = false
+      var r = 0
+      while (r < rings.length) {
+        if (ringWinding(px, py, rings(r)) != 0) inside = !inside
+        r += 1
+      }
+      inside
+    }
+  }
+
+  /** Winding number of a single ring around the point. */
+  def ringWinding(px: Double, py: Double, ring: Array[(Double, Double)]): Int = {
+    var wn = 0
+    val n = ring.length
+    var i = 0
+    while (i < n) {
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % n)
+      val isLeft = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+      if (ay <= py) { if (by > py && isLeft > 0) wn += 1 }
+      else if (by <= py && isLeft < 0) wn -= 1
+      i += 1
+    }
+    wn
   }
 
   /** Nonzero winding number summed across rings (holes wind opposite). */
@@ -84,17 +112,7 @@ object Geom {
     var wn = 0
     var r = 0
     while (r < rings.length) {
-      val ring = rings(r)
-      val n = ring.length
-      var i = 0
-      while (i < n) {
-        val (ax, ay) = ring(i)
-        val (bx, by) = ring((i + 1) % n)
-        val isLeft = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
-        if (ay <= py) { if (by > py && isLeft > 0) wn += 1 }
-        else if (by <= py && isLeft < 0) wn -= 1
-        i += 1
-      }
+      wn += ringWinding(px, py, rings(r))
       r += 1
     }
     wn

@@ -44,7 +44,17 @@ object PipRuntime {
       r += 1
     }
     if (!ambiguous) (crossings & 1) == 1
-    else windingNumber(px, py, rings) != 0
+    else {
+      // per-ring even-odd parity, orientation-independent (mirrors
+      // Geom.pointInPolygon's fallback — hole rings may wind either way)
+      var inside = false
+      var rr = 0
+      while (rr < nRings) {
+        if (ringWinding(px, py, rings.getArray(rr)) != 0) inside = !inside
+        rr += 1
+      }
+      inside
+    }
   }
 
   private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
@@ -61,20 +71,25 @@ object PipRuntime {
     val nRings = rings.numElements()
     var r = 0
     while (r < nRings) {
-      val ring = rings.getArray(r)
-      val n = ring.numElements()
-      var i = 0
-      while (i < n) {
-        val a = ring.getStruct(i, 2)
-        val b = ring.getStruct((i + 1) % n, 2)
-        val ax = a.getDouble(0); val ay = a.getDouble(1)
-        val bx = b.getDouble(0); val by = b.getDouble(1)
-        val isLeft = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
-        if (ay <= py) { if (by > py && isLeft > 0) wn += 1 }
-        else if (by <= py && isLeft < 0) wn -= 1
-        i += 1
-      }
+      wn += ringWinding(px, py, rings.getArray(r))
       r += 1
+    }
+    wn
+  }
+
+  private def ringWinding(px: Double, py: Double, ring: ArrayData): Int = {
+    var wn = 0
+    val n = ring.numElements()
+    var i = 0
+    while (i < n) {
+      val a = ring.getStruct(i, 2)
+      val b = ring.getStruct((i + 1) % n, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      val isLeft = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+      if (ay <= py) { if (by > py && isLeft > 0) wn += 1 }
+      else if (by <= py && isLeft < 0) wn -= 1
+      i += 1
     }
     wn
   }

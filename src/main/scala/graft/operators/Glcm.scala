@@ -42,10 +42,13 @@ object Glcm {
         cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
           Geom.pointInPolygon(cx, cy, rings)
       }
-      var row = 0
-      while (row < t.th - math.abs(dy)) {
-        var c = 0
-        while (c < t.tw - math.abs(dx)) {
+      // offset-signed bounds: row+dy and c+dx must stay in [0, th)x[0, tw)
+      // for NEGATIVE offsets too (a -1 offset from row 0 would index out
+      // of bounds if the loops started at 0)
+      var row = math.max(0, -dy)
+      while (row < t.th - math.max(0, dy)) {
+        var c = math.max(0, -dx)
+        while (c < t.tw - math.max(0, dx)) {
           if (inside(row, c) && inside(row + dy, c + dx)) {
             val a = quant(t.pixels(row * t.tw + c))
             val b = quant(t.pixels((row + dy) * t.tw + (c + dx)))

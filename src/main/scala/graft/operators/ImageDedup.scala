@@ -6,9 +6,9 @@ import graft.ImageRow
 
 /**
  * Image near-duplicate detection over the 64-bit perceptual hash column
- * (the image-payload counterpart of the text dedup family): SimHash-style
- * 16-bit chunk blocking guarantees every pair within Hamming distance <= 3
- * shares at least one of the 4 chunks; candidates verify with
+ * (the image-payload counterpart of the text dedup family): pigeonhole
+ * chunk blocking sized to the requested radius (TextOps.hammingPairs)
+ * guarantees full recall at that radius; candidates verify with
  * bit_count(xor). Exact duplicates (re-encodes, lossy round-trips) land
  * at distance 0 because phash is computed from DECODED pixels.
  *
@@ -18,23 +18,11 @@ import graft.ImageRow
 object ImageDedup {
 
   def phashPairs(images: Dataset[ImageRow], maxHamming: Int = 3)
-                (implicit spark: SparkSession): DataFrame = {
-    require(maxHamming <= 3, "4-chunk blocking guarantees recall only to Hamming 3")
-    val withSig = images.toDF().select(col("image_id"), col("phash"))
-    val chunked = withSig.select(col("image_id"), col("phash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
-    val a = chunked.select(col("chunk"), col("ch"),
-      col("image_id").as("i1"), col("phash").as("p1"))
-    val b = chunked.select(col("chunk"), col("ch"),
-      col("image_id").as("i2"), col("phash").as("p2"))
-    a.join(b, Seq("chunk", "ch")).where(col("i1") < col("i2"))
-      .select(col("i1"), col("i2"),
-        bit_count(col("p1").bitwiseXOR(col("p2"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .groupBy("i1", "i2").agg(min("hamming").as("hamming"))
-  }
+                (implicit spark: SparkSession): DataFrame =
+    graft.text.TextOps.hammingPairs(
+      images.toDF().select(col("image_id"), col("phash")),
+      "image_id", "phash", maxHamming)
+      .withColumnRenamed("d1", "i1").withColumnRenamed("d2", "i2")
 
   /** Exact image dedup: group by (w, h, phash) then confirm byte-equality
     * of DECODED pixels within the tiny groups (fmt-independent — a raw-le

@@ -168,6 +168,112 @@ object ImageOps {
     }
   }
 
+  /**
+   * Local thresholds niblack / sauvola (shape.py:2367-2372): per-pixel
+   * threshold from the windowed local mean/std — niblack T = m - k*s,
+   * sauvola T = m * (1 + k*(s/R - 1)) — then the reference's `bw =
+   * src > t` binarization (1/0 mask out). Windowed stats come from
+   * integral images (O(n) per image, executor-side); borders clamp to
+   * the edge (deviation from skimage's reflect padding, documented).
+   */
+  def localThreshold(images: Dataset[ImageRow], algo: String, window: Int = 15,
+                     k: Double = 0.2, r: Double = 128.0)
+                    (implicit spark: SparkSession): Dataset[ImageRow] = {
+    require(algo == "niblack" || algo == "sauvola", s"algo $algo")
+    import spark.implicits._
+    val half = window / 2
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val w = img.w; val h = img.h
+      val out = dec.bands.map { b =>
+        // integral images of values and squares, (h+1) x (w+1)
+        val s1 = new Array[Double]((w + 1) * (h + 1))
+        val s2 = new Array[Double]((w + 1) * (h + 1))
+        var y = 0
+        while (y < h) {
+          var rowS = 0.0; var rowQ = 0.0
+          var x = 0
+          while (x < w) {
+            val v = b(y * w + x).toDouble
+            rowS += v; rowQ += v * v
+            s1((y + 1) * (w + 1) + x + 1) = s1(y * (w + 1) + x + 1) + rowS
+            s2((y + 1) * (w + 1) + x + 1) = s2(y * (w + 1) + x + 1) + rowQ
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(w * h) { i =>
+          val cy = i / w; val cx = i % w
+          val x0 = math.max(0, cx - half); val x1 = math.min(w - 1, cx + half)
+          val y0 = math.max(0, cy - half); val y1 = math.min(h - 1, cy + half)
+          val n = (x1 - x0 + 1).toDouble * (y1 - y0 + 1)
+          def rect(s: Array[Double]) =
+            s((y1 + 1) * (w + 1) + x1 + 1) - s(y0 * (w + 1) + x1 + 1) -
+              s((y1 + 1) * (w + 1) + x0) + s(y0 * (w + 1) + x0)
+          val m = rect(s1) / n
+          val sd = math.sqrt(math.max(0.0, rect(s2) / n - m * m))
+          val t = if (algo == "niblack") m - k * sd
+                  else m * (1.0 + k * (sd / r - 1.0))
+          if (b(i) > t) 1f else 0f
+        }
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, w, h, out),
+        phash = PixelCodec.phash64(w, h, out(0)))
+    }
+  }
+
+  /**
+   * DEM derivatives slope / aspect / hillshade (the gdaldem capability
+   * the reference shells out for, raster.py:554-586): Horn's 3x3 finite
+   * differences on band 0, border pixels clamp. slope in degrees; aspect
+   * in degrees clockwise from north (flat = -9999, matching gdaldem's
+   * nodata-for-flat); hillshade 0..255 with the standard azimuth=315,
+   * altitude=45 sun.
+   */
+  def demProcess(images: Dataset[ImageRow], prop: String, zFactor: Double = 1.0,
+                 azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0)
+                (implicit spark: SparkSession): Dataset[ImageRow] = {
+    require(Set("slope", "aspect", "hillshade")(prop), s"prop $prop")
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val b = dec.bands(0)
+      val w = img.w; val h = img.h
+      val px = img.px
+      def at(y: Int, x: Int): Double =
+        b(math.min(h - 1, math.max(0, y)) * w + math.min(w - 1, math.max(0, x))).toDouble
+      val az = math.toRadians(azimuthDeg)
+      val zen = math.toRadians(90.0 - altitudeDeg)
+      val out = Array.tabulate(w * h) { i =>
+        val y = i / w; val x = i % w
+        val dzdx = ((at(y - 1, x + 1) + 2 * at(y, x + 1) + at(y + 1, x + 1)) -
+          (at(y - 1, x - 1) + 2 * at(y, x - 1) + at(y + 1, x - 1))) / (8 * px) * zFactor
+        val dzdy = ((at(y + 1, x - 1) + 2 * at(y + 1, x) + at(y + 1, x + 1)) -
+          (at(y - 1, x - 1) + 2 * at(y - 1, x) + at(y - 1, x + 1))) / (8 * px) * zFactor
+        prop match {
+          case "slope" =>
+            math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))).toFloat
+          case "aspect" =>
+            if (dzdx == 0.0 && dzdy == 0.0) -9999f
+            else {
+              val a = math.toDegrees(math.atan2(dzdy, -dzdx))
+              // gdaldem: convert math angle to compass bearing
+              val compass = if (a > 90.0) 450.0 - a else 90.0 - a
+              (if (compass >= 360.0) compass - 360.0 else compass).toFloat
+            }
+          case "hillshade" =>
+            val slope = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+            val aspect = math.atan2(dzdy, -dzdx)
+            val shade = math.cos(zen) * math.cos(slope) +
+              math.sin(zen) * math.sin(slope) * math.cos(az - math.Pi / 2.0 - aspect)
+            math.max(0.0, math.round(254.0 * shade) + 1.0).toFloat
+        }
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, w, h, Array(out)),
+        phash = PixelCodec.phash64(w, h, out))
+    }
+  }
+
   /** temp_match (utilities.py:1110-1239): normalized cross-correlation of
     * a small broadcast template over each image; returns best match per
     * image: (image_id, row, col, score). */

@@ -64,7 +64,10 @@ object Knn {
     // join against the satisfied set), never as filter-of-found.
     val satisfied = cand.groupBy("q_id")
       .agg(count(lit(1)).as("__n"), max("dist2").as("__kd2"))
-      .filter(col("__n") === k && col("__kd2") <= guard2)
+      // STRICT <: a point outside the ring at distance exactly guard2 with
+      // a smaller pt_id would rank ahead under (dist2, pt_id) — boundary
+      // ties must fall through to the brute-force pass
+      .filter(col("__n") === k && col("__kd2") < guard2)
       .select("q_id")
     val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
 

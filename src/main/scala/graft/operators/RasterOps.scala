@@ -56,6 +56,29 @@ object RasterOps {
       .withColumn("band", lit(0))
   }
 
+  /** The reference's 11 RGB vegetation/color indices (zonal_rgb_idx /
+    * _set_rgb_ind, shape.py:1388-1410) as column expressions, FAITHFUL to
+    * the reference's own (sometimes idiosyncratic) formulas — e.g.
+    * exG = 2g - (r - b) and gli = ((g-r)+(g-b))/(2g) + r + b are kept
+    * exactly as written there. Callers supply r/g/b columns; every index
+    * is a pure arithmetic expr (codegen'd, shuffle-free). */
+  def rgbIndices(r: Column, g: Column, b: Column): Seq[(String, Column)] = {
+    val exg = g * 2 - (r - b)
+    val exr = r * 1.4 - g
+    Seq(
+      "exg"   -> exg,
+      "exr"   -> exr,
+      "exgr"  -> (exg - exr),
+      "cive"  -> (r * 0.441 - g * 0.811 + b * 0.385 + 18.78745),
+      "ndi"   -> (g - r) / (g + r),
+      "rgbvi" -> ((g * g - b) * r) / ((g * g + b) * r),
+      "vari"  -> ((g - r) / (g + r) - b),
+      "ari"   -> (lit(1.0) / (g * r)),
+      "rgbi"  -> r / g,
+      "gli"   -> (((g - r) + (g - b)) / (g * 2) + r + b),
+      "tgl"   -> (g - 0.39) * (r - 0.61) * b)
+  }
+
   /** combine_scene (raster.py:1466-1524): aligned-grid per-pixel rule
     * merge of two classifications — where s1 is nodata/0 take s2, where
     * both agree keep, else keep s1 (the reference's crop-map rules). */
@@ -73,11 +96,15 @@ object RasterOps {
   /**
    * temporal_comp (raster.py:2287-2407): element-wise reduce across N
    * aligned snapshots distinguished by a `t` column. stat in
-   * {"mean", "min", "max", "sum"}. NaN-safe like the reference's
-   * nan-stats. One shuffle on the tile key; the time axis folds with
-   * array HOFs (no per-pixel rows).
+   * {"mean", "min", "max", "sum", "median", "percentile"} — the full
+   * statChoose dispatch (raster.py:2345-2356; median/percentile are the
+   * reference's headline cloud-free-composite path). `q` is the
+   * percentile in [0, 100], np.nanpercentile linear-interpolation
+   * convention. NaN-safe like the reference's nan-stats. One shuffle on
+   * the tile key; the time axis folds with array HOFs (no per-pixel
+   * rows).
    */
-  def temporalComposite(snapshots: DataFrame, stat: String): DataFrame = {
+  def temporalComposite(snapshots: DataFrame, stat: String, q: Double = 50.0): DataFrame = {
     val gathered = snapshots
       .groupBy((tileKey ++ Seq("band", "cell_id")).map(col): _*)
       .agg(sort_array(collect_list(struct(col("t"), col("pixels")))).as("series"),
@@ -96,6 +123,24 @@ object RasterOps {
         when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(least(x, y))))
       case "max" => reduceArrays(arrays, (x, y) =>
         when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(greatest(x, y))))
+      case "median" | "percentile" =>
+        val qq = if (stat == "median") 50.0 else q
+        require(qq >= 0.0 && qq <= 100.0, s"percentile out of range: $qq")
+        // per pixel index: sort the non-NaN time series, linear-interpolate
+        // at pos = (m-1)*q/100 (np.nanpercentile convention)
+        val idxs = sequence(lit(0), size(element_at(arrays, 1)) - 1)
+        transform(idxs, i => {
+          val vals = array_sort(filter(
+            transform(arrays, a => element_at(a, i + 1)), v => !v.isNaN))
+          val m = size(vals)
+          val pos = (m - 1).cast("double") * lit(qq / 100.0)
+          val lo = floor(pos).cast("int")
+          val frac = pos - floor(pos)
+          when(m === 0, lit(Float.NaN)).otherwise(
+            (element_at(vals, lo + 1) +
+              (element_at(vals, least(lo + 2, m)) - element_at(vals, lo + 1)) * frac
+            ).cast("float"))
+        })
       case s => throw new IllegalArgumentException(s"stat $s")
     }
     gathered.withColumn("pixels", out).drop("series")
@@ -226,11 +271,13 @@ object RasterOps {
     import spark.implicits._
     val rings: Geom.Rings = poly.rings.map(_.map(q => (q.x, q.y)))
     val bb = Geom.bbox(rings)
-    val cells = GridIndex.coverPolygon(rings, cellRes).toSet
-    val cellsB = spark.sparkContext.broadcast(cells)
+    val cells = GridIndex.coverPolygon(rings, cellRes)
     val ringsB = spark.sparkContext.broadcast(rings)
     tiles
-      .filter(t => cellsB.value.contains(t.cell_id))
+      // Column predicate, NOT a typed lambda: isin stays visible to
+      // Catalyst so a parquet-backed tile table prunes row groups /
+      // partitions on cell_id instead of decoding everything
+      .where(col("cell_id").isin(cells: _*))
       .map { t =>
         val out = t.pixels.clone()
         val rg = ringsB.value
@@ -263,13 +310,31 @@ object RasterOps {
 
   /** Otsu threshold (shape.py:2367-2372 thresholds): maximize between-
     * class variance over the global value histogram (one agg + a tiny
-    * driver-side scan over <=256 bins). */
-  def otsuThreshold(tiles: DataFrame): Double = {
-    val hist = tiles.select(explode(col("pixels")).as("v"))
-      .where(!isnan(col("v")))
-      .groupBy("v").agg(count(lit(1)).as("c"))
+    * driver-side scan). For quantized (uint8-style) rasters the exact
+    * per-value histogram is used; float imagery with more than `levels`
+    * distinct values quantizes into `levels` min/max-ranged bins first,
+    * so the collected histogram is ALWAYS bounded (never an unbounded
+    * distinct-value pull to the driver). */
+  def otsuThreshold(tiles: DataFrame, levels: Int = 256): Double = {
+    val vals = tiles.select(explode(col("pixels")).as("v")).where(!isnan(col("v")))
+    val probe = vals.agg(
+      approx_count_distinct(col("v")).as("nd"),
+      min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    val (nd, mn, mx) = (probe.getLong(0), probe.getFloat(1).toDouble,
+      probe.getFloat(2).toDouble)
+    val binned =
+      if (nd <= levels) vals.groupBy(col("v").cast("double").as("v"))
+      else {
+        val width = (mx - mn) / levels
+        // bin value = UPPER edge: "v <= threshold" must keep the whole
+        // bin in the lower class (the reference uses bw = src > t)
+        vals.groupBy((lit(mn) +
+          (least(floor((col("v") - mn) / width), lit(levels - 1.0)) + 1) * width)
+          .cast("double").as("v"))
+      }
+    val hist = binned.agg(count(lit(1)).as("c"))
       .orderBy("v").collect()
-      .map(r => (r.getFloat(0).toDouble, r.getLong(1).toDouble))
+      .map(r => (r.getDouble(0), r.getLong(1).toDouble))
     val total = hist.map(_._2).sum
     val sumAll = hist.map { case (v, c) => v * c }.sum
     var sumB = 0.0; var wB = 0.0; var best = 0.0; var thr = hist.head._1

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import graft.{ImageRow, TileRow}
+import graft.{ImageRow, MultiTileRow, TileRow}
 import graft.core.{PixelCodec, GridIndex, Geom}
 
 /**
@@ -75,6 +75,57 @@ object Tiler {
                 band, px, tw, th, nodata)
             }
             band += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+  }
+
+  /** All-bands variant: one row per (image, tile, overlapping cell) with
+    * EVERY band's pixels — for consumers that need aligned bands per
+    * pixel (get_training sample extraction, classify_pixel_bloc). Keeps
+    * those paths genuinely shuffle-free: the single-band tiler would
+    * force a groupByKey on the tile key (a full pixel-payload shuffle)
+    * just to re-zip what the decoder already had together. */
+  def multiTiles(images: Dataset[ImageRow], tileSize: Int, cellRes: Int,
+                 nodata: Float = Float.NaN)
+                (implicit spark: SparkSession): Dataset[MultiTileRow] = {
+    import spark.implicits._
+    val eps = 1e-9
+    images.flatMap { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val nTx = (img.w + tileSize - 1) / tileSize
+      val nTy = (img.h + tileSize - 1) / tileSize
+      val out = scala.collection.mutable.ArrayBuffer.empty[MultiTileRow]
+      var ty = 0
+      while (ty < nTy) {
+        var tx = 0
+        while (tx < nTx) {
+          val x0 = tx * tileSize
+          val y0 = ty * tileSize
+          val tw = math.min(tileSize, img.w - x0)
+          val th = math.min(tileSize, img.h - y0)
+          val wx0 = img.x_min + x0 * img.px
+          val wy1 = img.y_max - y0 * img.px
+          val wy0 = wy1 - th * img.px
+          val wx1 = wx0 + tw * img.px
+          val cells = GridIndex.coverBBox(
+            Geom.BBox(wx0 + eps, wy0 + eps, wx1 - eps, wy1 - eps), cellRes)
+          val bands = dec.bands.map { src =>
+            val px = new Array[Float](tw * th)
+            var r = 0
+            while (r < th) {
+              System.arraycopy(src, (y0 + r) * img.w + x0, px, r * tw, tw)
+              r += 1
+            }
+            px
+          }
+          cells.foreach { c =>
+            out += MultiTileRow(img.image_id, c, tx, ty, wx0, wy1, img.px,
+              bands, tw, th, nodata)
           }
           tx += 1
         }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{PolyRow, TileRow}
+import graft.{MultiTileRow, PolyRow, TileRow}
 import graft.core.{Geom, GridIndex}
 
 /**
@@ -14,7 +14,13 @@ import graft.core.{Geom, GridIndex}
  *    aggregate (parity is judged on the extraction and application joins,
  *    which the north rule pins, not sklearn internals — SURVEY §3.3);
  *  - classify_pixel_bloc (learning.py:1259-1398): per-pixel scoring with
- *    the broadcast model inside mapPartitions, zero shuffle.
+ *    the broadcast model inside a typed map, ZERO shuffle.
+ *
+ * Both consume `Tiler.multiTiles` rows (all bands per tile), so band
+ * alignment comes straight from the decoder — no groupByKey-on-tile-key
+ * pixel shuffle anywhere in either path (plan-gated in PlanShapeSpec),
+ * matching the reference's block loop which reads all bands of a block
+ * in one ReadAsArray (learning.py:1374-1387).
  */
 object Training {
 
@@ -36,22 +42,16 @@ object Training {
   }
 
   /** get_training: per-pixel (label, features) rows — the flagship zonal
-    * join with a band-gathering twist: bands of one tile are zipped into
-    * a feature vector per pixel. One equi self-alignment by tile key. */
-  def extractSamples(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int)
+    * join over all-bands tiles. Broadcast polygon-cell prefilter + PIP;
+    * the ONLY exchange in the plan is the broadcast itself. */
+  def extractSamples(tiles: Dataset[MultiTileRow], polys: Dataset[PolyRow], cellRes: Int)
                     (implicit spark: SparkSession): Dataset[Sample] = {
     import spark.implicits._
-    // gather bands: (image, tx, ty, cell) -> array of band pixel arrays
-    val gathered = tiles.groupByKey(t => (t.image_id, t.tx, t.ty, t.cell_id))
-      .mapGroups { (_: (String, Int, Int, Long), it: Iterator[TileRow]) =>
-        val ts = it.toArray.sortBy(_.band)
-        (ts.head, ts.map(_.pixels))
-      }
     val pc = ZonalStats.polyCells(polys, cellRes)
     val clsById = polys.collect().map(p => (p.poly_id, p.part) -> p.cls).toMap
     val clsB = spark.sparkContext.broadcast(clsById)
-    gathered.joinWith(broadcast(pc), gathered("_1.cell_id") === pc("cell_id"))
-      .flatMap { case ((t, bands), p) =>
+    tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
+      .flatMap { case (t, p) =>
         val cb = GridIndex.cellBounds(p.cell_id)
         val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
         val label = clsB.value((p.poly_id, p.part))
@@ -64,7 +64,7 @@ object Training {
             val cx = t.x_min + (c + 0.5) * t.px
             if (cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
               Geom.pointInPolygon(cx, cy, rings)) {
-              out += Sample(label, bands.map(_(row * t.tw + c)))
+              out += Sample(label, t.bands.map(_(row * t.tw + c)))
             }
             c += 1
           }
@@ -91,25 +91,26 @@ object Training {
       agg.map(r => (0 until nBands).map(i => r.getDouble(2 + i)).toArray))
   }
 
-  /** classify_pixel_bloc: broadcast model, per-pixel predict in
-    * mapPartitions, tiles in / class tiles out. No shuffle. */
-  def classify(tiles: Dataset[TileRow], model: CentroidModel)
+  /** classify_pixel_bloc: broadcast model, per-pixel predict in a typed
+    * map over all-bands tiles — genuinely no shuffle (plan-gated). */
+  def classify(tiles: Dataset[MultiTileRow], model: CentroidModel)
               (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
     val mB = spark.sparkContext.broadcast(model)
-    tiles.groupByKey(t => (t.image_id, t.tx, t.ty, t.cell_id))
-      .mapGroups { (_: (String, Int, Int, Long), it: Iterator[TileRow]) =>
-        val ts = it.toArray.sortBy(_.band)
-        val t = ts.head
-        val bands = ts.map(_.pixels)
-        val out = new Array[Float](t.pixels.length)
-        val m = mB.value
-        var i = 0
-        while (i < out.length) {
-          out(i) = m.predict(bands.map(_(i))).toFloat
-          i += 1
-        }
-        t.copy(band = -1, pixels = out)
+    tiles.map { t =>
+      val m = mB.value
+      val nb = t.bands.length
+      val feat = new Array[Float](nb)
+      val out = new Array[Float](t.tw * t.th)
+      var i = 0
+      while (i < out.length) {
+        var b = 0
+        while (b < nb) { feat(b) = t.bands(b)(i); b += 1 }
+        out(i) = m.predict(feat).toFloat
+        i += 1
       }
+      TileRow(t.image_id, t.cell_id, t.tx, t.ty, t.x_min, t.y_max, t.px,
+        band = -1, pixels = out, tw = t.tw, th = t.th, nodata = t.nodata)
+    }
   }
 }

@@ -24,11 +24,29 @@ object VectorOps {
                   labelCol: String, label: String): DataFrame =
     polys.toDF().withColumn(labelCol, when(predicate, lit(label)))
 
-  /** write_id_field (shape.py:1536-1564): sequential FID assignment ->
-    * row_number over a deterministic order. */
+  /** write_id_field (shape.py:1536-1564): sequential FID assignment.
+    * Two-pass zipWithIndex shape instead of a global Window.orderBy
+    * (which would sort EVERYTHING in one partition): range-partition by
+    * the order column, rank within each partition, then add per-partition
+    * offsets from a tiny collected count vector. Scales to any layer. */
   def writeIdField(df: DataFrame, orderCol: String, idCol: String = "fid"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn(idCol, row_number().over(Window.orderBy(orderCol)))
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val withRn = ranged.withColumn("__rn",
+      row_number().over(Window.partitionBy("__pid").orderBy(orderCol)))
+    val counts = withRn.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .orderBy("__pid").collect()
+    var off = 0L
+    val offsets = counts.map { r =>
+      val o = off; off += r.getLong(1); (r.getInt(0), o)
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    withRn.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(idCol, (col("__rn") + col("__off")).cast("long"))
+      .drop("__pid", "__rn", "__off")
   }
 
   /** shp2gj (shape.py:54-92): GeoJSON Feature strings per polygon row. */
@@ -66,6 +84,87 @@ object VectorOps {
             clipped.map(_.map { case (x, y) => Pt(x, y) }),
             p.cls, p.name, p.measure))
         }
+      }
+    }
+  }
+
+  // ------------------------------------------------------- general clip
+
+  import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Geometry, Polygon => JPolygon}
+
+  private val gf = new GeometryFactory()
+
+  private[operators] def toJts(rings: Geom.Rings): JPolygon = {
+    def ring(r: Array[(Double, Double)]) = {
+      val closed = if (r.head == r.last) r else r :+ r.head
+      gf.createLinearRing(closed.map { case (x, y) => new Coordinate(x, y) })
+    }
+    gf.createPolygon(ring(rings(0)), rings.drop(1).map(ring))
+  }
+
+  private[operators] def fromJts(g: Geometry): Seq[Geom.Rings] = {
+    def polyRings(p: JPolygon): Geom.Rings = {
+      val shell = p.getExteriorRing.getCoordinates.dropRight(1)
+        .map(c => (c.x, c.y))
+      val holes = (0 until p.getNumInteriorRing).map(i =>
+        p.getInteriorRingN(i).getCoordinates.dropRight(1).map(c => (c.x, c.y)))
+      (Array(shell) ++ holes).filter(_.length >= 3)
+    }
+    (0 until g.getNumGeometries).flatMap { i =>
+      g.getGeometryN(i) match {
+        case p: JPolygon if !p.isEmpty => Some(polyRings(p))
+        case _ => None
+      }
+    }
+  }
+
+  /**
+   * General polygon ∩ polygon layer clip (shape.py:2772-2808,
+   * ogr.Layer.Clip) — concave clip geometries, holes, multipolygon
+   * results all handled via JTS overlay (jts-core ships with Spark).
+   * The clip layer BROADCASTS (clip layers — tile grids, AOI masks — are
+   * small by contract; for large×large, pre-join both sides on grid-cell
+   * keys first); subject polygons stream with a bbox prefilter before the
+   * exact overlay, mirroring the reference's bbox-then-exact two-phase
+   * pattern. Result ids: subject_id * 100000 + clip_id (the clipToRects
+   * convention); one output row per polygon part.
+   */
+  def clipToPolygons(polys: Dataset[PolyRow], clipLayer: Seq[PolyRow])
+                    (implicit spark: SparkSession): Dataset[PolyRow] = {
+    import spark.implicits._
+    val clipB = spark.sparkContext.broadcast(clipLayer.map { c =>
+      val rings: Geom.Rings = c.rings.map(_.map(q => (q.x, q.y)))
+      (c.poly_id, Geom.bbox(rings), rings)
+    })
+    polys.flatMap { p =>
+      val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+      val bb = Geom.bbox(rings)
+      lazy val subj = toJts(rings)
+      clipB.value.flatMap { case (cid, cbb, crings) =>
+        if (!cbb.intersects(bb)) Seq.empty
+        else {
+          val inter = subj.intersection(toJts(crings))
+          fromJts(inter).zipWithIndex.map { case (rr, part) =>
+            PolyRow(p.poly_id * 100000 + cid, part,
+              rr.map(_.map { case (x, y) => Pt(x, y) }), p.cls, p.name, p.measure)
+          }
+        }
+      }
+    }
+  }
+
+  /** ST_Buffer (shape.py:2830-2867): JTS buffer per feature — positive
+    * distances dilate, negative erode; multipolygon results fan out one
+    * row per part. */
+  def buffer(polys: Dataset[PolyRow], distance: Double)
+            (implicit spark: SparkSession): Dataset[PolyRow] = {
+    import spark.implicits._
+    polys.flatMap { p =>
+      val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+      val buf = toJts(rings).buffer(distance)
+      fromJts(buf).zipWithIndex.map { case (rr, part) =>
+        PolyRow(p.poly_id, part, rr.map(_.map { case (x, y) => Pt(x, y) }),
+          p.cls, p.name, p.measure)
       }
     }
   }

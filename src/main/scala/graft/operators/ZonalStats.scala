@@ -115,8 +115,10 @@ object ZonalStats {
       .withColumn("cum", sum(c).over(cumW))
       .withColumn("maxcnt", max(c).over(byPoly))
 
-    // lower/upper middle positions (1-based), np.median convention
-    val k1 = ceil((col("n") + 1) / 2.0)
+    // lower/upper middle positions (1-based), np.median convention:
+    // k1 = floor((n+1)/2) is the LOWER middle (equals k2 for odd n; for
+    // even n the two straddle the midpoint and are averaged)
+    val k1 = floor((col("n") + 1) / 2.0)
     val k2 = floor(col("n") / 2.0) + 1
 
     withCum.groupBy("poly_id", "band").agg(

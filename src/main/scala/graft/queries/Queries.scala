@@ -462,7 +462,7 @@ object Queries {
       .select(col("d1"), col("d2"), round(col("jaccard_est"), 4).as("jaccard_est"))
 
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    TextOps.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 16)
+    TextOps.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 7)
 
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
@@ -534,7 +534,7 @@ object Queries {
   def qClassify(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.tiles(synthImages(spark, 12), 64, cellRes)
+    val tiles = Tiler.multiTiles(synthImages(spark, 12), 64, cellRes)
     val samples = Training.extractSamples(tiles, synthPolys(spark), cellRes)
     val model = Training.fitCentroids(samples)
     Training.classify(tiles, model).toDF()

@@ -76,10 +76,16 @@ object TextOps {
 
   // ------------------------------------------------------------- dedup
 
-  /** Exact dedup: one hash-groupBy on the (normalized) content. Returns
-    * (keep_id, n_dups) — min doc id is kept, reference-free. */
+  /** Exact dedup: one hash-groupBy on a 128-bit content digest. The
+    * shuffle key is md5(normalized text) + length — NEVER the full
+    * document text (at 100 TB, shuffling whole docs as groupBy keys is
+    * the dominant cost). 128-bit digest + exact length makes a false
+    * merge cryptographically improbable. Returns (keep_id, n_dups) —
+    * min doc id is kept, reference-free. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(lower(col(textCol)).as("__norm"))
+    docs.groupBy(
+      md5(encode(lower(col(textCol)), "UTF-8")).as("__h"),
+      length(col(textCol)).as("__len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
@@ -128,22 +134,44 @@ object TextOps {
       .groupBy("d1", "d2").agg(max("jaccard_est").as("jaccard_est"))
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
-    * via token-set self-join (|A ∩ B| from a token equi-join — never a
-    * doc-pair cross join). */
+  /**
+   * Exact n-gram Jaccard similarity for all pairs above `threshold`,
+   * with PREFIX FILTERING (AllPairs/PPJoin lemma) so hot tokens never
+   * explode the candidate join: tokens order globally by (document
+   * frequency, token); a pair with jaccard >= t must share a token in
+   * the first (n - ceil(t*n) + 1) tokens of EACH doc under that order
+   * (proof: the globally-smallest common token sits inside both
+   * prefixes whenever the overlap meets the threshold). "the"-like
+   * tokens sort LAST and effectively never join.
+   *
+   * Result-identical to the naive token self-join (spec-gated); the
+   * candidate self-join is bounded by rare-token document frequencies,
+   * not hot-token df^2.
+   */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("doc"),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
       .where(col("t") =!= "")
-    val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("doc").as("d1"), col("t"))
-      .join(tok.select(col("doc").as("d2"), col("t")), Seq("t"))
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy("doc")
+    val ranked = tok.join(dfreq, "t")
+      .withColumn("__pos", row_number().over(byDoc.orderBy(col("__df"), col("t"))))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .where(col("__pos") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .select("doc", "t")
+    val cand = prefix.select(col("doc").as("d1"), col("t"))
+      .join(prefix.select(col("doc").as("d2"), col("t")), Seq("t"))
       .where(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select("d1", "d2").distinct()
+    val sets = tok.groupBy("doc").agg(
+      sort_array(collect_list(col("t"))).as("toks"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc").as("d1"), col("toks").as("t1"), col("n").as("n1")), Seq("d1"))
+      .join(sets.select(col("doc").as("d2"), col("toks").as("t2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -153,24 +181,55 @@ object TextOps {
   /** 64-bit SimHash of the whitespace token multiset. */
   def simHash(text: Column): Column = colOf(SimHashExpr(exprOf(text)))
 
-  /** SimHash near-dup candidates: block on 16-bit chunks (any doc pair
-    * within Hamming distance <= 3 shares at least one of 4 chunks),
-    * verify with bit_count(xor) <= maxHamming. */
-  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(col(idCol).as("doc"), simHash(col(textCol)).as("sig"))
-    val chunked = withSig.select(col("doc"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+  /**
+   * Pigeonhole Hamming-distance blocking over a 64-bit signature column:
+   * the signature splits into (maxHamming + 1) chunks, so any pair within
+   * the requested radius differs in at most maxHamming chunks and MUST
+   * share at least one — full recall at the requested radius by
+   * construction (no silent under-recall when the caller asks for a wide
+   * radius). Candidates verify with bit_count(xor).
+   *
+   * Scale: candidate pairs only materialize inside a (chunk, value)
+   * bucket — never a cross join. Wider radii mean narrower chunks and
+   * therefore fuller buckets; maxHamming <= 15 keeps chunks >= 4 bits.
+   *
+   * `df` must have columns (id, sig); returns (d1, d2, hamming), d1 < d2.
+   */
+  def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (chunks stay >= 4 bits): $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val withSig = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    // chunk i: width base (+1 for the first `rem`), at the cumulative offset
+    val chunkCols = (0 until nChunks).map { i =>
+      val width = base + (if (i < rem) 1 else 0)
+      val offset = i * base + math.min(i, rem)
+      if (width == 64) col("__sig")
+      else shiftrightunsigned(col("__sig"), offset).bitwiseAND(lit((1L << width) - 1))
+    }
+    val chunked = withSig.select(col("__id"), col("__sig"),
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
-    val a = chunked.select(col("chunk"), col("ch"), col("doc").as("d1"), col("sig").as("s1"))
-    val b = chunked.select(col("chunk"), col("ch"), col("doc").as("d2"), col("sig").as("s2"))
+    val a = chunked.select(col("chunk"), col("ch"), col("__id").as("d1"), col("__sig").as("s1"))
+    val b = chunked.select(col("chunk"), col("ch"), col("__id").as("d2"), col("__sig").as("s2"))
     a.join(b, Seq("chunk", "ch")).where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy("d1", "d2").agg(min("hamming").as("hamming"))
   }
+
+  /** SimHash near-dup candidates at FULL recall for the requested radius:
+    * pigeonhole blocking on (maxHamming + 1) signature chunks, verified
+    * with bit_count(xor) <= maxHamming. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      docs.select(col(idCol).as("doc"), simHash(col(textCol)).as("sig")),
+      "doc", "sig", maxHamming)
 
   /** Winnowing-style document fingerprint: min of rolling polynomial
     * hashes over character windows of length w. */

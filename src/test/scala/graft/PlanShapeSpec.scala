@@ -62,6 +62,29 @@ class PlanShapeSpec extends AnyFunSuite {
     val q = Queries.qKnn(spark, "/root/testdata/sf0.001")
     assert(plan(q).contains("WindowGroupLimit"))
   }
+
+  test("classify: zero shuffle (no Exchange anywhere in the plan)") {
+    import graft.operators.{Tiler, Training}
+    val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(images, 64, cellRes)
+    val model = Training.CentroidModel(Array(1, 2),
+      Array(Array(10.0, 20.0), Array(200.0, 100.0)))
+    val p = plan(Training.classify(tiles, model).toDF())
+    assert(!p.contains("Exchange"), s"classify must not shuffle pixels:\n$p")
+  }
+
+  test("extractSamples: only exchange is the polygon-side broadcast") {
+    import graft.operators.{Tiler, Training}
+    val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
+    val polys = spark.createDataset(Synth.polygons(2).toSeq)
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(images, 64, cellRes)
+    val p = plan(Training.extractSamples(tiles, polys, cellRes).toDF())
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast prefilter:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"extractSamples must not hash-shuffle pixels:\n$p")
+  }
 }
 
 class ImageTableSpec extends AnyFunSuite {

@@ -224,7 +224,7 @@ class TrainingSpec extends AnyFunSuite {
       PolyRow(1, 0, Array(Array(Pt(1.0, 1.0), Pt(8.0, 1.0), Pt(8.0, 8.0), Pt(1.0, 8.0))), 1, "dark", 0.0),
       PolyRow(2, 0, Array(Array(Pt(20.0, 1.0), Pt(28.0, 1.0), Pt(28.0, 8.0), Pt(20.0, 8.0))), 2, "bright", 0.0))
     val cellRes = operators.Tiler.resForCellSize(16.0)
-    val tiles = Tiler.tiles(Seq(img).toDS, tileSize = 16, cellRes = cellRes)
+    val tiles = Tiler.multiTiles(Seq(img).toDS, tileSize = 16, cellRes = cellRes)
     val samples = Training.extractSamples(tiles, polys.toDS, cellRes)
     val collected = samples.collect()
     // box1 (1..8): 7 pixel-center columns; box2 (20..28): 8 columns; 7 rows each

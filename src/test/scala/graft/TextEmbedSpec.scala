@@ -64,20 +64,63 @@ class TextOpsSpec extends AnyFunSuite {
       s"near=${ham(sigs(0L), sigs(1L))} far=${ham(sigs(0L), sigs(2L))}")
   }
 
-  test("simHashPairs blocking finds all pairs within maxHamming (vs naive)") {
+  test("simHashPairs: FULL recall at every requested radius (vs naive)") {
     val sigs = docs.select($"doc_id", TextOps.simHash($"text"))
       .as[(Long, Long)].collect().toMap
-    val maxH = 20
     val naive = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
-      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= maxH
+    } yield (a, b, java.lang.Long.bitCount(sigs(a) ^ sigs(b)))).toSet
+    // pigeonhole blocking sizes chunks to the radius — recall must be
+    // exact at the REQUESTED radius, not just <= 3 (round-1 defect)
+    for (radius <- Seq(0, 3, 7, 15)) {
+      val got = TextOps.simHashPairs(docs, "doc_id", "text", maxHamming = radius)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == naive.filter(_._3 <= radius), s"radius $radius")
+    }
+    // radii above 15 (chunks < 4 bits) are rejected, never silently lossy
+    intercept[IllegalArgumentException] {
+      TextOps.simHashPairs(docs, "doc_id", "text", maxHamming = 16).collect()
+    }
+  }
+
+  test("hammingPairs: full recall on adversarial 64-bit signatures") {
+    // signatures that differ ONLY in widely-spread bit positions — the
+    // exact case fixed-16-bit chunking misses at wide radii
+    val sigs = Seq(
+      0L, 0x8000000100004001L, 0x0101010101010101L, -1L,
+      0x00000000000000FFL, 0xF000000000000000L).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = sigs.toDF("id", "sig")
+    val naive = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
     } yield (a, b, h)).toSet
-    // blocking guarantee only holds for <= 3 with 4 chunks; verify the
-    // guarantee regime exactly:
-    val got3 = TextOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .as[(Long, Long, Int)].collect().toSet
-    val naive3 = naive.filter(_._3 <= 3).map { case (a, b, h) => (a, b, h) }
-    assert(got3 == naive3)
+    for (radius <- Seq(4, 8, 15)) {
+      val got = TextOps.hammingPairs(df, "id", "sig", radius)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == naive.filter(_._3 <= radius), s"radius $radius")
+    }
+  }
+
+  test("ngramJaccardPairs: prefix filter is exact under planted hot tokens") {
+    // every doc shares the hot token "the"; naive token self-join would
+    // form all O(n^2) pairs on it — prefix filtering must keep results
+    // identical while pruning candidates
+    val hot = (0 until 30).map { i =>
+      (100L + i, s"the w$i x$i y$i z$i " + (if (i % 2 == 0) "common suffix tail" else s"odd$i only$i"))
+    }.toDF("doc_id", "text")
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSet
+    val rows = hot.as[(Long, String)].collect()
+    val naive = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      ja = toks(a).intersect(toks(b)).size.toDouble / toks(a).union(toks(b)).size
+      if ja >= 0.4
+    } yield ((i, j), ja)).toMap
+    val got = TextOps.ngramJaccardPairs(hot, "doc_id", "text", 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"$k") }
   }
 
   test("langPredict picks marker language") {
