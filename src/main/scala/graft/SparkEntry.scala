@@ -61,6 +61,7 @@ object SparkEntry {
       "q_clip_poly"       -> (Q.qClipPoly _),
       "q_geojson"         -> (Q.qGeoJson _),
       "q_cell_index"      -> (Q.qCellIndex _),
+      "q_s2_index"        -> (Q.qS2Index _),
       "q_phash_pairs"     -> (Q.qPhashPairs _),
       "q_image_dedup"     -> (Q.qImageDedup _)
     )
@@ -88,7 +89,23 @@ object SparkEntry {
       "q_dedup_exact"     -> Q.qDedupExactSql,
       "q_jaccard_pairs"   -> Q.qJaccardPairsSql,
       "q_text_quality"    -> Q.qTextQualitySql,
-      "q_lang_predict"    -> Q.qLangPredictSql
+      "q_lang_predict"    -> Q.qLangPredictSql,
+      "q_pipeline_zonal"  -> Q.qPipelineZonalSql,
+      "q_raster_points"   -> Q.qRasterPointsSql,
+      "q_mosaic"          -> Q.qMosaicSql,
+      "q_image_features"  -> Q.qImageFeaturesSql,
+      "q_transcode"       -> Q.qTranscodeSql,
+      "q_polygonize"      -> Q.qPolygonizeSql,
+      "q_glcm"            -> Q.qGlcmSql,
+      "q_classify"        -> Q.qClassifySql,
+      "q_cell_index"      -> Q.qCellIndexSql,
+      "q_shape_props"     -> Q.qShapePropsSql,
+      "q_geojson"         -> Q.qGeoJsonSql,
+      "q_clip_poly"       -> Q.qClipPolySql,
+      "q_phash_pairs"     -> Q.qPhashPairsSql,
+      "q_image_dedup"     -> Q.qImageDedupSql,
+      "q_ann_topk"        -> Q.qAnnTopKSql,
+      "q_ann_lsh"         -> Q.qAnnLshSql
     )
   }
 }

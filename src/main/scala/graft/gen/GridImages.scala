@@ -1,0 +1,88 @@
+package graft.gen
+
+import graft.ImageRow
+import graft.core.PixelCodec
+
+/**
+ * Deterministic image table whose band-b pixel at (x, y) of image i is the
+ * CLOSED-FORM integer function `value(i, b, x, y)` — plus/times/mod math
+ * that a DuckDB oracle regenerates with generate_series. Every raster operator
+ * (tiler, raster2points, mosaic, features, GLCM, classify, the full zonal
+ * pipeline) run over these images is then end-to-end SQL-checkable: the
+ * Spark side decodes REAL encoded bytes through the REAL tiler while the
+ * oracle recomputes the same pixels relationally (the driver's
+ * lineitem-derived-pixel pattern, extended to the image payload).
+ *
+ * Layout contract (keeps the SQL mirror simple):
+ *  - px = 1, W = 80, H = 48; x_min = (i % 8) * 256, y_max = (i / 8) * 256,
+ *    both multiples of the 64-unit grid cell, so at tileSize 64 every tile
+ *    lands in EXACTLY one grid cell (no ownership splits) and images never
+ *    overlap (mosaic uses the explicit overlapping placement below).
+ *  - fmt alternates raw-le / rle — lossless, so decoded pixels equal the
+ *    formula exactly.
+ *
+ * SQL mirror of one image set: `GridImages.pxSql(n, bands)`.
+ */
+object GridImages {
+  val W = 80  // 2 tiles at tileSize 64: one full, one 16-px edge tile
+  val H = 48
+
+  def value(i: Long, band: Int, x: Int, y: Int): Float =
+    ((x * 7 + y * 13 + band * 31 + i * 17) % 97).toFloat
+
+  def xMin(i: Long): Double = (i % 8) * 256.0
+  def yMax(i: Long): Double = (i / 8) * 256.0
+
+  def imageAt(i: Long, bands: Int,
+              xMin0: Double = Double.NaN, yMax0: Double = Double.NaN): ImageRow = {
+    val bs = Array.tabulate(bands)(b =>
+      Array.tabulate(W * H)(p => value(i, b, p % W, p / W)))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, bs)
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"grid image $i",
+      PixelCodec.phash64(W, H, bs(0)),
+      x_min = if (xMin0.isNaN) xMin(i) else xMin0,
+      y_max = if (yMax0.isNaN) yMax(i) else yMax0,
+      px = 1.0)
+  }
+
+  def images(n: Int, bands: Int = 2): IndexedSeq[ImageRow] =
+    (0 until n).map(i => imageAt(i.toLong, bands))
+
+  /** Horizontal-stripe images (single band): every 6-row stripe is a
+    * connected region with value ((i*5 + y/6) % 7) * 13 — adjacent
+    * stripes always differ, so polygonize's components are exactly the
+    * stripes and the oracle counts them in closed form. */
+  def stripeValue(i: Long, y: Int): Float = (((i * 5 + y / 6) % 7) * 13).toFloat
+
+  def striped(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => stripeValue(i.toLong, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"striped $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** `nLoc` locations, two images each (i and i+nLoc share a footprint) —
+    * the mosaic fixture. */
+  def overlapping(nLoc: Int, bands: Int = 1): IndexedSeq[ImageRow] =
+    (0 until 2 * nLoc).map { i =>
+      val loc = i % nLoc
+      imageAt(i.toLong, bands, xMin0 = loc * 256.0, yMax0 = 0.0)
+    }
+
+  /** DuckDB CTE producing the identical pixel relation:
+    * (i, image_id, b, x, y, v, wx, wy) for n images with the standard
+    * placement — wx/wy are pixel-CENTER world coordinates. */
+  def pxSql(n: Int, bands: Int): String =
+    s"""px AS (
+       |  SELECT i, printf('g%03d', i) AS image_id, b, x, y,
+       |         CAST((x*7 + y*13 + b*31 + i*17) % 97 AS DOUBLE) AS v,
+       |         (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
+       |         (i // 8) * 256 - y - CAST(0.5 AS DOUBLE) AS wy
+       |  FROM generate_series(0, ${n - 1}) t(i),
+       |       generate_series(0, ${bands - 1}) tb(b),
+       |       generate_series(0, ${W - 1}) tx(x),
+       |       generate_series(0, ${H - 1}) ty(y))""".stripMargin
+}

@@ -260,7 +260,10 @@ object Queries {
         floor(sum(col("cents")) * lit(10000.0) / count(lit(1))).cast("long").as("mean_c4"),
         min("cents").as("min_c"),
         max("cents").as("max_c"),
-        round(median(col("cents")), 1).as("median_c"))
+        round(median(col("cents")), 1).as("median_c"),
+        // the time-axis percentile of statChoose (raster.py:2345-2356):
+        // exact linear-interpolation percentile, mirrored by quantile_cont
+        round(percentile(col("cents"), lit(0.25)), 1).as("p25_c"))
   }
 
   val qTemporalCompSql: String =
@@ -268,7 +271,8 @@ object Queries {
       | round(sum(cents)/100.0, 4) AS total,
       | CAST(floor(sum(cents) * CAST(10000.0 AS DOUBLE) / count(*)) AS BIGINT) AS mean_c4,
       | min(cents) AS min_c, max(cents) AS max_c,
-      | round(median(cents), 1) AS median_c
+      | round(median(cents), 1) AS median_c,
+      | round(quantile_cont(cents, CAST(0.25 AS DOUBLE)), 1) AS p25_c
       |FROM (SELECT user_id, cast(round(value*100) AS bigint) AS cents FROM events)
       |GROUP BY user_id""".stripMargin
 
@@ -478,18 +482,68 @@ object Queries {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rn"))
   }
 
+  /** Brute-force cosine top-k oracle: the dot products and norms are
+    * recomputed from the unnested embedding lists in double. */
+  val qAnnTopKSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < 20),
+      |dots AS (SELECT q_id, e.vec_id,
+      |    sum(CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dp,
+      |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+      |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS nc
+      |  FROM q, embeddings e, generate_series(1, 64) t(i)
+      |  WHERE e.vec_id <> q_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT q_id, vec_id, dp / (sqrt(nq) * sqrt(nc)) AS cos,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, vec_id) AS rn
+      |      FROM dots)
+      |SELECT q_id, vec_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 3""".stripMargin
+
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     EmbedOps.lshCosinePairs(emb(spark, dir), planes = 16, bandBits = 4, minCos = 0.3)
       .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
 
-  def qPipelineZonal(spark: SparkSession, dir: String): DataFrame =
-    graft.SparkEntry.entry(spark)
+  /** LSH plane signs are the LCG bits of EmbedOps.lshSignature — the
+    * oracle recomputes signatures, band buckets, candidate pairs and the
+    * exact cosine verification relationally. */
+  val qAnnLshSql: String =
+    """WITH sp AS (SELECT vec_id, p,
+      |    sum(CAST(embedding[i] AS DOUBLE) *
+      |        (CAST((1103515245 * (p * 4096 + i - 1) + 12345) >> 16 & 1 AS DOUBLE)
+      |         * 2.0 - 1.0)) AS proj
+      |  FROM embeddings, generate_series(0, 15) tp(p),
+      |       generate_series(1, 64) ti(i)
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN proj > 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS sg
+      |  FROM sp GROUP BY 1),
+      |banded AS (SELECT vec_id, b, (sg >> CAST(b * 4 AS INT)) & 15 AS bh
+      |           FROM sig, generate_series(0, 3) tb(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+      |         FROM banded a JOIN banded c ON a.b = c.b AND a.bh = c.bh
+      |         WHERE a.vec_id < c.vec_id),
+      |cz AS (SELECT v1, v2,
+      |    sum(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE))
+      |      / (sqrt(sum(CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE)))
+      |         * sqrt(sum(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE))))
+      |      AS cos
+      |  FROM cand JOIN embeddings e1 ON e1.vec_id = v1
+      |       JOIN embeddings e2 ON e2.vec_id = v2,
+      |       generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2)
+      |SELECT v1, v2, round(cos, 4) AS cos FROM cz WHERE cos >= 0.3""".stripMargin
 
-  // --- image-pipeline operator surface (deterministic synthetic input;
-  //     driver rows-only check, exactness covered in ScalaTest)
+  // --- image-pipeline operator surface over gen.GridImages: pixels are a
+  //     closed-form integer function, so the DuckDB oracle REGENERATES the
+  //     identical pixel relation with generate_series while Spark decodes
+  //     real encoded bytes through the real tiler — end-to-end checkable.
 
   import graft.{ImageRow, PolyRow}
   import graft.operators._
+  import graft.gen.GridImages
   import org.apache.spark.sql.Encoders
 
   private def synthImages(spark: SparkSession, n: Int, bands: Int = 2) =
@@ -498,44 +552,242 @@ object Queries {
   private def synthPolys(spark: SparkSession) =
     spark.createDataset(graft.gen.Synth.polygons(nExtra = 6).toSeq)(
       Encoders.product[PolyRow])
+  private def gridImages(spark: SparkSession, n: Int, bands: Int = 2) =
+    spark.createDataset(GridImages.images(n, bands).toSeq)(
+      Encoders.product[ImageRow])
+
+  /** The flagship pipeline, oracle-checked end to end: encoded grid
+    * images -> decode+tile -> broadcast cell-prefilter join -> PIP ->
+    * full zonal stat set — the DuckDB side recomputes every statistic
+    * from the regenerated pixel relation. (SparkEntry.entry still runs
+    * the Synth flagship for the driver smoke check.) */
+  val pipeBoxes: Seq[(Long, Int, Int, Int, Int)] = Seq(
+    (0L, 10, -40, 70, -5), (1L, 0, -48, 2000, 0), (2L, 260, -30, 300, -10),
+    (3L, 500, 210, 600, 250), (4L, 50, -40, 290, -10))
+
+  private def pipePolys: Seq[PolyRow] = pipeBoxes.map { case (id, x0, y0, x1, y1) =>
+    PolyRow(id, 0, Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
+      cls = 1, name = s"pb$id", measure = 0.0)
+  }
+
+  val pipeBoxesSql: String = "(VALUES " + pipeBoxes.map { case (id, x0, y0, x1, y1) =>
+    s"(CAST($id AS BIGINT), $x0, $y0, $x1, $y1)"
+  }.mkString(", ") + ") AS bx(poly_id, bx0, by0, bx1, by1)"
+
+  def qPipelineZonal(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 16, 2), 64, cellRes)
+    val polys = spark.createDataset(pipePolys)(Encoders.product[PolyRow])
+    ZonalStats.stats(ZonalStats.histogram(tiles, polys, cellRes))
+  }
+
+  val qPipelineZonalSql: String =
+    s"""WITH ${GridImages.pxSql(16, 2)},
+       |j AS (SELECT poly_id, CAST(b AS INT) AS band, v
+       |      FROM px JOIN $pipeBoxesSql
+       |      ON wx > bx0 AND wx < bx1 AND wy > by0 AND wy < by1),
+       |h AS (SELECT poly_id, band, v, count(*) AS c FROM j GROUP BY 1, 2, 3),
+       |t AS (SELECT poly_id, band, sum(c) AS n, max(c) AS maxc FROM h GROUP BY 1, 2),
+       |med AS (SELECT poly_id, band, round(median(v), 6) AS "median"
+       |        FROM j GROUP BY 1, 2),
+       |md AS (SELECT h.poly_id, h.band, min(v) AS "mode"
+       |       FROM h JOIN t USING (poly_id, band) WHERE c = maxc GROUP BY 1, 2),
+       |ent AS (SELECT h.poly_id, h.band,
+       |          round(-sum((c / n) * ln(c / n)), 6) AS entropy
+       |        FROM h JOIN t USING (poly_id, band) GROUP BY 1, 2),
+       |mom AS (SELECT poly_id, band, count(*) AS pix_count,
+       |          sum(v) AS s1, sum(v*v) AS s2, sum(v*v*v) AS s3,
+       |          sum(v*v*v*v) AS s4, min(v) AS "min", max(v) AS "max"
+       |        FROM j GROUP BY 1, 2),
+       |st AS (SELECT poly_id, band, pix_count,
+       |  round(s1, 6) AS "sum",
+       |  round(s1 / pix_count, 6) AS mean, "min", "max",
+       |  round(sqrt(s2 / pix_count - pow(s1 / pix_count, 2)), 6) AS std,
+       |  round(CASE WHEN s2/pix_count - (s1/pix_count)*(s1/pix_count) <= 0 THEN 0.0
+       |    ELSE (s3/pix_count - 3.0*(s1/pix_count)*(s2/pix_count)
+       |          + 2.0*(s1/pix_count)*(s1/pix_count)*(s1/pix_count))
+       |         / pow(s2/pix_count - (s1/pix_count)*(s1/pix_count), 1.5) END, 6) AS skew,
+       |  round(CASE WHEN s2/pix_count - (s1/pix_count)*(s1/pix_count) <= 0 THEN 0.0
+       |    ELSE (s4/pix_count - 4.0*(s1/pix_count)*(s3/pix_count)
+       |          + 6.0*(s1/pix_count)*(s1/pix_count)*(s2/pix_count)
+       |          - 3.0*(s1/pix_count)*(s1/pix_count)*(s1/pix_count)*(s1/pix_count))
+       |         / ((s2/pix_count - (s1/pix_count)*(s1/pix_count))
+       |            * (s2/pix_count - (s1/pix_count)*(s1/pix_count))) - 3.0 END, 6)
+       |    AS kurtosis,
+       |  round(s1 * 1.0, 6) AS vol
+       |  FROM mom)
+       |SELECT st.poly_id, st.band, pix_count, "sum", mean, "min", "max", std,
+       |       "median", "mode", skew, kurtosis, entropy, vol
+       |FROM st JOIN med USING (poly_id, band) JOIN md USING (poly_id, band)
+       |JOIN ent USING (poly_id, band)""".stripMargin
 
   def qRasterPoints(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.tiles(synthImages(spark, 8), 64, cellRes)
+    val tiles = Tiler.tiles(gridImages(spark, 8), 64, cellRes)
     RasterOps.rasterToPoints(tiles.toDF())
       .groupBy("image_id", "band")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+        round(sum(col("value") * col("x")), 2).as("sum_vx"),
+        round(sum(col("value") * col("y")), 2).as("sum_vy"))
   }
 
+  /** The x/y-weighted sums pin the pixel-center coordinate math
+    * (x_min + (col+0.5)*px), not just the value stream. */
+  val qRasterPointsSql: String =
+    s"""WITH ${GridImages.pxSql(8, 2)}
+       |SELECT image_id, CAST(b AS INT) AS band, count(*) AS n,
+       |  round(sum(v), 2) AS sum_v,
+       |  round(sum(v * wx), 2) AS sum_vx,
+       |  round(sum(v * wy), 2) AS sum_vy
+       |FROM px GROUP BY 1, 2""".stripMargin
+
+  /** polygonize over stripe images: components = 6-row stripes, so the
+    * oracle derives region counts / sizes / rectangular ring vertex
+    * counts in closed form from the stripe formula. */
   def qPolygonize(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Polygonize.polygonize(synthImages(spark, 8, bands = 1), band = 0, quant = 64f)
-      .toDF().select(col("image_id"), col("value"), col("pixel_count"),
-        size(col("ring")).as("ring_len"))
+    val imgs = spark.createDataset(GridImages.striped(8).toSeq)(
+      Encoders.product[ImageRow])
+    Polygonize.polygonize(imgs, band = 0, quant = 13f)
+      .toDF().select(col("image_id"), col("value"),
+        col("pixel_count"), size(col("ring")).as("ring_len"))
+      .groupBy("image_id", "value")
+      .agg(count(lit(1)).as("n_regions"), sum("pixel_count").as("pixels"),
+        sum("ring_len").as("ring_pts"))
   }
 
+  val qPolygonizeSql: String =
+    s"""WITH st AS (
+       |  SELECT printf('g%03d', i) AS image_id,
+       |         CAST(((i*5 + s) % 7) * 13 AS FLOAT) AS value
+       |  FROM generate_series(0, 7) t(i), generate_series(0, 7) ts(s))
+       |SELECT image_id, value, count(*) AS n_regions,
+       |  CAST(count(*) * ${GridImages.W} * 6 AS BIGINT) AS pixels,
+       |  CAST(count(*) * 4 AS BIGINT) AS ring_pts
+       |FROM st GROUP BY 1, 2""".stripMargin
+
+  /** shape_props over the fixed fixture polygons (integer-ish coords):
+    * the oracle recomputes shoelace area (holes subtracted), perimeter,
+    * area-weighted centroid and bbox extent from a VALUES vertex table.
+    * min-rect axes / solidity stay ScalaTest-gated (rotating calipers is
+    * not SQL). */
   def qShapeProps(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    ShapeProps.props(synthPolys(spark)).toDF()
+    val polys = spark.createDataset(graft.gen.Synth.polygons(nExtra = 0).toSeq)(
+      Encoders.product[PolyRow])
+    ShapeProps.props(polys).toDF()
       .select(col("poly_id"), col("part"), round(col("area"), 4).as("area"),
         round(col("perimeter"), 4).as("perimeter"),
-        round(col("major_axis"), 4).as("major_axis"),
-        round(col("solidity"), 4).as("solidity"))
+        round(col("centroid_x"), 4).as("centroid_x"),
+        round(col("centroid_y"), 4).as("centroid_y"),
+        round(col("extent"), 4).as("extent"))
   }
 
+  /** Vertex VALUES with the NEXT vertex precomputed (wraparound), so the
+    * oracle's shoelace/perimeter are single-pass aggregates. */
+  val qShapePropsSql: String = {
+    val rows = graft.gen.Synth.polygons(nExtra = 0).flatMap { p =>
+      p.rings.zipWithIndex.flatMap { case (ring, ri) =>
+        ring.indices.map { vi =>
+          val a = ring(vi); val b = ring((vi + 1) % ring.length)
+          s"(CAST(${p.poly_id} AS BIGINT), ${p.part}, $ri, " +
+            s"CAST(${a.x} AS DOUBLE), CAST(${a.y} AS DOUBLE), " +
+            s"CAST(${b.x} AS DOUBLE), CAST(${b.y} AS DOUBLE))"
+        }
+      }
+    }
+    s"""WITH vx(poly_id, part, ring, x, y, nx, ny) AS (
+       |  VALUES ${rows.mkString(", ")}),
+       |rg AS (SELECT poly_id, part, ring,
+       |         sum(x*ny - nx*y) / 2 AS sa,
+       |         sum(sqrt((nx-x)*(nx-x) + (ny-y)*(ny-y))) AS per
+       |       FROM vx GROUP BY 1, 2, 3),
+       |ar AS (SELECT poly_id, part,
+       |         sum(CASE WHEN ring = 0 THEN abs(sa) ELSE -abs(sa) END) AS area,
+       |         sum(per) AS perimeter
+       |       FROM rg GROUP BY 1, 2),
+       |ct AS (SELECT v.poly_id, v.part,
+       |         sum((x + nx) * (x*ny - nx*y)) / (6 * any_value(sa)) AS cx,
+       |         sum((y + ny) * (x*ny - nx*y)) / (6 * any_value(sa)) AS cy
+       |       FROM vx v JOIN rg USING (poly_id, part, ring)
+       |       WHERE ring = 0 GROUP BY 1, 2),
+       |bb AS (SELECT poly_id, part,
+       |         (max(greatest(x, nx)) - min(least(x, nx)))
+       |         * (max(greatest(y, ny)) - min(least(y, ny))) AS bba
+       |       FROM vx GROUP BY 1, 2)
+       |SELECT ar.poly_id, ar.part, round(area, 4) AS area,
+       |  round(perimeter, 4) AS perimeter,
+       |  round(cx, 4) AS centroid_x, round(cy, 4) AS centroid_y,
+       |  round(CASE WHEN bba > 0 THEN area / bba ELSE 0.0 END, 4) AS extent
+       |FROM ar JOIN ct USING (poly_id, part) JOIN bb USING (poly_id, part)""".stripMargin
+  }
+
+  /** GLCM texture over grid images with one all-covering polygon; the
+    * oracle rebuilds the symmetric pair histogram (offset (1,0), 32
+    * levels over maxVal 256 = exact v/8 quantization, tile-local pairs:
+    * x+1 in the same 64-px tile) and recomputes every greycoprops
+    * formula. */
   def qGlcm(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.tiles(synthImages(spark, 12), 64, cellRes)
-    Glcm.textureStats(Glcm.pairHistogram(tiles, synthPolys(spark), cellRes))
+    val tiles = Tiler.tiles(gridImages(spark, 12, 2), 64, cellRes)
+    val all = PolyRow(0L, 0,
+      Array(Array(Pt(-10, -60), Pt(2100, -60), Pt(2100, 300), Pt(-10, 300))),
+      1, "all", 0.0)
+    val polys = spark.createDataset(Seq(all))(Encoders.product[PolyRow])
+    Glcm.textureStats(Glcm.pairHistogram(tiles, polys, cellRes,
+      dx = 1, dy = 0, levels = 32, maxVal = 256f))
   }
+
+  val qGlcmSql: String =
+    s"""WITH ${GridImages.pxSql(12, 2)},
+       |pr AS (SELECT p1.b, CAST(floor(p1.v / 8) AS INT) AS qa,
+       |              CAST(floor(p2.v / 8) AS INT) AS qb
+       |       FROM px p1 JOIN px p2
+       |         ON p1.i = p2.i AND p1.b = p2.b AND p1.y = p2.y AND p2.x = p1.x + 1
+       |       WHERE p1.x <> 63),
+       |h AS (SELECT CAST(0 AS BIGINT) AS poly_id, CAST(b AS INT) AS band,
+       |             q1, q2, count(*) AS cnt
+       |      FROM (SELECT b, qa AS q1, qb AS q2 FROM pr
+       |            UNION ALL SELECT b, qb, qa FROM pr)
+       |      GROUP BY 1, 2, 3, 4),
+       |t AS (SELECT poly_id, band, sum(cnt) AS n FROM h GROUP BY 1, 2),
+       |m AS (SELECT h.poly_id, h.band,
+       |        sum(q1 * (cnt / n)) AS mu
+       |      FROM h JOIN t USING (poly_id, band) GROUP BY 1, 2)
+       |SELECT h.poly_id, h.band,
+       |  round(sum((q1 - q2) * (q1 - q2) * (cnt / n)), 6) AS contrast,
+       |  round(sum(abs(q1 - q2) * (cnt / n)), 6) AS dissimilarity,
+       |  round(sum((cnt / n) / (1.0 + (q1 - q2) * (q1 - q2))), 6) AS homogeneity,
+       |  round(sum((cnt / n) * (cnt / n)), 6) AS asm,
+       |  round(sqrt(sum((cnt / n) * (cnt / n))), 6) AS energy,
+       |  round(CASE WHEN sum((q1 - mu) * (q1 - mu) * (cnt / n)) <= 0 THEN 1.0
+       |    ELSE sum((q1 - mu) * (q2 - mu) * (cnt / n))
+       |         / sum((q1 - mu) * (q1 - mu) * (cnt / n)) END, 6) AS correlation
+       |FROM h JOIN t USING (poly_id, band) JOIN m USING (poly_id, band)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Full ML pipeline oracle: sample extraction (integer training boxes
+    * -> open-interval PIP), centroid fit (per-class feature means), and
+    * per-pixel nearest-centroid classification are ALL recomputed
+    * relationally by DuckDB from the pixel formula. */
+  val classifyBoxes: Seq[(Int, Int, Int, Int, Int)] = Seq(
+    // (cls, x0, y0, x1, y1) — inside images 0, 1 and 10 respectively
+    (1, 10, -40, 70, -10), (2, 270, -40, 330, -10), (3, 520, 210, 580, 250))
 
   def qClassify(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.multiTiles(synthImages(spark, 12), 64, cellRes)
-    val samples = Training.extractSamples(tiles, synthPolys(spark), cellRes)
+    val tiles = Tiler.multiTiles(gridImages(spark, 12, 2), 64, cellRes)
+    val trainPolys = classifyBoxes.zipWithIndex.map { case ((cls, x0, y0, x1, y1), k) =>
+      PolyRow(k.toLong, 0,
+        Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
+        cls, s"train$cls", 0.0)
+    }
+    val samples = Training.extractSamples(tiles,
+      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes)
     val model = Training.fitCentroids(samples)
     Training.classify(tiles, model).toDF()
       .select(col("image_id"),
@@ -543,53 +795,192 @@ object Queries {
       .groupBy("image_id").agg(round(sum("class_sum"), 2).as("class_mass"))
   }
 
+  val qClassifySql: String = {
+    val boxesVals = "(VALUES " + classifyBoxes.map { case (c, x0, y0, x1, y1) =>
+      s"($c, $x0, $y0, $x1, $y1)"
+    }.mkString(", ") + ") AS tb(cls, tx0, ty0, tx1, ty1)"
+    s"""WITH fv AS (
+       |  SELECT i, printf('g%03d', i) AS image_id, x, y,
+       |    CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v0,
+       |    CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) AS v1,
+       |    (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
+       |    (i // 8) * 256 - y - CAST(0.5 AS DOUBLE) AS wy
+       |  FROM generate_series(0, 11) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |cent AS (SELECT cls, sum(v0) / count(*) AS c0, sum(v1) / count(*) AS c1
+       |         FROM fv JOIN $boxesVals
+       |         ON wx > tx0 AND wx < tx1 AND wy > ty0 AND wy < ty1
+       |         GROUP BY 1),
+       |d AS (SELECT image_id, x, y,
+       |        min(CASE WHEN cls = 1 THEN (v0-c0)*(v0-c0) + (v1-c1)*(v1-c1) END) AS d1,
+       |        min(CASE WHEN cls = 2 THEN (v0-c0)*(v0-c0) + (v1-c1)*(v1-c1) END) AS d2,
+       |        min(CASE WHEN cls = 3 THEN (v0-c0)*(v0-c0) + (v1-c1)*(v1-c1) END) AS d3
+       |      FROM fv CROSS JOIN cent GROUP BY 1, 2, 3)
+       |SELECT image_id,
+       |  round(sum(CASE WHEN d1 <= d2 AND d1 <= d3 THEN 1.0
+       |                 WHEN d2 <= d3 THEN 2.0 ELSE 3.0 END), 2) AS class_mass
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
+  /** mosaic: 4 locations x 2 overlapping images, nodata = 0 — first
+    * non-nodata in image_id order wins; the oracle recomputes the
+    * composite rule from the pixel formulas of both layers. */
   def qMosaic(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val imgs = synthImages(spark, 8)
-    val tiles = Tiler.tiles(imgs, 64, cellRes)
+    val imgs = spark.createDataset(GridImages.overlapping(4, 1).toSeq)(
+      Encoders.product[ImageRow])
+    val tiles = Tiler.tiles(imgs, 64, cellRes, nodata = 0f)
     RasterOps.mosaic(tiles.toDF())
       .select(col("cell_id"), col("band"), col("tx"), col("ty"),
         aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
       .groupBy("band").agg(count(lit(1)).as("n_tiles"), round(sum("mass"), 2).as("mass"))
   }
 
+  val qMosaicSql: String =
+    """WITH pxm AS (
+      |  SELECT loc, x, y,
+      |    CAST((x*7 + y*13 + loc*17) % 97 AS DOUBLE) AS v1,
+      |    CAST((x*7 + y*13 + (loc+4)*17) % 97 AS DOUBLE) AS v2
+      |  FROM generate_series(0, 3) t(loc), generate_series(0, 79) tx(x),
+      |       generate_series(0, 47) ty(y))
+      |-- n_tiles: 4 locations x 2 tiles (80 px at tileSize 64), 1 band
+      |SELECT CAST(0 AS INT) AS band, CAST(8 AS BIGINT) AS n_tiles,
+      |  round(sum(CASE WHEN v1 <> 0 THEN v1 ELSE v2 END), 2) AS mass
+      |FROM pxm""".stripMargin
+
   def qImageFeatures(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    ImageOps.features(synthImages(spark, 24))
+    ImageOps.features(gridImages(spark, 24, 2))
       .select(col("image_id"), col("band"), col("phash"),
         round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"))
   }
 
+  /** The oracle recomputes the 64-bit average-hash (8x8 block means vs
+    * global mean, PixelCodec.phash64) relationally — bit 63 lands exactly
+    * on the BIGINT sign bit, added as Long.MinValue. */
+  val qImageFeaturesSql: String =
+    s"""WITH ${GridImages.pxSql(24, 2)},
+       |cells AS (SELECT i, image_id, y // 6 * 8 + x // 10 AS k,
+       |            sum(v) / count(*) AS cm
+       |          FROM px WHERE b = 0 GROUP BY 1, 2, 3),
+       |gm AS (SELECT i, sum(v) / count(*) AS m FROM px WHERE b = 0 GROUP BY 1),
+       |ph AS (SELECT image_id,
+       |         CAST(sum(CASE WHEN cm > m THEN
+       |           CASE WHEN k = 63 THEN -9223372036854775808
+       |                ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END
+       |           ELSE 0 END) AS BIGINT) AS phash
+       |       FROM cells JOIN gm USING (i) GROUP BY 1),
+       |st AS (SELECT image_id, CAST(b AS INT) AS band,
+       |         round(sum(v) / count(*), 4) AS mean,
+       |         round(sqrt(greatest(0.0, sum(v*v) / count(*)
+       |           - (sum(v)/count(*)) * (sum(v)/count(*)))), 4) AS std
+       |       FROM px GROUP BY 1, 2)
+       |SELECT st.image_id, band, phash, mean, std
+       |FROM st JOIN ph USING (image_id)""".stripMargin
+
   def qTranscode(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // raw-le -> qnt8 transcode must keep phash stable (PSNR >= 40 regime)
-    val src = synthImages(spark, 16)
+    // lossless -> qnt8 transcode: the oracle pins the qnt8 frame size
+    // (bands * (8-byte min/max header + w*h bytes)); pixel exactness
+    // (PSNR >= 40) is spec-gated in ImageOpsSpec
+    val src = gridImages(spark, 16, 2)
     ImageOps.transcode(src, graft.core.PixelCodec.FmtQnt8).toDF()
-      .select(col("image_id"), col("fmt"), col("phash"), length(col("bytes")).as("nbytes"))
+      .select(col("image_id"), col("fmt"), length(col("bytes")).as("nbytes"),
+        col("w"), col("h"))
   }
+
+  val qTranscodeSql: String =
+    s"""SELECT printf('g%03d', i) AS image_id, 'qnt8' AS fmt,
+       |  CAST(2 * (8 + ${GridImages.W} * ${GridImages.H}) AS INT) AS nbytes,
+       |  CAST(${GridImages.W} AS INT) AS w, CAST(${GridImages.H} AS INT) AS h
+       |FROM generate_series(0, 15) t(i)""".stripMargin
+
+  /** General JTS polygon∩polygon clip (clipToPolygons) of the zonal box
+    * layer against a quadrant grid; the oracle computes every clipped
+    * part's rectangle-intersection area in closed form. */
+  val clipRects: Seq[(Long, Int, Int, Int, Int)] = Seq(
+    (0L, 0, 0, 100, 50), (1L, 100, 0, 200, 50),
+    (2L, 0, 50, 100, 100), (3L, 100, 50, 200, 100))
 
   def qClipPoly(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val rects = (0 until 4).flatMap(i => (0 until 4).map(j =>
-      ((i * 4 + j).toLong, graft.core.Geom.BBox(-2000.0 + i * 1000, -2000.0 + j * 1000,
-        -1000.0 + i * 1000, -1000.0 + j * 1000))))
-    VectorOps.clipToRects(synthPolys(spark), rects).toDF()
-      .select(col("poly_id"), col("cls"), size(col("rings")).as("n_rings"))
+    import spark.implicits._
+    val clipLayer = clipRects.map { case (id, x0, y0, x1, y1) =>
+      PolyRow(id, 0, Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
+        1, s"r$id", 0.0)
+    }
+    VectorOps.clipToPolygons(spark.createDataset(boxPolys), clipLayer)
+      .map { p =>
+        val rings: graft.core.Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+        (p.poly_id, graft.core.Geom.area(rings))
+      }
+      .toDF("clip_id", "area")
+      .select(col("clip_id"), round(col("area"), 4).as("area"))
   }
 
+  val qClipPolySql: String = {
+    val rectVals = "(VALUES " + clipRects.map { case (id, x0, y0, x1, y1) =>
+      s"(CAST($id AS BIGINT), $x0, $y0, $x1, $y1)"
+    }.mkString(", ") + ") AS r(rid, rx0, ry0, rx1, ry1)"
+    s"""SELECT poly_id * 100000 + rid AS clip_id,
+       |  round(CAST((least(x1, rx1) - greatest(x0, rx0))
+       |        * (least(y1, ry1) - greatest(y0, ry0)) AS DOUBLE), 4) AS area
+       |FROM $boxesSql JOIN $rectVals
+       |  ON least(x1, rx1) > greatest(x0, rx0)
+       | AND least(y1, ry1) > greatest(y0, ry0)""".stripMargin
+  }
+
+  /** GeoJSON writer over the fixed fixture layer; the oracle REBUILDS the
+    * Feature strings from the vertex VALUES with string_agg (printf %.1f
+    * matches Scala's Double.toString for the fixture's 1-decimal
+    * coordinate/measure values). */
   def qGeoJson(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    VectorOps.toGeoJson(synthPolys(spark))
+    val polys = spark.createDataset(graft.gen.Synth.polygons(nExtra = 0).toSeq)(
+      Encoders.product[PolyRow])
+    VectorOps.toGeoJson(polys)
   }
 
-  /** Image near-dup + exact dedup over the phash/binary payload. The
-    * input plants true duplicates: every image appears once more as a
-    * lossless re-encode (same pixels, different fmt/id). */
+  val qGeoJsonSql: String = {
+    val rows = graft.gen.Synth.polygons(nExtra = 0).flatMap { p =>
+      p.rings.zipWithIndex.flatMap { case (ring, ri) =>
+        // closed ring: vertices 0..n-1 then vertex 0 again (ring :+ head)
+        (ring.indices :+ 0).zipWithIndex.map { case (vi, seq) =>
+          val a = ring(vi)
+          s"(CAST(${p.poly_id} AS BIGINT), ${p.part}, $ri, $seq, " +
+            s"CAST(${a.x} AS DOUBLE), CAST(${a.y} AS DOUBLE), " +
+            s"${p.cls}, '${p.name}', CAST(${p.measure} AS DOUBLE))"
+        }
+      }
+    }
+    s"""WITH vx(poly_id, part, ring, seq, x, y, cls, name, measure) AS (
+       |  VALUES ${rows.mkString(", ")}),
+       |rg AS (SELECT poly_id, part, ring,
+       |         '[' || string_agg('[' || printf('%.1f', x) || ',' ||
+       |                           printf('%.1f', y) || ']', ',' ORDER BY seq)
+       |             || ']' AS ringstr,
+       |         any_value(cls) AS cls, any_value(name) AS name,
+       |         any_value(measure) AS measure
+       |       FROM vx GROUP BY 1, 2, 3)
+       |SELECT poly_id,
+       |  '{"type":"Feature","geometry":{"type":"Polygon","coordinates":['
+       |  || string_agg(ringstr, ',' ORDER BY ring)
+       |  || ']},"properties":{"poly_id":' || poly_id || ',"class":'
+       |  || any_value(cls) || ',"name":"' || any_value(name)
+       |  || '","measure":' || printf('%.1f', any_value(measure)) || '}}'
+       |  AS geojson
+       |FROM rg GROUP BY poly_id, part""".stripMargin
+  }
+
+  /** Image near-dup over the phash column: grid-image base + lossless
+    * re-encodes (same pixels, different fmt/id) — the oracle recomputes
+    * every phash from the pixel formula (average-hash relationally, as
+    * in q_image_features) and self-joins on bit_count(xor) <= 2, so the
+    * whole chain (hash + blocking + verify) is DuckDB-checked. */
   def qPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    import org.apache.spark.sql.Encoders
-    val base = graft.gen.Synth.images(24, seed = 42L, bands = 1)
+    val base = GridImages.images(24, bands = 1)
     val dupes = base.map { img =>
       val dec = graft.core.PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val fmt2 = if (img.fmt == "rle") "raw-le" else "rle"
@@ -601,10 +992,37 @@ object Queries {
     ImageDedup.phashPairs(all, maxHamming = 2)
   }
 
+  /** Shared oracle fragment: phash of grid image i (1-band) as the 8x8
+    * block-mean average hash. */
+  private def phashSqlCte(n: Int): String =
+    s"""gpx AS (
+       |  SELECT i, x, y, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, ${n - 1}) t(i),
+       |       generate_series(0, ${GridImages.W - 1}) tx(x),
+       |       generate_series(0, ${GridImages.H - 1}) ty(y)),
+       |cells AS (SELECT i, y // 6 * 8 + x // 10 AS k, sum(v) / count(*) AS cm
+       |          FROM gpx GROUP BY 1, 2),
+       |gm AS (SELECT i, sum(v) / count(*) AS m FROM gpx GROUP BY 1),
+       |ph AS (SELECT i,
+       |         CAST(sum(CASE WHEN cm > m THEN
+       |           CASE WHEN k = 63 THEN -9223372036854775808
+       |                ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END
+       |           ELSE 0 END) AS BIGINT) AS phash
+       |       FROM cells JOIN gm USING (i) GROUP BY 1)""".stripMargin
+
+  val qPhashPairsSql: String =
+    s"""WITH ${phashSqlCte(24)},
+       |ids AS (SELECT printf('g%03d', i) AS image_id, phash FROM ph
+       |        UNION ALL
+       |        SELECT printf('g%03d', i) || '_dup', phash FROM ph)
+       |SELECT a.image_id AS i1, b.image_id AS i2,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM ids a JOIN ids b ON a.image_id < b.image_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin
+
   def qImageDedup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    import org.apache.spark.sql.Encoders
-    val base = graft.gen.Synth.images(24, seed = 42L, bands = 1)
+    val base = GridImages.images(24, bands = 1)
     val dupes = base.take(10).map { img =>
       val dec = graft.core.PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val fmt2 = if (img.fmt == "rle") "raw-le" else "rle"
@@ -616,18 +1034,77 @@ object Queries {
     ImageDedup.dedupExact(all)
   }
 
-  /** The north-rule index surface: every image keyed by planar grid,
-    * S2 (spherical) and H3-style hex cells via the batched Catalyst
-    * expressions, plus k-ring expansion sizes. */
+  /** Ground truth derived in SQL: the re-encoded copies (i < 10) decode
+    * to identical pixels, every other image's pixels differ (the i*17
+    * term is injective mod 97), so groups are exactly {g_i, z g_i}. */
+  val qImageDedupSql: String =
+    """SELECT printf('g%03d', i) AS keep_id,
+      |  CAST(CASE WHEN i < 10 THEN 2 ELSE 1 END AS BIGINT) AS n_dups
+      |FROM generate_series(0, 23) t(i)""".stripMargin
+
+  /** The north-rule index surface over the lineitem-derived point cloud:
+    * planar grid ids (pure bit math) and H3-style hex ids (axial cube
+    * rounding) via the batched Catalyst expressions — BOTH recomputed by
+    * the oracle, bit for bit, plus k-ring expansion sizes. S2 (Hilbert
+    * lookup tables, not SQL-expressible) is q_s2_index, spec-gated. */
   def qCellIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SpatialFunctions._
     implicit val s: SparkSession = spark
-    synthImages(spark, 48).toDF()
-      .withColumn("grid", gridCellId(col("x_min"), col("y_max"), 12))
-      .withColumn("hex", hexCellId(col("x_min"), col("y_max"), 9))
-      .withColumn("s2", s2CellId(col("y_max") / lit(100.0), col("x_min") / lit(100.0), 12))
+    pts(spark, dir)
+      .withColumn("sx", col("x") * 41 - 3000)
+      .withColumn("sy", col("y") * 87 - 2000)
+      .withColumn("grid", gridCellId(col("sx"), col("sy"), 13))
+      .withColumn("hex", hexCellId(col("sx"), col("sy"), 7))
       .withColumn("grid_ring", size(gridKRing(col("grid"), 2)))
       .withColumn("hex_ring", size(hexKRing(col("hex"), 2)))
-      .select("image_id", "phash", "grid", "hex", "s2", "grid_ring", "hex_ring")
+      .select("pt_id", "grid", "hex", "grid_ring", "hex_ring")
+  }
+
+  /** Grid: [res:5|ix:20|iy:20] with ix = clamp(floor((x + 2^19)/2^(20-res))).
+    * Hex: rotate by -res*atan2(sqrt(3),5), axial fractional coords, cube
+    * rounding (floor(q+0.5) = Scala math.round), zigzag-packed — mirrors
+    * core.Hex term by term. */
+  val qCellIndexSql: String =
+    s"""WITH p0 AS ($ptsSql),
+       |p AS (SELECT pt_id, x * 41 - 3000 AS sx, y * 87 - 2000 AS sy FROM p0),
+       |hexf AS (SELECT pt_id, sx, sy,
+       |    ((sqrt(3)/3) * (sx * cos(-(7*atan2(sqrt(3),5))) - sy * sin(-(7*atan2(sqrt(3),5))))
+       |      - (1.0/3.0) * (sx * sin(-(7*atan2(sqrt(3),5))) + sy * cos(-(7*atan2(sqrt(3),5)))))
+       |      / (65536 / pow(sqrt(7), 7)) AS qf,
+       |    ((2.0/3.0) * (sx * sin(-(7*atan2(sqrt(3),5))) + sy * cos(-(7*atan2(sqrt(3),5)))))
+       |      / (65536 / pow(sqrt(7), 7)) AS rf
+       |  FROM p),
+       |hexr AS (SELECT pt_id, sx, sy, qf, rf,
+       |    CAST(floor(qf + 0.5) AS BIGINT) AS q0,
+       |    CAST(floor(rf + 0.5) AS BIGINT) AS r0,
+       |    CAST(floor(-qf - rf + 0.5) AS BIGINT) AS s0
+       |  FROM hexf),
+       |hexq AS (SELECT pt_id, sx, sy,
+       |    CASE WHEN abs(q0 - qf) > abs(r0 - rf) AND abs(q0 - qf) > abs(s0 - (-qf - rf))
+       |         THEN -r0 - s0 ELSE q0 END AS q,
+       |    CASE WHEN NOT (abs(q0 - qf) > abs(r0 - rf) AND abs(q0 - qf) > abs(s0 - (-qf - rf)))
+       |          AND abs(r0 - rf) > abs(s0 - (-qf - rf))
+       |         THEN -q0 - s0 ELSE r0 END AS r
+       |  FROM hexr)
+       |SELECT pt_id,
+       |  CAST(13 AS BIGINT) * 1099511627776
+       |    + greatest(CAST(0 AS BIGINT), least(CAST(8191 AS BIGINT),
+       |        CAST(floor((sx + 524288) / 128) AS BIGINT))) * 1048576
+       |    + greatest(CAST(0 AS BIGINT), least(CAST(8191 AS BIGINT),
+       |        CAST(floor((sy + 524288) / 128) AS BIGINT))) AS grid,
+       |  4611686018427387904 + CAST(7 AS BIGINT) * 288230376151711744
+       |    + (CASE WHEN q >= 0 THEN 2*q ELSE -2*q - 1 END) * 536870912
+       |    + (CASE WHEN r >= 0 THEN 2*r ELSE -2*r - 1 END) AS hex,
+       |  CAST(25 AS INT) AS grid_ring, CAST(19 AS INT) AS hex_ring
+       |FROM hexq""".stripMargin
+
+  /** S2 quad-tree/Hilbert ids (bit-for-bit spec in SpatialFunctionsSpec;
+    * Hilbert lookup tables are not relationally expressible). */
+  def qS2Index(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialFunctions._
+    implicit val s: SparkSession = spark
+    pts(spark, dir)
+      .withColumn("s2", s2CellId(col("y") / lit(2.0) - 25.0, col("x") - 100.0, 12))
+      .select("pt_id", "s2")
   }
 }

@@ -43,16 +43,18 @@ object EmbedOps {
       .select("q_id", "vec_id", "cos", "rn")
   }
 
-  /** Deterministic pseudo-random hyperplane sign bit: the plane for
-    * (plane p, dim i) is derived from xxhash64(p, i) mapped to ±1;
-    * sign(sum_i v_i * r_pi) -> bit p. Pure column math. */
+  /** Deterministic pseudo-random hyperplane sign bit: the ±1 for
+    * (plane p, dim i) is bit 16 of the LCG value 1103515245*(p*4096+i)
+    * + 12345 — closed-form integer math (no 64-bit wraparound), so a
+    * DuckDB oracle recomputes the identical planes. sign(sum_i v_i *
+    * r_pi) -> bit p. Pure column math. */
   def lshSignature(emb: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // r_pi = +1 if hash bit else -1
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
           (v, i) => v.cast("double") *
-            (xxhash64(lit(p), i).bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)),
+            (shiftrightunsigned(lit(1103515245L) * (lit(p.toLong * 4096L) + i) + 12345L, 16)
+              .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
