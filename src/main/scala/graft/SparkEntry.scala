@@ -51,6 +51,7 @@ object SparkEntry {
       "q_ann_lsh"         -> (Q.qAnnLsh _),
       "q_pipeline_zonal"  -> (Q.qPipelineZonal _),
       "q_raster_points"   -> (Q.qRasterPoints _),
+      "q_zonal_rgb"       -> (Q.qZonalRgb _),
       "q_polygonize"      -> (Q.qPolygonize _),
       "q_shape_props"     -> (Q.qShapeProps _),
       "q_glcm"            -> (Q.qGlcm _),
@@ -105,7 +106,8 @@ object SparkEntry {
       "q_phash_pairs"     -> Q.qPhashPairsSql,
       "q_image_dedup"     -> Q.qImageDedupSql,
       "q_ann_topk"        -> Q.qAnnTopKSql,
-      "q_ann_lsh"         -> Q.qAnnLshSql
+      "q_ann_lsh"         -> Q.qAnnLshSql,
+      "q_zonal_rgb"       -> Q.qZonalRgbSql
     )
   }
 }

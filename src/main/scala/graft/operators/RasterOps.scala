@@ -79,6 +79,50 @@ object RasterOps {
       "tgl"   -> (g - 0.39) * (r - 0.61) * b)
   }
 
+  /**
+   * zonal_rgb_idx (shape.py:1413-1502): per-polygon MEANS of all 11 RGB
+   * indices over the pixels inside each polygon. All-bands tiles join
+   * the broadcast polygon-cell prefilter, the PIP-passing pixels emit
+   * (poly_id, r, g, b) rows, and the index means are ONE grouped
+   * aggregate of codegen'd exprs — Catalyst's partial aggregation folds
+   * the per-pixel rows map-side, so the only shuffle carries
+   * (poly, 11 partial sums), never pixels. `shift` adds a constant to
+   * every band (callers use 1.0 to keep the reference's 1/(g*r)-style
+   * denominators away from zero on integer imagery).
+   */
+  def zonalRgbIndices(tiles: Dataset[graft.MultiTileRow], polys: Dataset[PolyRow],
+                      cellRes: Int, shift: Double = 0.0)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pc = ZonalStats.polyCells(polys, cellRes)
+    val px = tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
+      .flatMap { case (t, p) =>
+        val cb = GridIndex.cellBounds(p.cell_id)
+        val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
+        var row = 0
+        while (row < t.th) {
+          val cy = t.y_max - (row + 0.5) * t.px
+          var c = 0
+          while (c < t.tw) {
+            val cx = t.x_min + (c + 0.5) * t.px
+            if (cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
+              Geom.pointInPolygon(cx, cy, rings)) {
+              val i = row * t.tw + c
+              out += ((p.poly_id, t.bands(0)(i).toDouble,
+                t.bands(1)(i).toDouble, t.bands(2)(i).toDouble))
+            }
+            c += 1
+          }
+          row += 1
+        }
+        out
+      }.toDF("poly_id", "r", "g", "b")
+    val aggs = rgbIndices(col("r") + shift, col("g") + shift, col("b") + shift)
+      .map { case (n, e) => round(avg(e), 4).as(n) }
+    px.groupBy("poly_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** combine_scene (raster.py:1466-1524): aligned-grid per-pixel rule
     * merge of two classifications — where s1 is nodata/0 take s2, where
     * both agree keep, else keep s1 (the reference's crop-map rules). */

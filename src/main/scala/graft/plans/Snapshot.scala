@@ -2,8 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /**
  * Iceberg-style snapshot-tagged table (SURVEY §2.9, §4.2): the batch
@@ -24,6 +23,11 @@ import scala.jdk.CollectionConverters._
  * DataFrame before writing, so a re-run after a crash rewrites nothing
  * and a partial data dir without a manifest is simply invisible.
  *
+ * All metadata I/O goes through the Hadoop FileSystem API resolved from
+ * the root path's scheme — the same table works on file://, hdfs:// and
+ * s3a:// (rename is atomic on HDFS; on object stores the single-manifest
+ * rename is the standard Iceberg-ish commit point).
+ *
  * Scale: the manifest is O(partitions) JSON — fine for the ~10^4-10^5
  * partitions a 100 TB table would use at this layer (coarse partition
  * values, e.g. ingest shards), and the data path is plain partitioned
@@ -33,13 +37,17 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
 
   final case class PartMeta(rows: Long, bytes: Long, snapshot: Int, writer: String)
 
-  private def manifestDir = Paths.get(root, "manifests")
-  private def dataDir(v: Int) = Paths.get(root, "data", s"v$v")
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new Path(rootPath, "manifests")
+  private def dataDir(v: Int) = new Path(new Path(rootPath, "data"), s"v$v")
 
   def currentVersion: Int = {
-    if (!Files.isDirectory(manifestDir)) return 0
-    Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
+    val f = fs
+    if (!f.exists(manifestDir)) return 0
+    f.listStatus(manifestDir).iterator
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .foldLeft(0)(math.max)
@@ -49,8 +57,11 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
   def committed(): Map[String, PartMeta] = {
     val v = currentVersion
     if (v == 0) return Map.empty
-    parseManifest(new String(Files.readAllBytes(
-      manifestDir.resolve(s"v$v.json")), "UTF-8"))
+    val in = fs.open(new Path(manifestDir, s"v$v.json"))
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    parseManifest(json)
   }
 
   /**
@@ -83,11 +94,13 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     if (counted.nonEmpty)
       fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
     // byte metrics from the files just written
+    val f = fs
     val bytes = counts.keys.map { k =>
-      val pdir = outDir.resolve(s"$partKey=$k")
-      val sz = if (Files.isDirectory(pdir))
-        Files.list(pdir).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+      val pdir = new Path(outDir, s"$partKey=$k")
+      val sz = if (f.exists(pdir) && f.getFileStatus(pdir).isDirectory)
+        f.listStatus(pdir).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
       else 0L
       k -> sz
     }.toMap
@@ -116,14 +129,15 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
       spark.read
         .option("basePath", dataDir(v).toString)
         .parquet(ps.map { case (k, _) =>
-          dataDir(v).resolve(s"$partKey=$k").toString }: _*)
+          new Path(dataDir(v), s"$partKey=$k").toString }: _*)
     }.reduce(_.unionByName(_))
   }
 
   // --------------------------------------------------------------- json
 
   private def publishManifest(v: Int, parts: Map[String, PartMeta]): Unit = {
-    Files.createDirectories(manifestDir)
+    val f = fs
+    f.mkdirs(manifestDir)
     def q(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -133,10 +147,11 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
         s"\"snapshot\": ${m.snapshot}, \"writer\": ${q(m.writer)}}"
     }.mkString("{", ", ", "}")
     val json = s"""{"version": $v, "partitions": $body}"""
-    val tmp = manifestDir.resolve(s".v$v.json.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, manifestDir.resolve(s"v$v.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val tmp = new Path(manifestDir, s".v$v.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new Path(manifestDir, s"v$v.json")))
+      throw new java.io.IOException(s"manifest publish failed for v$v at $root")
   }
 
   private def parseManifest(json: String): Map[String, PartMeta] = {

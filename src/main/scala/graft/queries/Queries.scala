@@ -322,22 +322,41 @@ object Queries {
       |        FROM orders GROUP BY 1))
       |SELECT v, min(tb) AS matched FROM s JOIN t ON tcdf >= scdf GROUP BY v""".stripMargin
 
-  /** RGB band-algebra indices (shape.py:1354-1502): ExG + NDI means. */
+  /** RGB band-algebra indices (shape.py:1354-1502): ALL 11 reference
+    * formulas via RasterOps.rgbIndices. Bands shift by +1 so every
+    * denominator (g+r, g*r, (g²+b)*r, 2g) is strictly positive. */
   def qRgbIndices(spark: SparkSession, dir: String): DataFrame = {
     val r = col("l_quantity")
-    val g = round(col("l_discount") * 100)
-    val b = round(col("l_tax") * 100)
-    li(spark, dir).groupBy("l_returnflag").agg(
-      round(avg(g * 2 - r - b), 4).as("exg"),
-      round(avg((g - r) / (g + r + lit(1.0))), 4).as("ndi"))
+    val g = round(col("l_discount") * 100) + lit(1.0)
+    val b = round(col("l_tax") * 100) + lit(1.0)
+    val aggs = graft.operators.RasterOps.rgbIndices(r, g, b).map {
+      case (name, expr) => round(avg(expr), 4).as(name)
+    }
+    li(spark, dir).groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
   }
 
-  val qRgbIndicesSql: String =
-    """SELECT l_returnflag,
-      | round(avg(round(l_discount*100) * 2 - l_quantity - round(l_tax*100)), 4) AS exg,
-      | round(avg((round(l_discount*100) - l_quantity) /
-      |           (round(l_discount*100) + l_quantity + 1.0)), 4) AS ndi
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  val qRgbIndicesSql: String = {
+    val r = "l_quantity"
+    val g = "(round(l_discount*100) + CAST(1.0 AS DOUBLE))"
+    val b = "(round(l_tax*100) + CAST(1.0 AS DOUBLE))"
+    val exg = s"($g * 2 - ($r - $b))"
+    val exr = s"($r * CAST(1.4 AS DOUBLE) - $g)"
+    val idx = Seq(
+      "exg"   -> exg,
+      "exr"   -> exr,
+      "exgr"  -> s"($exg - $exr)",
+      "cive"  -> s"($r * CAST(0.441 AS DOUBLE) - $g * CAST(0.811 AS DOUBLE) + $b * CAST(0.385 AS DOUBLE) + CAST(18.78745 AS DOUBLE))",
+      "ndi"   -> s"(($g - $r) / ($g + $r))",
+      "rgbvi" -> s"((($g * $g - $b) * $r) / (($g * $g + $b) * $r))",
+      "vari"  -> s"(($g - $r) / ($g + $r) - $b)",
+      "ari"   -> s"(CAST(1.0 AS DOUBLE) / ($g * $r))",
+      "rgbi"  -> s"($r / $g)",
+      "gli"   -> s"((($g - $r) + ($g - $b)) / ($g * 2) + $r + $b)",
+      "tgl"   -> s"(($g - CAST(0.39 AS DOUBLE)) * ($r - CAST(0.61 AS DOUBLE)) * $b)")
+    "SELECT l_returnflag, " +
+      idx.map { case (n, e) => s"round(avg($e), 4) AS $n" }.mkString(", ") +
+      " FROM lineitem GROUP BY l_returnflag"
+  }
 
   /** rmse_vector_lyr (learning.py:1828-1864). */
   def qRmse(spark: SparkSession, dir: String): DataFrame = {
@@ -621,6 +640,64 @@ object Queries {
        |       "median", "mode", skew, kurtosis, entropy, vol
        |FROM st JOIN med USING (poly_id, band) JOIN md USING (poly_id, band)
        |JOIN ent USING (poly_id, band)""".stripMargin
+
+  /** The real zonal_rgb_idx op (RasterOps.zonalRgbIndices) over 3-band
+    * grid images: all 11 per-polygon index means, oracle-recomputed from
+    * the pixel formula. Boxes stay under ~1000 pixels so double-summation
+    * order error (~N^2*eps*x) sits orders of magnitude below the
+    * 4-decimal rounding both engines emit. */
+  val rgbBoxes: Seq[(Long, Int, Int, Int, Int)] = Seq(
+    (0L, 10, -40, 40, -10), (1L, 260, -30, 290, -10),
+    (2L, 520, 230, 560, 245), (3L, 50, -40, 120, -20))
+
+  private def rgbPolys: Seq[PolyRow] = rgbBoxes.map { case (id, x0, y0, x1, y1) =>
+    PolyRow(id, 0, Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
+      cls = 1, name = s"rgb$id", measure = 0.0)
+  }
+
+  val rgbBoxesSql: String = "(VALUES " + rgbBoxes.map { case (id, x0, y0, x1, y1) =>
+    s"(CAST($id AS BIGINT), $x0, $y0, $x1, $y1)"
+  }.mkString(", ") + ") AS bx(poly_id, bx0, by0, bx1, by1)"
+
+  def qZonalRgb(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(gridImages(spark, 16, 3), 64, cellRes)
+    val polys = spark.createDataset(rgbPolys)(Encoders.product[PolyRow])
+    RasterOps.zonalRgbIndices(tiles, polys, cellRes, shift = 1.0)
+  }
+
+  val qZonalRgbSql: String = {
+    val r = "(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) + 1.0)"
+    val g = "(CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) + 1.0)"
+    val b = "(CAST((x*7 + y*13 + 62 + i*17) % 97 AS DOUBLE) + 1.0)"
+    val exg = s"($g * 2 - ($r - $b))"
+    val exr = s"($r * CAST(1.4 AS DOUBLE) - $g)"
+    val idx = Seq(
+      "exg"   -> exg,
+      "exr"   -> exr,
+      "exgr"  -> s"($exg - $exr)",
+      "cive"  -> s"($r * CAST(0.441 AS DOUBLE) - $g * CAST(0.811 AS DOUBLE) + $b * CAST(0.385 AS DOUBLE) + CAST(18.78745 AS DOUBLE))",
+      "ndi"   -> s"(($g - $r) / ($g + $r))",
+      "rgbvi" -> s"((($g * $g - $b) * $r) / (($g * $g + $b) * $r))",
+      "vari"  -> s"(($g - $r) / ($g + $r) - $b)",
+      "ari"   -> s"(CAST(1.0 AS DOUBLE) / ($g * $r))",
+      "rgbi"  -> s"($r / $g)",
+      "gli"   -> s"((($g - $r) + ($g - $b)) / ($g * 2) + $r + $b)",
+      "tgl"   -> s"(($g - CAST(0.39 AS DOUBLE)) * ($r - CAST(0.61 AS DOUBLE)) * $b)")
+    s"""WITH fv AS (
+       |  SELECT i, x, y,
+       |    (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
+       |    (i // 8) * 256 - y - CAST(0.5 AS DOUBLE) AS wy
+       |  FROM generate_series(0, 15) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y))
+       |SELECT poly_id, """.stripMargin +
+      idx.map { case (n, e) => s"round(avg($e), 4) AS $n" }.mkString(", ") +
+      s"""
+         |FROM fv JOIN $rgbBoxesSql
+         |  ON wx > bx0 AND wx < bx1 AND wy > by0 AND wy < by1
+         |GROUP BY poly_id""".stripMargin
+  }
 
   def qRasterPoints(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
