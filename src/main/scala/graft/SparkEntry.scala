@@ -107,7 +107,11 @@ object SparkEntry {
       "q_image_dedup"     -> Q.qImageDedupSql,
       "q_ann_topk"        -> Q.qAnnTopKSql,
       "q_ann_lsh"         -> Q.qAnnLshSql,
-      "q_zonal_rgb"       -> Q.qZonalRgbSql
+      "q_zonal_rgb"       -> Q.qZonalRgbSql,
+      "q_s2_index"        -> Q.qS2IndexSql,
+      "q_minhash_pairs"   -> Q.qMinhashPairsSql,
+      "q_simhash_pairs"   -> Q.qSimhashPairsSql,
+      "q_fingerprint"     -> Q.qFingerprintSql
     )
   }
 }

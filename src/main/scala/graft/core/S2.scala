@@ -55,6 +55,10 @@ object S2 {
   initLookup(0, 0, 0, InvertMask, 0, InvertMask)
   initLookup(0, 0, 0, SwapMask | InvertMask, 0, SwapMask | InvertMask)
 
+  /** The IJ->Hilbert-position lookup table, exposed so the DuckDB oracle
+    * can mirror fromFaceIJ as a relational 8-step fold over a VALUES LUT. */
+  private[graft] def lookupPosTable: IndexedSeq[Int] = lookupPos.toIndexedSeq
+
   // ------------------------------------------------------------ projection
 
   /** Quadratic ST<->UV transform (the spec's default, low max distortion). */

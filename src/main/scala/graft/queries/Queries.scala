@@ -484,14 +484,101 @@ object Queries {
       .where(col("jaccard_est") >= 0.25)
       .select(col("d1"), col("d2"), round(col("jaccard_est"), 4).as("jaccard_est"))
 
+  /** Full MinHash+LSH oracle: shingles, HashFamily fingerprints, the 64
+    * permutation minima, band-bucket candidates and the signature-
+    * agreement estimate are ALL recomputed relationally. */
+  val qMinhashPairsSql: String = {
+    import graft.text.HashFamily.{P, B}
+    val aK = s"((1103515245 * (2*k + 1) + 12345) % $P)"
+    val bK = s"((1103515245 * k + 54321) % $P)"
+    s"""WITH ${graft.text.HashFamily.powCte(255)},
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         array_to_string(t[i+1 : i+3], ' ') AS s
+       |       FROM tk, generate_series(0, 127) ti(i)
+       |       WHERE i <= greatest(len(t) - 3, 0)),
+       |shf AS (SELECT doc_id, s,
+       |          coalesce(sum(CAST(ord(substr(s, j, 1)) AS BIGINT) * p), 0) % $P AS fp
+       |        FROM sh LEFT JOIN pwv ON j <= least(length(s), 255)
+       |        GROUP BY 1, 2),
+       |mh AS (SELECT doc_id, k, min(($aK * fp + $bK) % $P) AS h
+       |       FROM shf, generate_series(0, 63) tkk(k) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(h ORDER BY k) AS sg FROM mh GROUP BY 1),
+       |banded AS (SELECT doc_id, sg, b,
+       |    (((((sg[b*4+1] * $B + sg[b*4+2]) % $P) * $B + sg[b*4+3]) % $P)
+       |      * $B + sg[b*4+4]) % $P AS bh
+       |  FROM sig, generate_series(0, 15) tb(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+       |                a.sg AS s1, c.sg AS s2
+       |         FROM banded a JOIN banded c ON a.b = c.b AND a.bh = c.bh
+       |         WHERE a.doc_id < c.doc_id),
+       |est AS (SELECT d1, d2,
+       |          sum(CASE WHEN s1[k] = s2[k] THEN 1 ELSE 0 END) / 64.0 AS je
+       |        FROM cand, generate_series(1, 64) tj(k) GROUP BY 1, 2)
+       |SELECT d1, d2, round(je, 4) AS jaccard_est FROM est WHERE je >= 0.25""".stripMargin
+  }
+
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 7)
+
+  /** Shared oracle fragment: HashFamily simhash signature per document
+    * (distinct tokens weighted by occurrence count — same sum as the
+    * per-occurrence loop). */
+  private def simhashSqlCte: String = {
+    import graft.text.HashFamily.P
+    val aK = s"((1103515245 * (2*k + 1) + 12345) % $P)"
+    val bK = s"((1103515245 * k + 54321) % $P)"
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok WHERE t <> '' GROUP BY 1, 2),
+       |tfp AS (SELECT doc_id, t, cnt,
+       |          coalesce(sum(CAST(ord(substr(t, j, 1)) AS BIGINT) * p), 0) % $P AS fp
+       |        FROM tf LEFT JOIN pwv ON j <= least(length(t), 255)
+       |        GROUP BY 1, 2, 3),
+       |bits AS (SELECT doc_id, k,
+       |           sum(CASE WHEN (($aK * fp + $bK) % $P) & 1 = 1
+       |               THEN cnt ELSE -cnt END) AS c
+       |         FROM tfp, generate_series(0, 63) tkk(k) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN c > 0 THEN
+       |            CASE WHEN k = 63 THEN -9223372036854775808
+       |                 ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END
+       |            ELSE 0 END) AS BIGINT) AS sg
+       |        FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  val qSimhashPairsSql: String =
+    s"""WITH ${graft.text.HashFamily.powCte(255)},
+       |$simhashSqlCte
+       |SELECT a.doc_id AS d1, c.doc_id AS d2,
+       |  CAST(bit_count(xor(a.sg, c.sg)) AS INT) AS hamming
+       |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.sg, c.sg)) <= 7""".stripMargin
 
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       TextOps.fingerprint(col("text"), 16).as("fp"),
       TextOps.simHash(col("text")).as("simhash"),
       TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  val qFingerprintSql: String = {
+    import graft.text.HashFamily.P
+    s"""WITH ${graft.text.HashFamily.powCte(255)},
+       |$simhashSqlCte,
+       |wins AS (SELECT doc_id, text, w
+       |         FROM documents, generate_series(1, 1024) tw(w)
+       |         WHERE w <= greatest(length(text) - 15, 1)),
+       |wfp AS (SELECT doc_id, w,
+       |          coalesce(sum(CAST(ord(substr(text, w + j - 1, 1)) AS BIGINT) * p), 0)
+       |            % $P AS h
+       |        FROM wins LEFT JOIN pwv
+       |          ON j <= least(16, length(text) - w + 1)
+       |        GROUP BY 1, 2),
+       |minfp AS (SELECT doc_id, CAST(min(h) AS BIGINT) AS fp FROM wfp GROUP BY 1)
+       |SELECT m.doc_id, fp, sg AS simhash,
+       |  CAST(len(regexp_extract_all(d.text,
+       |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpeish_tokens
+       |FROM minfp m JOIN sig USING (doc_id) JOIN documents d USING (doc_id)""".stripMargin
+  }
 
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
@@ -1175,13 +1262,82 @@ object Queries {
        |  CAST(25 AS INT) AS grid_ring, CAST(19 AS INT) AS hex_ring
        |FROM hexq""".stripMargin
 
-  /** S2 quad-tree/Hilbert ids (bit-for-bit spec in SpatialFunctionsSpec;
-    * Hilbert lookup tables are not relationally expressible). */
+  /** S2 quad-tree/Hilbert ids, oracle-checked bit for bit: the DuckDB
+    * side mirrors the whole chain — lat/lng -> unit xyz -> cube face/uv
+    * (quadratic st) -> 2^30 leaf ij -> the 8-step Hilbert fold as chained
+    * joins against the 4096-entry lookup table — with the final
+    * (n*2 + 1) leaf wraparound done in HUGEINT. */
   def qS2Index(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SpatialFunctions._
     implicit val s: SparkSession = spark
-    pts(spark, dir)
-      .withColumn("s2", s2CellId(col("y") / lit(2.0) - 25.0, col("x") - 100.0, 12))
+    customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      ((col("c_custkey") % 177) * 0.37 - 30.0).as("lat"),
+      ((col("c_custkey") % 359) * 0.73 - 130.0).as("lng"))
+      .withColumn("s2", s2CellId(col("lat"), col("lng"), 12))
       .select("pt_id", "s2")
+  }
+
+  val qS2IndexSql: String = {
+    val lut = graft.core.S2.lookupPosTable
+    val lutVals = lut.indices.map(i => s"($i,${lut(i)})").mkString(",")
+    // one Hilbert step: consume 4 bits of i and j at nibble k, carry the
+    // 2 orientation bits, accumulate 8 Hilbert position bits into n
+    def step(k: Int, prev: String): String =
+      s"""h$k AS (SELECT pt_id, face, i, j,
+         |    CAST(lut.v & 3 AS BIGINT) AS bits,
+         |    n + (CAST(lut.v >> 2 AS BIGINT) << ${k * 8}) AS n
+         |  FROM $prev JOIN lut
+         |    ON lut.k = (((i >> ${k * 4}) & 15) << 6)
+         |             + (((j >> ${k * 4}) & 15) << 2) + bits)""".stripMargin
+    s"""WITH lut(k, v) AS (VALUES $lutVals),
+       |pt AS (SELECT c_custkey AS pt_id,
+       |         (c_custkey % 177) * CAST(0.37 AS DOUBLE) - 30.0 AS lat,
+       |         (c_custkey % 359) * CAST(0.73 AS DOUBLE) - 130.0 AS lng
+       |       FROM customer),
+       |xyz AS (SELECT pt_id,
+       |    cos(radians(lat)) * cos(radians(lng)) AS x,
+       |    cos(radians(lat)) * sin(radians(lng)) AS y,
+       |    sin(radians(lat)) AS z
+       |  FROM pt),
+       |fc AS (SELECT pt_id, x, y, z,
+       |    CASE WHEN abs(z) >= abs(x) AND abs(z) >= abs(y)
+       |         THEN CASE WHEN z < 0 THEN 5 ELSE 2 END
+       |         WHEN abs(y) >= abs(x)
+       |         THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+       |         ELSE CASE WHEN x < 0 THEN 3 ELSE 0 END END AS face
+       |  FROM xyz),
+       |uv AS (SELECT pt_id, face,
+       |    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+       |              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+       |    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+       |              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+       |  FROM fc),
+       |st AS (SELECT pt_id, face,
+       |    CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3*u)
+       |         ELSE 1 - 0.5 * sqrt(1 - 3*u) END AS s,
+       |    CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3*v)
+       |         ELSE 1 - 0.5 * sqrt(1 - 3*v) END AS t
+       |  FROM uv),
+       |ij AS (SELECT pt_id, face,
+       |    greatest(0, least(1073741823, CAST(floor(s * 1073741824) AS BIGINT))) AS i,
+       |    greatest(0, least(1073741823, CAST(floor(t * 1073741824) AS BIGINT))) AS j,
+       |    CAST(face & 1 AS BIGINT) AS bits, CAST(0 AS BIGINT) AS n
+       |  FROM st),
+       |${step(7, "ij")},
+       |${step(6, "h7")},
+       |${step(5, "h6")},
+       |${step(4, "h5")},
+       |${step(3, "h4")},
+       |${step(2, "h3")},
+       |${step(1, "h2")},
+       |${step(0, "h1")},
+       |leaf AS (SELECT pt_id,
+       |    (CAST(face AS HUGEINT) * 1152921504606846976 + n) * 2 + 1 AS lh
+       |  FROM h0)
+       |SELECT pt_id,
+       |  (CAST(CASE WHEN lh >= 9223372036854775808 THEN lh - 18446744073709551616
+       |        ELSE lh END AS BIGINT) & -68719476736) | 68719476736 AS s2
+       |FROM leaf""".stripMargin
   }
 }

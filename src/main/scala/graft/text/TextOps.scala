@@ -89,8 +89,11 @@ object TextOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
-  /** Word shingles (n-grams) as one row per (id, shingle-hash). distinct
-    * per doc. xxhash64 is Spark's codegen'd 64-bit hash. */
+  /** Word shingles (n-grams) as one row per (id, shingle-fingerprint),
+    * distinct per doc. The fingerprint is HashFamily's polynomial hash —
+    * engine-independent integer math a DuckDB oracle recomputes exactly
+    * (Spark's xxhash64 would tie correctness to one engine's
+    * implementation). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
@@ -99,31 +102,35 @@ object TextOps {
         explode(transform(col("__idx"),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
       .distinct()
-      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc"), colOf(PolyHashExpr(exprOf(col("shingle")))).as("sh"))
   }
 
   /**
    * MinHash signatures + LSH banding -> candidate near-dup pairs with
    * verified shingle-Jaccard (shingle->minhash->band->bucket-join).
-   * numHashes perm functions are xxhash64(shingle, seed); bands of
-   * rowsPerBand each. Returns (d1, d2, jaccard_est) for pairs sharing
-   * >= 1 band bucket, d1 < d2, with the estimated Jaccard from signature
-   * agreement.
+   * The numHashes permutations are the universal family h_i(x) =
+   * (a_i*x + b_i) mod P over HashFamily fingerprints; band buckets fold
+   * the band's signature slice with the same base-131 mod-P polynomial —
+   * every stage is engine-independent integer math (DuckDB-checkable).
+   * Returns (d1, d2, jaccard_est) for pairs sharing >= 1 band bucket,
+   * d1 < d2, with the estimated Jaccard from signature agreement.
    */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    val P = HashFamily.P
     val sh = shingles(docs, idCol, textCol, shingleN)
     // signature: numHashes min-aggregates in ONE pass (partial+final agg)
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      min((lit(HashFamily.a(i)) * col("sh") + lit(HashFamily.b(i))) % P).as(s"h$i"))
     val sig = sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    // LSH: hash each band slice; bucket-join within (band, hash)
+    // LSH: polynomial fold of each band slice; bucket-join within (band, hash)
     val banded = sig.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+        b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+          lit(0L), (acc, x) => (acc * HashFamily.B + x) % P))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.select(col("band"), col("bh"), col("doc").as("d1"), col("sig").as("s1"))
     val b = banded.select(col("band"), col("bh"), col("doc").as("d2"), col("sig").as("s2"))
@@ -237,8 +244,60 @@ object TextOps {
     colOf(RollingFingerprintExpr(exprOf(text), exprOf(lit(w))))
 }
 
-/** 64-bit SimHash: per whitespace token, splitmix64 the token bytes;
-  * add +1/-1 per bit position; sign -> bit. */
+/**
+ * The engine's universal hash family — plain modular integer math over
+ * the Mersenne prime P = 2^31 - 1 with base B = 131, chosen so EVERY
+ * dedup signature (shingle fingerprints, minhash permutations, simhash
+ * token bits, winnowing windows) is recomputable by a relational oracle
+ * (no engine-private xxhash64 in any correctness-bearing path). No
+ * intermediate exceeds 2^62, so the same arithmetic runs overflow-free
+ * in any engine with 64-bit integers.
+ */
+object HashFamily {
+  val P = 2147483647L // 2^31 - 1
+  val B = 131L
+  val MaxChars = 255 // fingerprints read at most this many UTF-16 units
+
+  /** Polynomial fingerprint sum(code(c_j) * B^j) mod P over s[from, until). */
+  def fp(s: String, from: Int, until: Int): Long = {
+    var h = 0L; var pw = 1L
+    var i = from
+    val end = math.min(until, from + MaxChars)
+    while (i < end) {
+      h = (h + s.charAt(i) * pw) % P
+      pw = (pw * B) % P
+      i += 1
+    }
+    h
+  }
+
+  /** Permutation coefficients: h_i(x) = (a(i)*x + b(i)) mod P. */
+  def a(i: Int): Long = (1103515245L * (2 * i + 1) + 12345L) % P
+  def b(i: Int): Long = (1103515245L * i + 54321L) % P
+
+  /** SQL CTE: B^j mod P power table pwv(j, p), 1-based j to pair with
+    * substr positions (p = B^(j-1) mod P). */
+  def powCte(n: Int): String = {
+    val ps = Iterator.iterate(1L)(p => p * B % P).take(n).toIndexedSeq
+    "pwv(j, p) AS (VALUES " +
+      ps.indices.map(j => s"(${j + 1}, ${ps(j)})").mkString(",") + ")"
+  }
+}
+
+/** Polynomial fingerprint mod P of a whole string (HashFamily.fp). */
+case class PolyHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    HashFamily.fp(s, 0, s.length)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "poly_fingerprint"
+}
+
+/** 64-bit SimHash: per whitespace token (multiset, empties skipped),
+  * fingerprint via HashFamily, bit k from the parity of the k-th
+  * permutation hash; add +1/-1 per bit; sign -> bit. */
 case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
@@ -250,29 +309,28 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
       var end = start
       while (end < n && s.charAt(end) != ' ') end += 1
       if (end > start) {
-        var h = 0xcbf29ce484222325L
-        var i = start
-        while (i < end) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
-        // splitmix finalizer
-        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-        h = h ^ (h >>> 31)
-        var b = 0
-        while (b < 64) { counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+        val fp = HashFamily.fp(s, start, end)
+        var k = 0
+        while (k < 64) {
+          val bit = ((HashFamily.a(k) * fp + HashFamily.b(k)) % HashFamily.P) & 1L
+          counts(k) += (if (bit == 1L) 1 else -1)
+          k += 1
+        }
       }
       start = end + 1
     }
     var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    var k = 0
+    while (k < 64) { if (counts(k) > 0) sig |= (1L << k); k += 1 }
     sig
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "simhash64"
 }
 
-/** Min rolling polynomial hash over char windows of length w (Rabin-Karp
-  * base 257 in 64-bit); empty/short text hashes the whole string. */
+/** Winnowing-style fingerprint: min over char windows of length w of the
+  * window's HashFamily polynomial fingerprint; short/empty text hashes
+  * the whole string. */
 case class RollingFingerprintExpr(child: Expression, w: Expression)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = child
@@ -282,26 +340,13 @@ case class RollingFingerprintExpr(child: Expression, w: Expression)
     val s = v.asInstanceOf[UTF8String].toString
     val win = wv.asInstanceOf[Int]
     val n = s.length
-    if (n == 0) return 0L
-    val base = 257L
-    if (n <= win) {
-      var h = 0L
-      var i = 0
-      while (i < n) { h = h * base + s.charAt(i); i += 1 }
-      return h
-    }
-    var pw = 1L
-    var i = 0
-    while (i < win - 1) { pw *= base; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < win) { h = h * base + s.charAt(i); i += 1 }
-    var minH = h
-    i = win
-    while (i < n) {
-      h = (h - s.charAt(i - win) * pw) * base + s.charAt(i)
+    if (n <= win) return HashFamily.fp(s, 0, n)
+    var minH = Long.MaxValue
+    var start = 0
+    while (start + win <= n) {
+      val h = HashFamily.fp(s, start, start + win)
       if (h < minH) minH = h
-      i += 1
+      start += 1
     }
     minH
   }
