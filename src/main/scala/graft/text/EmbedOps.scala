@@ -32,12 +32,15 @@ object EmbedOps {
    * Ties break on vec_id. Returns (q_id, vec_id, cos, rn).
    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("q_id"), col("embedding").as("qe"))
-    val c = corpus.select(col("vec_id"), col("embedding").as("ce"))
+    // norms hoisted: one norm per vector, not one per (query, candidate)
+    val q = queries.select(col("q_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(q), col("q_id").isNotNull) // cross join, broadcast NL
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("q_id", "vec_id", "cos", "rn")
@@ -72,18 +75,31 @@ object EmbedOps {
     require(planes % bandBits == 0)
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
-    val sig = corpus.select(col("vec_id"), col("embedding"),
+    val sig = corpus.select(col("vec_id"),
       lshSignature(col("embedding"), planes).as("sig"))
-    val banded = sig.select(col("vec_id"), col("embedding"),
+    val banded = sig.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("band"), col("bh"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = banded.select(col("band"), col("bh"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    a.join(b, Seq("band", "bh")).where(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+    // id-only candidate pairs, deduped across bands BEFORE any vector
+    // work — a pair colliding in all 4 bands verifies once, not 4 times,
+    // and the band join shuffles 16-byte id rows, never embeddings
+    val cand = banded.select(col("band"), col("bh"), col("vec_id").as("v1"))
+      .join(banded.select(col("band"), col("bh"), col("vec_id").as("v2")),
+        Seq("band", "bh"))
+      .where(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    // embeddings + precomputed norms join back once per distinct pair
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(withNorm.select(col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1")), Seq("v1"))
+      .join(withNorm.select(col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), Seq("v2"))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .where(col("cos") >= minCos)
-      .groupBy("v1", "v2").agg(max("cos").as("cos"))
+      .select("v1", "v2", "cos")
   }
 
   /** IVF-style partitioned ANN: assign corpus vectors to their nearest
