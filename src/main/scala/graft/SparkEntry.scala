@@ -52,6 +52,10 @@ object SparkEntry {
       "q_pipeline_zonal"  -> (Q.qPipelineZonal _),
       "q_raster_points"   -> (Q.qRasterPoints _),
       "q_zonal_rgb"       -> (Q.qZonalRgb _),
+      "q_dem"             -> (Q.qDem _),
+      "q_local_threshold" -> (Q.qLocalThreshold _),
+      "q_convolve"        -> (Q.qConvolve _),
+      "q_resize"          -> (Q.qResize _),
       "q_polygonize"      -> (Q.qPolygonize _),
       "q_shape_props"     -> (Q.qShapeProps _),
       "q_glcm"            -> (Q.qGlcm _),
@@ -111,7 +115,11 @@ object SparkEntry {
       "q_s2_index"        -> Q.qS2IndexSql,
       "q_minhash_pairs"   -> Q.qMinhashPairsSql,
       "q_simhash_pairs"   -> Q.qSimhashPairsSql,
-      "q_fingerprint"     -> Q.qFingerprintSql
+      "q_fingerprint"     -> Q.qFingerprintSql,
+      "q_dem"             -> Q.qDemSql,
+      "q_local_threshold" -> Q.qLocalThresholdSql,
+      "q_convolve"        -> Q.qConvolveSql,
+      "q_resize"          -> Q.qResizeSql
     )
   }
 }

@@ -786,6 +786,141 @@ object Queries {
          |GROUP BY poly_id""".stripMargin
   }
 
+  /** DEM derivatives (gdaldem capability): Horn slope + hillshade over
+    * grid images, per-image sums; the oracle re-derives the clamped 3x3
+    * finite differences and the exact trig chain per pixel. */
+  def qDem(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = gridImages(spark, 8, 1)
+    def total(prop: String) =
+      ImageOps.demProcess(imgs, prop).map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, prop, dec.bands(0).map(_.toDouble).sum)
+      }.toDF("image_id", "prop", "total")
+    total("slope").unionByName(total("hillshade"))
+      .select(col("image_id"), col("prop"), round(col("total"), 2).as("total"))
+  }
+
+  val qDemSql: String = {
+    // clamped neighbor value: v(i, clamp(y+dy), clamp(x+dx))
+    def at(dy: Int, dx: Int): String = {
+      val yy = s"greatest(0, least(47, y + $dy))"
+      val xx = s"greatest(0, least(79, x + $dx))"
+      s"CAST(($xx*7 + $yy*13 + i*17) % 97 AS DOUBLE)"
+    }
+    val dzdx = s"(((${at(-1, 1)} + 2*${at(0, 1)} + ${at(1, 1)}) - " +
+      s"(${at(-1, -1)} + 2*${at(0, -1)} + ${at(1, -1)})) / 8)"
+    val dzdy = s"(((${at(1, -1)} + 2*${at(1, 0)} + ${at(1, 1)}) - " +
+      s"(${at(-1, -1)} + 2*${at(-1, 0)} + ${at(-1, 1)})) / 8)"
+    s"""WITH g AS (
+       |  SELECT i, x, y, $dzdx AS zx, $dzdy AS zy
+       |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |d AS (SELECT i,
+       |    CAST(degrees(atan(sqrt(zx*zx + zy*zy))) AS FLOAT) AS slope,
+       |    CAST(greatest(0.0, floor(254.0 *
+       |      (cos(radians(45.0)) * cos(atan(sqrt(zx*zx + zy*zy)))
+       |       + sin(radians(45.0)) * sin(atan(sqrt(zx*zx + zy*zy)))
+       |         * cos(radians(315.0) - pi()/2 - atan2(zy, -zx))) + 0.5) + 1.0)
+       |      AS FLOAT) AS hs
+       |  FROM g)
+       |SELECT printf('g%03d', i) AS image_id, 'slope' AS prop,
+       |  round(sum(CAST(slope AS DOUBLE)), 2) AS total FROM d GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'hillshade',
+       |  round(sum(CAST(hs AS DOUBLE)), 2) FROM d GROUP BY 1""".stripMargin
+  }
+
+  /** niblack / sauvola local-threshold masks over grid images: per-image
+    * bright-pixel counts; the oracle recomputes the clamped-window local
+    * mean/std from exact integer sums (the engine side uses integral
+    * images — same rationals). */
+  def qLocalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = gridImages(spark, 8, 1)
+    def maskCount(algo: String) =
+      ImageOps.localThreshold(imgs, algo, window = 7, k = 0.2).map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, algo, dec.bands(0).count(_ == 1f).toLong)
+      }.toDF("image_id", "algo", "n_bright")
+    maskCount("niblack").unionByName(maskCount("sauvola"))
+  }
+
+  val qLocalThresholdSql: String =
+    s"""WITH gpx AS (
+       |  SELECT i, x, y, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |nb AS (SELECT p.i, p.x, p.y, any_value(p.v) AS v,
+       |         sum(q.v) AS s1, sum(q.v * q.v) AS s2, count(*) AS n
+       |       FROM gpx p JOIN gpx q ON p.i = q.i
+       |         AND q.x BETWEEN p.x - 3 AND p.x + 3
+       |         AND q.y BETWEEN p.y - 3 AND p.y + 3
+       |       GROUP BY 1, 2, 3),
+       |th AS (SELECT i, v, s1 / n AS m,
+       |         sqrt(greatest(0.0, s2 / n - (s1 / n) * (s1 / n))) AS sd
+       |       FROM nb)
+       |SELECT printf('g%03d', i) AS image_id, 'niblack' AS algo,
+       |  CAST(sum(CASE WHEN v > m - CAST(0.2 AS DOUBLE) * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+       |FROM th GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'sauvola',
+       |  CAST(sum(CASE WHEN v > m * (1.0 + CAST(0.2 AS DOUBLE) * (sd / 128.0 - 1.0))
+       |      THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM th GROUP BY 1""".stripMargin
+
+  /** 3x3 convolution (edge-replicated) with an integer sharpen kernel —
+    * exact sums, oracle re-derives the clamped neighborhood. */
+  def qConvolve(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val kernel = Array(0f, -1f, 0f, -1f, 5f, -1f, 0f, -1f, 0f)
+    ImageOps.convolve3x3(gridImages(spark, 8, 1), kernel).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      (im.image_id, dec.bands(0).map(_.toDouble).sum)
+    }.toDF("image_id", "total")
+      .select(col("image_id"), round(col("total"), 2).as("total"))
+  }
+
+  val qConvolveSql: String = {
+    def at(dy: Int, dx: Int): String = {
+      val yy = s"greatest(0, least(47, y + $dy))"
+      val xx = s"greatest(0, least(79, x + $dx))"
+      s"CAST(($xx*7 + $yy*13 + i*17) % 97 AS DOUBLE)"
+    }
+    val conv = s"(5*${at(0, 0)} - ${at(-1, 0)} - ${at(0, -1)} - ${at(0, 1)} - ${at(1, 0)})"
+    s"""SELECT printf('g%03d', i) AS image_id, round(sum($conv), 2) AS total
+       |FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+       |     generate_series(0, 47) ty(y)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Box-average downsample by 2 (the multimodal resize plumbing): the
+    * oracle recomputes each 2x2 block mean (exact dyadic rationals). */
+  def qResize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    ImageOps.resize(gridImages(spark, 8, 1), factor = 2).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      (im.image_id, im.w, im.h, dec.bands(0).map(_.toDouble).sum)
+    }.toDF("image_id", "w", "h", "total")
+      .select(col("image_id"), col("w"), col("h"), round(col("total"), 2).as("total"))
+  }
+
+  val qResizeSql: String =
+    s"""SELECT printf('g%03d', i) AS image_id, CAST(40 AS INT) AS w,
+       |  CAST(24 AS INT) AS h,
+       |  round(sum((CAST(((2*bx)*7 + (2*by)*13 + i*17) % 97 AS DOUBLE)
+       |           + CAST(((2*bx+1)*7 + (2*by)*13 + i*17) % 97 AS DOUBLE)
+       |           + CAST(((2*bx)*7 + (2*by+1)*13 + i*17) % 97 AS DOUBLE)
+       |           + CAST(((2*bx+1)*7 + (2*by+1)*13 + i*17) % 97 AS DOUBLE)) / 4), 2)
+       |    AS total
+       |FROM generate_series(0, 7) t(i), generate_series(0, 39) tb(bx),
+       |     generate_series(0, 23) tc(by)
+       |GROUP BY 1""".stripMargin
+
   def qRasterPoints(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
