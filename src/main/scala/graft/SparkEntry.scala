@@ -56,6 +56,8 @@ object SparkEntry {
       "q_local_threshold" -> (Q.qLocalThreshold _),
       "q_convolve"        -> (Q.qConvolve _),
       "q_resize"          -> (Q.qResize _),
+      "q_quegan"          -> (Q.qQuegan _),
+      "q_morphology"      -> (Q.qMorphology _),
       "q_polygonize"      -> (Q.qPolygonize _),
       "q_shape_props"     -> (Q.qShapeProps _),
       "q_glcm"            -> (Q.qGlcm _),
@@ -119,7 +121,9 @@ object SparkEntry {
       "q_dem"             -> Q.qDemSql,
       "q_local_threshold" -> Q.qLocalThresholdSql,
       "q_convolve"        -> Q.qConvolveSql,
-      "q_resize"          -> Q.qResizeSql
+      "q_resize"          -> Q.qResizeSql,
+      "q_quegan"          -> Q.qQueganSql,
+      "q_morphology"      -> Q.qMorphologySql
     )
   }
 }

@@ -274,6 +274,104 @@ object ImageOps {
     }
   }
 
+  /**
+   * Quegan et al. multi-temporal SAR filter (the reference's
+   * multi_temp_filter, raster.py:2219-2285): treating bands as the time
+   * axis, out_b = m_b * mean_over_bands(I_b / m_b), where m_b is the
+   * windowed local mean of band b (integral image, clamped borders).
+   * Zero local means pass 0 (the reference's uint8 regime sidesteps
+   * them). Per-image map — no shuffle.
+   */
+  def queganFilter(images: Dataset[ImageRow], window: Int = 7)
+                  (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    val half = window / 2
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val w = img.w; val h = img.h
+      val means = dec.bands.map { b =>
+        val s1 = new Array[Double]((w + 1) * (h + 1))
+        var y = 0
+        while (y < h) {
+          var rowS = 0.0
+          var x = 0
+          while (x < w) {
+            rowS += b(y * w + x)
+            s1((y + 1) * (w + 1) + x + 1) = s1(y * (w + 1) + x + 1) + rowS
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(w * h) { i =>
+          val cy = i / w; val cx = i % w
+          val x0 = math.max(0, cx - half); val x1 = math.min(w - 1, cx + half)
+          val y0 = math.max(0, cy - half); val y1 = math.min(h - 1, cy + half)
+          val n = (x1 - x0 + 1).toDouble * (y1 - y0 + 1)
+          (s1((y1 + 1) * (w + 1) + x1 + 1) - s1(y0 * (w + 1) + x1 + 1) -
+            s1((y1 + 1) * (w + 1) + x0) + s1(y0 * (w + 1) + x0)) / n
+        }
+      }
+      val nb = dec.bands.length
+      val ovMean = Array.tabulate(w * h) { i =>
+        var s = 0.0
+        var b = 0
+        while (b < nb) {
+          val m = means(b)(i)
+          s += (if (m == 0.0) 0.0 else dec.bands(b)(i) / m)
+          b += 1
+        }
+        s / nb
+      }
+      val out = Array.tabulate(nb)(b =>
+        Array.tabulate(w * h)(i => (means(b)(i) * ovMean(i)).toFloat))
+      img.copy(bytes = PixelCodec.encode(img.fmt, w, h, out),
+        phash = PixelCodec.phash64(w, h, out(0)))
+    }
+  }
+
+  /** Binary/greyscale morphology (the reference's closing step,
+    * convutils.py:52-66): erode = windowed min, dilate = windowed max,
+    * open = dilate∘erode, close = erode∘dilate; 3x3 (radius 1) clamped
+    * borders, per band, per-image map. */
+  def morphology(images: Dataset[ImageRow], op: String, radius: Int = 1)
+                (implicit spark: SparkSession): Dataset[ImageRow] = {
+    require(Set("erode", "dilate", "open", "close")(op), s"op $op")
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val w = img.w; val h = img.h
+      def pass(b: Array[Float], maxOp: Boolean): Array[Float] =
+        Array.tabulate(w * h) { i =>
+          val cy = i / w; val cx = i % w
+          var best = if (maxOp) Float.MinValue else Float.MaxValue
+          var dy = -radius
+          while (dy <= radius) {
+            val y = math.min(h - 1, math.max(0, cy + dy))
+            var dx = -radius
+            while (dx <= radius) {
+              val x = math.min(w - 1, math.max(0, cx + dx))
+              val v = b(y * w + x)
+              if (maxOp) { if (v > best) best = v }
+              else if (v < best) best = v
+              dx += 1
+            }
+            dy += 1
+          }
+          best
+        }
+      val out = dec.bands.map { b =>
+        op match {
+          case "erode"  => pass(b, maxOp = false)
+          case "dilate" => pass(b, maxOp = true)
+          case "open"   => pass(pass(b, maxOp = false), maxOp = true)
+          case "close"  => pass(pass(b, maxOp = true), maxOp = false)
+        }
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, w, h, out),
+        phash = PixelCodec.phash64(w, h, out(0)))
+    }
+  }
+
   /** temp_match (utilities.py:1110-1239): normalized cross-correlation of
     * a small broadcast template over each image; returns best match per
     * image: (image_id, row, col, score). */

@@ -27,24 +27,34 @@ object Pipeline {
   def shardOf(imageId: String, nShards: Int): String =
     s"s${math.floorMod(imageId.hashCode, nShards)}"
 
-  /** Process all pending shards; returns shards processed this run. */
+  /** Process all pending shards in batches of `batchShards` — ONE Spark
+    * job (and one manifest publish) per batch rather than per shard, so
+    * a 10^5-shard backlog doesn't pay 10^5 job/commit round-trips. The
+    * manifest stays per-shard (resume granularity unchanged); only the
+    * in-flight batch is lost on a crash. Returns shards processed. */
   def run(images: Dataset[ImageRow], polys: Dataset[PolyRow],
           table: SnapshotTable, nShards: Int, tileSize: Int, cellRes: Int,
-          failAfterShards: Int = Int.MaxValue)
+          failAfterShards: Int = Int.MaxValue, batchShards: Int = 16)
          (implicit spark: SparkSession): Set[String] = {
     import spark.implicits._
     val allShards = (0 until nShards).map(i => s"s$i")
     val pending = table.pending(allShards)
     var done = Set.empty[String]
-    for ((shard, idx) <- pending.zipWithIndex) {
-      if (idx >= failAfterShards)
-        throw new RuntimeException(s"injected failure before shard $shard")
-      val shardImages = images.filter(img => shardOf(img.image_id, nShards) == shard)
-      val tiles = Tiler.tiles(shardImages, tileSize, cellRes)
-      val hist = ZonalStats.histogram(tiles, polys, cellRes)
-        .withColumn("shard", lit(shard))
-      done ++= table.commit(hist, writer = s"pipeline-$shard",
-        declaredKeys = Set(shard)) // empty shard result still completes
+    var started = 0
+    for (batch <- pending.grouped(math.max(1, batchShards))) {
+      if (started >= failAfterShards)
+        throw new RuntimeException(s"injected failure before shard ${batch.head}")
+      started += batch.size
+      // per-shard sub-histograms union into one commit: with a
+      // shard-partitioned image table each filter prunes to its own
+      // files, so the union is one pass over the batch's data
+      val hist = batch.map { shard =>
+        val shardImages = images.filter(img => shardOf(img.image_id, nShards) == shard)
+        ZonalStats.histogram(Tiler.tiles(shardImages, tileSize, cellRes), polys, cellRes)
+          .withColumn("shard", lit(shard))
+      }.reduce(_.unionByName(_))
+      done ++= table.commit(hist, writer = s"pipeline-${batch.mkString("+")}",
+        declaredKeys = batch.toSet) // empty shard results still complete
     }
     done
   }

@@ -921,6 +921,80 @@ object Queries {
        |     generate_series(0, 23) tc(by)
        |GROUP BY 1""".stripMargin
 
+  /** Quegan multi-temporal filter: out_b = m_b * mean_b(I_b/m_b) with
+    * 7x7 clamped local means; the oracle recomputes the whole chain
+    * (the 3-term band mean added in the engine's exact order). */
+  def qQuegan(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    ImageOps.queganFilter(gridImages(spark, 6, 3), window = 7).flatMap { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      dec.bands.zipWithIndex.map { case (b, i) =>
+        (im.image_id, i, b.map(_.toDouble).sum)
+      }
+    }.toDF("image_id", "band", "total")
+      .select(col("image_id"), col("band"), round(col("total"), 2).as("total"))
+  }
+
+  val qQueganSql: String =
+    s"""WITH gpx AS (
+       |  SELECT i, b, x, y, CAST((x*7 + y*13 + b*31 + i*17) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 5) t(i), generate_series(0, 2) tb(b),
+       |       generate_series(0, 79) tx(x), generate_series(0, 47) ty(y)),
+       |m AS (SELECT p.i, p.b, p.x, p.y, any_value(p.v) AS v,
+       |        sum(q.v) / count(*) AS m
+       |      FROM gpx p JOIN gpx q ON p.i = q.i AND p.b = q.b
+       |        AND q.x BETWEEN p.x - 3 AND p.x + 3
+       |        AND q.y BETWEEN p.y - 3 AND p.y + 3
+       |      GROUP BY 1, 2, 3, 4),
+       |ov AS (SELECT i, x, y,
+       |    ((sum(CASE WHEN b = 0 THEN CASE WHEN m = 0 THEN 0.0 ELSE v / m END END)
+       |      + sum(CASE WHEN b = 1 THEN CASE WHEN m = 0 THEN 0.0 ELSE v / m END END))
+       |      + sum(CASE WHEN b = 2 THEN CASE WHEN m = 0 THEN 0.0 ELSE v / m END END))
+       |      / 3 AS ov
+       |  FROM m GROUP BY 1, 2, 3)
+       |SELECT printf('g%03d', m.i) AS image_id, CAST(b AS INT) AS band,
+       |  round(sum(CAST(CAST(m.m * ov.ov AS FLOAT) AS DOUBLE)), 2) AS total
+       |FROM m JOIN ov ON m.i = ov.i AND m.x = ov.x AND m.y = ov.y
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Morphology erode/dilate/close (3x3 clamped): per-image mass sums,
+    * oracle recomputes windowed min/max (close = min over max). */
+  def qMorphology(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = gridImages(spark, 6, 1)
+    def total(op: String) =
+      ImageOps.morphology(imgs, op).map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, op, dec.bands(0).map(_.toDouble).sum)
+      }.toDF("image_id", "op", "total")
+    total("erode").unionByName(total("dilate")).unionByName(total("close"))
+      .select(col("image_id"), col("op"), round(col("total"), 2).as("total"))
+  }
+
+  val qMorphologySql: String =
+    s"""WITH gpx AS (
+       |  SELECT i, x, y, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 5) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |w3 AS (SELECT p.i, p.x, p.y, min(q.v) AS e, max(q.v) AS d
+       |       FROM gpx p JOIN gpx q ON p.i = q.i
+       |         AND q.x BETWEEN p.x - 1 AND p.x + 1
+       |         AND q.y BETWEEN p.y - 1 AND p.y + 1
+       |       GROUP BY 1, 2, 3),
+       |cl AS (SELECT p.i, p.x, p.y, min(q.d) AS c
+       |       FROM w3 p JOIN w3 q ON p.i = q.i
+       |         AND q.x BETWEEN p.x - 1 AND p.x + 1
+       |         AND q.y BETWEEN p.y - 1 AND p.y + 1
+       |       GROUP BY 1, 2, 3)
+       |SELECT printf('g%03d', i) AS image_id, 'erode' AS op,
+       |  round(sum(e), 2) AS total FROM w3 GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'dilate', round(sum(d), 2) FROM w3 GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'close', round(sum(c), 2) FROM cl GROUP BY 1""".stripMargin
+
   def qRasterPoints(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)

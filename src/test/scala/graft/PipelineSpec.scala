@@ -35,9 +35,10 @@ class PipelineSpec extends AnyFunSuite {
     val imgDs = spark.createDataset(images.toSeq)
     val polyDs = spark.createDataset(polys.toSeq)
 
-    // run 1 crashes after 2 shards
+    // run 1 crashes after 2 shards (batchShards = 1: shard-granular kill)
     val crashed = intercept[RuntimeException] {
-      Pipeline.run(imgDs, polyDs, table, nShards, 64, cellRes, failAfterShards = 2)
+      Pipeline.run(imgDs, polyDs, table, nShards, 64, cellRes,
+        failAfterShards = 2, batchShards = 1)
     }
     assert(crashed.getMessage.contains("injected failure"))
     val committed1 = table.committed().keySet
