@@ -28,6 +28,7 @@ object SparkEntry {
       "q_zonal_point"     -> (Q.qZonalPoint _),
       "q_zonal_more_stats" -> (Q.qZonalMoreStats _),
       "q_knn"             -> (Q.qKnn _),
+      "q_knn_hex"         -> (Q.qKnnHex _),
       "q_mask_rules"      -> (Q.qMaskRules _),
       "q_combine_scene"   -> (Q.qCombineScene _),
       "q_temporal_comp"   -> (Q.qTemporalComp _),
@@ -49,6 +50,7 @@ object SparkEntry {
       "q_fingerprint"     -> (Q.qFingerprint _),
       "q_ann_topk"        -> (Q.qAnnTopK _),
       "q_ann_lsh"         -> (Q.qAnnLsh _),
+      "q_ann_ivf"         -> (Q.qAnnIvf _),
       "q_pipeline_zonal"  -> (Q.qPipelineZonal _),
       "q_raster_points"   -> (Q.qRasterPoints _),
       "q_zonal_rgb"       -> (Q.qZonalRgb _),
@@ -83,6 +85,7 @@ object SparkEntry {
       "q_zonal_point"     -> Q.qZonalPointSql,
       "q_zonal_more_stats" -> Q.qZonalMoreStatsSql,
       "q_knn"             -> Q.qKnnSql,
+      "q_knn_hex"         -> Q.qKnnHexSql,
       "q_mask_rules"      -> Q.qMaskRulesSql,
       "q_combine_scene"   -> Q.qCombineSceneSql,
       "q_temporal_comp"   -> Q.qTemporalCompSql,
@@ -113,6 +116,7 @@ object SparkEntry {
       "q_image_dedup"     -> Q.qImageDedupSql,
       "q_ann_topk"        -> Q.qAnnTopKSql,
       "q_ann_lsh"         -> Q.qAnnLshSql,
+      "q_ann_ivf"         -> Q.qAnnIvfSql,
       "q_zonal_rgb"       -> Q.qZonalRgbSql,
       "q_s2_index"        -> Q.qS2IndexSql,
       "q_minhash_pairs"   -> Q.qMinhashPairsSql,

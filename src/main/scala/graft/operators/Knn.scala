@@ -86,4 +86,64 @@ object Knn {
 
     good.unionByName(brute)
   }
+
+  /**
+   * Hex-lattice variant — the north rule's literal "kNN via H3 k-ring
+   * expansion": queries explode into their aperture-7 hex k-ring
+   * (Hex.kRing via the hexKRing expression), join points on hex cell,
+   * window-prune to top-k.
+   *
+   * Exactness guard: hex centers at grid distance g are >= 1.5*g*sz
+   * apart (sz = circumradius; the minimum is attained on ring corners),
+   * and any point lies within sz of its cell center — so nothing outside
+   * the radius-r1 ring can be closer than ((r1+1)*1.5 - 2)*sz. Queries
+   * whose kth distance is not STRICTLY below that bound (or that found
+   * < k candidates) fall back to the broadcast brute-force pass, same as
+   * the square-grid path.
+   */
+  def knnJoinHex(queries: DataFrame, points: DataFrame, k: Int, res: Int, r1: Int)
+                (implicit spark: SparkSession): DataFrame = {
+    val sz = graft.core.Hex.size(res)
+    val guardDist = ((r1 + 1) * 1.5 - 2.0) * sz
+    require(guardDist > 0, s"r1=$r1 gives no exactness margin at res $res")
+    val guard2 = guardDist * guardDist
+
+    val q = queries
+      .withColumn("__qcell", hexCellId(col("x"), col("y"), res))
+      .withColumn("__cand", explode(hexKRing(col("__qcell"), r1)))
+      .select(col("q_id"), col("x").as("qx"), col("y").as("qy"), col("__cand"))
+    val p = points
+      .withColumn("__pcell", hexCellId(col("x"), col("y"), res))
+      .select(col("pt_id"), col("x").as("px"), col("y").as("py"), col("__pcell"))
+
+    val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
+      (col("qy") - col("py")) * (col("qy") - col("py"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("pt_id"))
+
+    val cand = q.join(p, col("__cand") === col("__pcell"))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "pt_id", "dist2", "rn")
+
+    val satisfied = cand.groupBy("q_id")
+      .agg(count(lit(1)).as("__n"), max("dist2").as("__kd2"))
+      .filter(col("__n") === k && col("__kd2") < guard2)
+      .select("q_id")
+    val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
+
+    val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
+
+    val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
+      .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))
+    val brute = points
+      .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
+      .crossJoin(broadcast(badQueries))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "pt_id", "dist2", "rn")
+
+    good.unionByName(brute)
+  }
 }

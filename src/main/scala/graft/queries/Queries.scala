@@ -216,6 +216,19 @@ object Queries {
        |      ORDER BY (q.x - p.x)*(q.x - p.x) + (q.y - p.y)*(q.y - p.y), p.pt_id) AS rn
        |  FROM q, pts p) WHERE rn <= 5""".stripMargin
 
+  /** kNN through the hex (H3-style) k-ring expansion path — exact by
+    * guard+fallback, so the oracle is plain brute force. */
+  def qKnnHex(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val queries = customer(spark, dir).where(col("c_custkey") < 20).select(
+      col("c_custkey").as("q_id"),
+      ((col("c_custkey") * 37) % 200 + lit(0.3)).as("x"),
+      ((col("c_custkey") * 53) % 100 + lit(0.7)).as("y"))
+    Knn.knnJoinHex(queries, pts(spark, dir), k = 5, res = 9, r1 = 2)
+  }
+
+  val qKnnHexSql: String = qKnnSql
+
   /** mask_raster_multi rules '<' / '>' with replacement (raster.py:1136-1265). */
   def qMaskRules(spark: SparkSession, dir: String): DataFrame = {
     val masked = when(col("l_quantity") < 10, lit(0.0))
@@ -679,6 +692,83 @@ object Queries {
   val pipeBoxesSql: String = "(VALUES " + pipeBoxes.map { case (id, x0, y0, x1, y1) =>
     s"(CAST($id AS BIGINT), $x0, $y0, $x1, $y1)"
   }.mkString(", ") + ") AS bx(poly_id, bx0, by0, bx1, by1)"
+
+  /** IVF ANN with a REAL fitted index: 2 Lloyd iterations (float-cast
+    * centroids keep both engines bit-identical), nProbe=2 probing, top-3
+    * — the oracle replays the entire k-means loop, the list assignment,
+    * the probes and the final ranking. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = emb(spark, dir)
+    val cents = EmbedOps.fitKMeans(e, k = 8, iters = 2)
+    EmbedOps.ivfTopK(
+      e.where(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding")),
+      e, cents, k = 3, nProbe = 2)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rn"))
+  }
+
+  val qAnnIvfSql: String = {
+    // one Lloyd iteration: centroids `prev`(c_id, ce) -> `next`
+    def iter(n: Int, prev: String, next: String): String =
+      s"""dots$n AS (SELECT e.vec_id, c.c_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS dp,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS nv,
+         |    sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS nc
+         |  FROM embeddings e, $prev c, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |asg$n AS (SELECT vec_id, c_id FROM (
+         |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, c_id) AS rn
+         |    FROM dots$n) WHERE rn = 1),
+         |$next AS (
+         |  SELECT c_id, list(CAST(m AS FLOAT) ORDER BY i) AS ce FROM (
+         |    SELECT a.c_id, i,
+         |      sum(CAST(e.embedding[i] AS DOUBLE)) / count(*) AS m
+         |    FROM asg$n a JOIN embeddings e USING (vec_id),
+         |         generate_series(1, 64) t(i)
+         |    GROUP BY 1, 2) GROUP BY 1
+         |  UNION ALL
+         |  SELECT c_id, ce FROM $prev
+         |  WHERE c_id NOT IN (SELECT c_id FROM asg$n))""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+       |            ORDER BY vec_id LIMIT 8),
+       |${iter(0, "c0", "c1")},
+       |${iter(1, "c1", "c2")},
+       |fa AS (SELECT vec_id, c_id AS list_id FROM (
+       |    SELECT d.vec_id, d.c_id, row_number() OVER (PARTITION BY d.vec_id
+       |      ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, d.c_id) AS rn
+       |    FROM (SELECT e.vec_id, c.c_id,
+       |            sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS dp,
+       |            sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS nv,
+       |            sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS nc
+       |          FROM embeddings e, c2 c, generate_series(1, 64) t(i)
+       |          GROUP BY 1, 2) d) WHERE rn = 1),
+       |qp AS (SELECT q_id, c_id AS list_id FROM (
+       |    SELECT d.q_id, d.c_id, row_number() OVER (PARTITION BY d.q_id
+       |      ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, d.c_id) AS rn
+       |    FROM (SELECT e.vec_id AS q_id, c.c_id,
+       |            sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS dp,
+       |            sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS nv,
+       |            sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS nc
+       |          FROM embeddings e, c2 c, generate_series(1, 64) t(i)
+       |          WHERE e.vec_id < 20
+       |          GROUP BY 1, 2) d) WHERE rn <= 2),
+       |cand AS (SELECT qp.q_id, fa.vec_id,
+       |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS dp,
+       |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) AS nq,
+       |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv
+       |  FROM qp JOIN fa USING (list_id)
+       |       JOIN embeddings q ON q.vec_id = qp.q_id
+       |       JOIN embeddings v ON v.vec_id = fa.vec_id,
+       |       generate_series(1, 64) t(i)
+       |  WHERE fa.vec_id <> qp.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn FROM (
+       |  SELECT q_id, vec_id, dp / (sqrt(nq) * sqrt(nv)) AS cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC, vec_id) AS rn
+       |  FROM cand) WHERE rn <= 3""".stripMargin
+  }
 
   def qPipelineZonal(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark

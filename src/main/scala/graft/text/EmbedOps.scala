@@ -102,6 +102,49 @@ object EmbedOps {
       .select("v1", "v2", "cos")
   }
 
+  /**
+   * Lloyd's k-means over the embedding column — the IVF centroid-fitting
+   * step. Cosine assignment (argmax, ties to the smaller centroid id),
+   * centroids re-estimated as the element-wise mean and CAST TO FLOAT
+   * each iteration: the float quantization makes the fit bit-identical
+   * across engines (summation-order noise is ~2^-52, float keeps 2^-24),
+   * so a DuckDB oracle replays the whole loop. Init = the k lowest
+   * vec_ids. Empty clusters keep their previous centroid.
+   *
+   * Scale: one Spark job per iteration; the dim-wise mean is a
+   * groupBy(cluster, dim) over exploded components, so partial
+   * aggregation folds map-side and the shuffle carries
+   * O(clusters x dims x partitions) rows, never vectors.
+   */
+  def fitKMeans(corpus: DataFrame, k: Int, iters: Int)
+               (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = corpus
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(k)
+      .as[(Long, Seq[Float])].collect().toSeq
+    for (_ <- 0 until iters) {
+      val cDf = cents.toDF("c_id", "cent")
+      val w = Window.partitionBy("vec_id").orderBy(col("__cos").desc, col("c_id"))
+      val assigned = corpus.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cDf), cDf("c_id").isNotNull)
+        .withColumn("__cos", cosine(col("embedding"), col("cent")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("c_id"), col("embedding"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("embedding")))
+        .groupBy("c_id", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents.toDF("c_id", "embedding")
+  }
+
   /** IVF-style partitioned ANN: assign corpus vectors to their nearest
     * of `centroids` (broadcast), probe nProbe nearest lists per query.
     * Returns top-k per query from the probed lists only (approximate). */
@@ -109,7 +152,9 @@ object EmbedOps {
               k: Int, nProbe: Int): DataFrame = {
     val cent = centroids.select(col("c_id"), col("embedding").as("cent"))
     def nearestLists(df: DataFrame, emb: String, n: Int, out: String) = {
-      val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc)
+      // c_id tiebreak: exact-cosine ties must order deterministically
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("__d").desc, col("c_id"))
       df.join(broadcast(cent), cent("c_id").isNotNull)
         .withColumn("__d", cosine(col(emb), col("cent")))
         .withColumn("__rn", row_number().over(w))

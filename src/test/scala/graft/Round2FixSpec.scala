@@ -176,6 +176,16 @@ class Round2FixSpec extends AnyFunSuite {
     assert(byK.sameElements(1L to 1000L), "fid must follow k order densely")
   }
 
+  test("hex-ring kNN == square-grid kNN (both exact by guard+fallback)") {
+    import graft.queries.Queries
+    val grid = Queries.qKnn(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val hex = Queries.qKnnHex(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(hex == grid)
+    assert(hex.nonEmpty)
+  }
+
   test("otsu: quantized path stays near the exact threshold") {
     val res = Tiler.resForCellSize(16.0)
     val cell = GridIndex.cellId(2.0, 2.0, res)
