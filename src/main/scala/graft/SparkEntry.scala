@@ -60,6 +60,10 @@ object SparkEntry {
       "q_resize"          -> (Q.qResize _),
       "q_quegan"          -> (Q.qQuegan _),
       "q_morphology"      -> (Q.qMorphology _),
+      "q_assemble"        -> (Q.qAssemble _),
+      "q_rasterize"       -> (Q.qRasterize _),
+      "q_combine_grid"    -> (Q.qCombineGrid _),
+      "q_ndvi"            -> (Q.qNdvi _),
       "q_polygonize"      -> (Q.qPolygonize _),
       "q_shape_props"     -> (Q.qShapeProps _),
       "q_glcm"            -> (Q.qGlcm _),
@@ -127,7 +131,11 @@ object SparkEntry {
       "q_convolve"        -> Q.qConvolveSql,
       "q_resize"          -> Q.qResizeSql,
       "q_quegan"          -> Q.qQueganSql,
-      "q_morphology"      -> Q.qMorphologySql
+      "q_morphology"      -> Q.qMorphologySql,
+      "q_assemble"        -> Q.qAssembleSql,
+      "q_rasterize"       -> Q.qRasterizeSql,
+      "q_combine_grid"    -> Q.qCombineGridSql,
+      "q_ndvi"            -> Q.qNdviSql
     )
   }
 }

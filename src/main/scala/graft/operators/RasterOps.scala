@@ -272,40 +272,43 @@ object RasterOps {
 
   /** rasterize (raster.py:1773-1831): burn polygons into an image-aligned
     * grid — the inverse of polygonize. Produces mask tiles (1 inside,
-    * 0 outside; `burnField` uses the polygon class value). Reuses the
-    * broadcast polyCells join + per-pixel PIP of the zonal core. */
+    * 0 outside; `burnClass` uses the polygon class value). The polygon
+    * layer broadcasts as a cell -> features map, so the burn is a typed
+    * map over tiles with ZERO shuffle (the old groupByKey-on-tile-key
+    * variant shuffled every pixel payload just to merge per-poly burns).
+    * Overlapping features burn in (poly_id, part) order — deterministic. */
   def rasterize(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
                 burnClass: Boolean = false)
                (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
-    val pc = ZonalStats.polyCells(polys, cellRes)
-    val clsById = polys.collect().map(p => p.poly_id -> p.cls).toMap
-    val clsB = spark.sparkContext.broadcast(clsById)
-    tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"), "left_outer")
-      .groupByKey { case (t, _) => (t.image_id, t.tx, t.ty, t.band, t.cell_id) }
-      .mapGroups { (_: (String, Int, Int, Int, Long), it: Iterator[(graft.TileRow, ZonalStats.PolyCell)]) =>
-        val items = it.toArray
-        val t = items.head._1
-        val out = new Array[Float](t.pixels.length)
-        items.foreach { case (_, p) =>
-          if (p != null) {
-            val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
-            val burn = if (burnClass) clsB.value.getOrElse(p.poly_id, 1).toFloat else 1f
-            var r = 0
-            while (r < t.th) {
-              val cy = t.y_max - (r + 0.5) * t.px
-              var c = 0
-              while (c < t.tw) {
-                val cx = t.x_min + (c + 0.5) * t.px
-                if (Geom.pointInPolygon(cx, cy, rings)) out(r * t.tw + c) = burn
-                c += 1
-              }
-              r += 1
-            }
-          }
-        }
-        t.copy(pixels = out)
+    val byCell: Map[Long, Array[(Long, Int, Geom.Rings, Float)]] =
+      polys.collect().flatMap { p =>
+        val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+        val burn = if (burnClass) p.cls.toFloat else 1f
+        GridIndex.coverPolygon(rings, cellRes)
+          .map(c => c -> (p.poly_id, p.part, rings, burn))
+      }.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.map(_._2).sortBy(f => (f._1, f._2))
       }
+    val byCellB = spark.sparkContext.broadcast(byCell)
+    tiles.map { t =>
+      val out = new Array[Float](t.pixels.length)
+      byCellB.value.getOrElse(t.cell_id, Array.empty).foreach {
+        case (_, _, rings, burn) =>
+          var r = 0
+          while (r < t.th) {
+            val cy = t.y_max - (r + 0.5) * t.px
+            var c = 0
+            while (c < t.tw) {
+              val cx = t.x_min + (c + 0.5) * t.px
+              if (Geom.pointInPolygon(cx, cy, rings)) out(r * t.tw + c) = burn
+              c += 1
+            }
+            r += 1
+          }
+      }
+      t.copy(pixels = out)
+    }
   }
 
   /** clip_raster (raster.py:1932-2047): crop tiles to the polygon bbox

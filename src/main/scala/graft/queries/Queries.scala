@@ -876,6 +876,105 @@ object Queries {
          |GROUP BY poly_id""".stripMargin
   }
 
+  /** array2raster round trip: tiles -> assemble (inverse tiler, geo from
+    * tile rows) -> per-(image, band) pixel sums — the oracle is the raw
+    * pixel formula, so any mis-placement or cell-duplication in the
+    * reassembly breaks the hash. */
+  def qAssemble(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 8, 2), 64, cellRes)
+    ImageOps.assemble(tiles, GridImages.W, GridImages.H, "raw-le").flatMap { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      dec.bands.zipWithIndex.map { case (b, i) =>
+        (im.image_id, i, b.map(_.toDouble).sum)
+      }
+    }.toDF("image_id", "band", "total")
+      .select(col("image_id"), col("band"), round(col("total"), 2).as("total"))
+  }
+
+  val qAssembleSql: String =
+    s"""WITH ${GridImages.pxSql(8, 2)}
+       |SELECT image_id, CAST(b AS INT) AS band, round(sum(v), 2) AS total
+       |FROM px GROUP BY 1, 2""".stripMargin
+
+  /** rasterize: burn the box layer into grid-image-aligned mask tiles;
+    * per-image burned-pixel counts — the oracle counts centers strictly
+    * inside any box. */
+  def qRasterize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 8, 1), 64, cellRes)
+    val polys = spark.createDataset(pipePolys)(Encoders.product[PolyRow])
+    RasterOps.rasterize(tiles, polys, cellRes).toDF()
+      .select(col("image_id"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("burned"))
+      .groupBy("image_id")
+      .agg(sum("burned").cast("long").as("n_burned"))
+  }
+
+  val qRasterizeSql: String =
+    s"""WITH fv AS (
+       |  SELECT i, x, y,
+       |    (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
+       |    (i // 8) * 256 - y - CAST(0.5 AS DOUBLE) AS wy
+       |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |hits AS (SELECT DISTINCT i, x, y FROM fv JOIN $pipeBoxesSql
+       |         ON wx > bx0 AND wx < bx1 AND wy > by0 AND wy < by1),
+       |cnt AS (SELECT i, count(*) AS n FROM hits GROUP BY 1)
+       |SELECT printf('g%03d', g.i) AS image_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_burned
+       |FROM generate_series(0, 7) g(i) LEFT JOIN cnt ON cnt.i = g.i""".stripMargin
+
+  /** combine_grid: per-pixel product of two aligned rasters (band 0 x
+    * band 1 of the same grid images); per-image mass. */
+  def qCombineGrid(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 6, 2), 64, cellRes)
+    val s1 = tiles.filter(_.band == 0)
+    val s2 = tiles.filter(_.band == 1).map(t => t.copy(band = 0))
+    RasterOps.combineGrid(s1, s2).toDF()
+      .select(col("image_id"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
+      .groupBy("image_id").agg(round(sum("mass"), 2).as("mass"))
+  }
+
+  val qCombineGridSql: String =
+    s"""SELECT printf('g%03d', i) AS image_id,
+       |  round(sum(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE)
+       |          * CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE)), 2) AS mass
+       |FROM generate_series(0, 5) t(i), generate_series(0, 79) tx(x),
+       |     generate_series(0, 47) ty(y)
+       |GROUP BY 1""".stripMargin
+
+  /** Band algebra NDVI (normalizedDifference band0 vs band1); per-image
+    * sums — the oracle mirrors Spark's float-operand double division. */
+  def qNdvi(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 6, 2), 64, cellRes)
+    RasterOps.normalizedDifference(tiles, 0, 1)
+      .select(col("image_id"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("total"))
+      .groupBy("image_id").agg(round(sum("total"), 4).as("total"))
+  }
+
+  val qNdviSql: String =
+    s"""SELECT printf('g%03d', i) AS image_id,
+       |  round(sum(CAST(CAST(
+       |    CAST(CAST((x*7 + y*13 + i*17) % 97
+       |         - ((x*7 + y*13 + 31 + i*17) % 97) AS FLOAT) AS DOUBLE)
+       |    / CAST(CAST((x*7 + y*13 + i*17) % 97
+       |         + ((x*7 + y*13 + 31 + i*17) % 97) AS FLOAT) AS DOUBLE)
+       |    AS FLOAT) AS DOUBLE)), 4) AS total
+       |FROM generate_series(0, 5) t(i), generate_series(0, 79) tx(x),
+       |     generate_series(0, 47) ty(y)
+       |GROUP BY 1""".stripMargin
+
   /** DEM derivatives (gdaldem capability): Horn slope + hillshade over
     * grid images, per-image sums; the oracle re-derives the clamped 3x3
     * finite differences and the exact trig chain per pixel. */

@@ -74,6 +74,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"classify must not shuffle pixels:\n$p")
   }
 
+  test("rasterize: zero shuffle (broadcast cell->features map, typed map)") {
+    import graft.operators.{Tiler, RasterOps}
+    val images = spark.createDataset(Synth.images(4, seed = 3L, bands = 1).toSeq)
+    val polys = spark.createDataset(Synth.polygons(2).toSeq)
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(images, 64, cellRes)
+    val p = plan(RasterOps.rasterize(tiles, polys, cellRes).toDF())
+    assert(!p.contains("Exchange"), s"rasterize must not shuffle pixels:\n$p")
+  }
+
+  test("dedupExact: shuffle key is the md5 digest, never the document text") {
+    val docs = spark.createDataset(Seq((1L, "some document text")))
+      .toDF("doc_id", "text")
+    // analyzed plan: the optimizer constant-folds local test data, which
+    // would hide the grouping expression
+    val p = graft.text.TextOps.dedupExact(docs, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    assert(p.contains("md5"), s"expected md5 digest grouping key:\n$p")
+    // the aggregate keys must not include the raw text column itself
+    assert(!p.matches("(?s).*Aggregate \\[text[#,].*"),
+      s"raw text must not be a grouping key:\n$p")
+  }
+
   test("extractSamples: only exchange is the polygon-side broadcast") {
     import graft.operators.{Tiler, Training}
     val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
