@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
 
@@ -284,24 +284,17 @@ object HashFamily {
   }
 }
 
-/** Polynomial fingerprint mod P of a whole string (HashFamily.fp). */
-case class PolyHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+/** Static eval targets for the text-hash expressions — a plain static
+  * call keeps them inside WholeStageCodegen (same pattern as the
+  * spatial expressions in graft.functions). */
+object HashRuntime {
+  def polyFp(v: UTF8String): Long = {
+    val s = v.toString
     HashFamily.fp(s, 0, s.length)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "poly_fingerprint"
-}
 
-/** 64-bit SimHash: per whitespace token (multiset, empties skipped),
-  * fingerprint via HashFamily, bit k from the parity of the k-th
-  * permutation hash; add +1/-1 per bit; sign -> bit. */
-case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  def simhash(v: UTF8String): Long = {
+    val s = v.toString
     val counts = new Array[Int](64)
     var start = 0
     val n = s.length
@@ -324,21 +317,9 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
     while (k < 64) { if (counts(k) > 0) sig |= (1L << k); k += 1 }
     sig
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "simhash64"
-}
 
-/** Winnowing-style fingerprint: min over char windows of length w of the
-  * window's HashFamily polynomial fingerprint; short/empty text hashes
-  * the whole string. */
-case class RollingFingerprintExpr(child: Expression, w: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def left: Expression = child
-  override def right: Expression = w
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any, wv: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val win = wv.asInstanceOf[Int]
+  def rollingFp(v: UTF8String, win: Int): Long = {
+    val s = v.toString
     val n = s.length
     if (n <= win) return HashFamily.fp(s, 0, n)
     var minH = Long.MaxValue
@@ -350,6 +331,44 @@ case class RollingFingerprintExpr(child: Expression, w: Expression)
     }
     minH
   }
+}
+
+/** Polynomial fingerprint mod P of a whole string (HashFamily.fp). */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashRuntime.polyFp(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HashRuntime.polyFp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "poly_fingerprint"
+}
+
+/** 64-bit SimHash: per whitespace token (multiset, empties skipped),
+  * fingerprint via HashFamily, bit k from the parity of the k-th
+  * permutation hash; add +1/-1 per bit; sign -> bit. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashRuntime.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HashRuntime.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Winnowing-style fingerprint: min over char windows of length w of the
+  * window's HashFamily polynomial fingerprint; short/empty text hashes
+  * the whole string. */
+case class RollingFingerprintExpr(child: Expression, w: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = w
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, wv: Any): Any =
+    HashRuntime.rollingFp(v.asInstanceOf[UTF8String], wv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, ww) => s"graft.text.HashRuntime.rollingFp($s, $ww)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, w = r)
   override def prettyName: String = "rolling_fingerprint"
