@@ -168,6 +168,35 @@ object ImageOps {
     }
   }
 
+  /** (h+1)x(w+1) summed-area table of f(v) — the shared substrate of the
+    * windowed-local-stat kernels (localThreshold, queganFilter). */
+  private def sat(b: Array[Float], w: Int, h: Int,
+                  f: Double => Double): Array[Double] = {
+    val s = new Array[Double]((w + 1) * (h + 1))
+    var y = 0
+    while (y < h) {
+      var rowS = 0.0
+      var x = 0
+      while (x < w) {
+        rowS += f(b(y * w + x).toDouble)
+        s((y + 1) * (w + 1) + x + 1) = s(y * (w + 1) + x + 1) + rowS
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Clamped-window (sum, count) around (cx, cy) from a SAT. */
+  private def windowSum(s: Array[Double], w: Int, h: Int, half: Int,
+                        cx: Int, cy: Int): (Double, Double) = {
+    val x0 = math.max(0, cx - half); val x1 = math.min(w - 1, cx + half)
+    val y0 = math.max(0, cy - half); val y1 = math.min(h - 1, cy + half)
+    val sum = s((y1 + 1) * (w + 1) + x1 + 1) - s(y0 * (w + 1) + x1 + 1) -
+      s((y1 + 1) * (w + 1) + x0) + s(y0 * (w + 1) + x0)
+    (sum, (x1 - x0 + 1).toDouble * (y1 - y0 + 1))
+  }
+
   /**
    * Local thresholds niblack / sauvola (shape.py:2367-2372): per-pixel
    * threshold from the windowed local mean/std — niblack T = m - k*s,
@@ -186,32 +215,13 @@ object ImageOps {
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val w = img.w; val h = img.h
       val out = dec.bands.map { b =>
-        // integral images of values and squares, (h+1) x (w+1)
-        val s1 = new Array[Double]((w + 1) * (h + 1))
-        val s2 = new Array[Double]((w + 1) * (h + 1))
-        var y = 0
-        while (y < h) {
-          var rowS = 0.0; var rowQ = 0.0
-          var x = 0
-          while (x < w) {
-            val v = b(y * w + x).toDouble
-            rowS += v; rowQ += v * v
-            s1((y + 1) * (w + 1) + x + 1) = s1(y * (w + 1) + x + 1) + rowS
-            s2((y + 1) * (w + 1) + x + 1) = s2(y * (w + 1) + x + 1) + rowQ
-            x += 1
-          }
-          y += 1
-        }
+        val s1 = sat(b, w, h, v => v)
+        val s2 = sat(b, w, h, v => v * v)
         Array.tabulate(w * h) { i =>
-          val cy = i / w; val cx = i % w
-          val x0 = math.max(0, cx - half); val x1 = math.min(w - 1, cx + half)
-          val y0 = math.max(0, cy - half); val y1 = math.min(h - 1, cy + half)
-          val n = (x1 - x0 + 1).toDouble * (y1 - y0 + 1)
-          def rect(s: Array[Double]) =
-            s((y1 + 1) * (w + 1) + x1 + 1) - s(y0 * (w + 1) + x1 + 1) -
-              s((y1 + 1) * (w + 1) + x0) + s(y0 * (w + 1) + x0)
-          val m = rect(s1) / n
-          val sd = math.sqrt(math.max(0.0, rect(s2) / n - m * m))
+          val (sum1, n) = windowSum(s1, w, h, half, i % w, i / w)
+          val (sum2, _) = windowSum(s2, w, h, half, i % w, i / w)
+          val m = sum1 / n
+          val sd = math.sqrt(math.max(0.0, sum2 / n - m * m))
           val t = if (algo == "niblack") m - k * sd
                   else m * (1.0 + k * (sd / r - 1.0))
           if (b(i) > t) 1f else 0f
@@ -290,25 +300,10 @@ object ImageOps {
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val w = img.w; val h = img.h
       val means = dec.bands.map { b =>
-        val s1 = new Array[Double]((w + 1) * (h + 1))
-        var y = 0
-        while (y < h) {
-          var rowS = 0.0
-          var x = 0
-          while (x < w) {
-            rowS += b(y * w + x)
-            s1((y + 1) * (w + 1) + x + 1) = s1(y * (w + 1) + x + 1) + rowS
-            x += 1
-          }
-          y += 1
-        }
+        val s1 = sat(b, w, h, v => v)
         Array.tabulate(w * h) { i =>
-          val cy = i / w; val cx = i % w
-          val x0 = math.max(0, cx - half); val x1 = math.min(w - 1, cx + half)
-          val y0 = math.max(0, cy - half); val y1 = math.min(h - 1, cy + half)
-          val n = (x1 - x0 + 1).toDouble * (y1 - y0 + 1)
-          (s1((y1 + 1) * (w + 1) + x1 + 1) - s1(y0 * (w + 1) + x1 + 1) -
-            s1((y1 + 1) * (w + 1) + x0) + s1(y0 * (w + 1) + x0)) / n
+          val (sum, n) = windowSum(s1, w, h, half, i % w, i / w)
+          sum / n
         }
       }
       val nb = dec.bands.length

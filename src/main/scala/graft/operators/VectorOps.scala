@@ -25,28 +25,20 @@ object VectorOps {
     polys.toDF().withColumn(labelCol, when(predicate, lit(label)))
 
   /** write_id_field (shape.py:1536-1564): sequential FID assignment.
-    * Two-pass zipWithIndex shape instead of a global Window.orderBy
-    * (which would sort EVERYTHING in one partition): range-partition by
-    * the order column, rank within each partition, then add per-partition
-    * offsets from a tiny collected count vector. Scales to any layer. */
+    * Distributed sort + RDD zipWithIndex instead of a global
+    * Window.orderBy (which would sort EVERYTHING in one partition).
+    * zipWithIndex's count pass and the final pass both execute the SAME
+    * RDD instance, so the range-sampler's RDD-id-derived seed — and
+    * therefore the partition boundaries — are identical across the two
+    * jobs (re-deriving the plan per action would not guarantee that). */
   def writeIdField(df: DataFrame, orderCol: String, idCol: String = "fid"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranged = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val withRn = ranged.withColumn("__rn",
-      row_number().over(Window.partitionBy("__pid").orderBy(orderCol)))
-    val counts = withRn.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .orderBy("__pid").collect()
-    var off = 0L
-    val offsets = counts.map { r =>
-      val o = off; off += r.getLong(1); (r.getInt(0), o)
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.sort(orderCol)
+    val schema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
     }
-    val sp = df.sparkSession
-    import sp.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    withRn.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(idCol, (col("__rn") + col("__off")).cast("long"))
-      .drop("__pid", "__rn", "__off")
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** shp2gj (shape.py:54-92): GeoJSON Feature strings per polygon row. */

@@ -348,13 +348,13 @@ object Queries {
     li(spark, dir).groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
   }
 
-  val qRgbIndicesSql: String = {
-    val r = "l_quantity"
-    val g = "(round(l_discount*100) + CAST(1.0 AS DOUBLE))"
-    val b = "(round(l_tax*100) + CAST(1.0 AS DOUBLE))"
+  /** The 11 reference RGB-index formulas as SQL over the given r/g/b
+    * expressions — the SINGLE source both RGB oracles share (mirrors
+    * RasterOps.rgbIndices term by term). */
+  private def rgbIndexSql(r: String, g: String, b: String): Seq[(String, String)] = {
     val exg = s"($g * 2 - ($r - $b))"
     val exr = s"($r * CAST(1.4 AS DOUBLE) - $g)"
-    val idx = Seq(
+    Seq(
       "exg"   -> exg,
       "exr"   -> exr,
       "exgr"  -> s"($exg - $exr)",
@@ -366,6 +366,12 @@ object Queries {
       "rgbi"  -> s"($r / $g)",
       "gli"   -> s"((($g - $r) + ($g - $b)) / ($g * 2) + $r + $b)",
       "tgl"   -> s"(($g - CAST(0.39 AS DOUBLE)) * ($r - CAST(0.61 AS DOUBLE)) * $b)")
+  }
+
+  val qRgbIndicesSql: String = {
+    val idx = rgbIndexSql("l_quantity",
+      "(round(l_discount*100) + CAST(1.0 AS DOUBLE))",
+      "(round(l_tax*100) + CAST(1.0 AS DOUBLE))")
     "SELECT l_returnflag, " +
       idx.map { case (n, e) => s"round(avg($e), 4) AS $n" }.mkString(", ") +
       " FROM lineitem GROUP BY l_returnflag"
@@ -491,9 +497,14 @@ object Queries {
 
   // ---------------------------------------------- engine-only (rows-only)
 
+  /** Both sides filter to <= 120 tokens so the oracle's shingle-start
+    * bound (generate_series to 127) is an explicit contract, not a
+    * silent coupling to current fixture sizes (docs max ~100 tokens —
+    * the filter is a no-op today and keeps the oracle valid forever). */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    TextOps.minHashLsh(docs(spark, dir), "doc_id", "text",
-      shingleN = 3, numHashes = 64, bands = 16)
+    TextOps.minHashLsh(
+      docs(spark, dir).where(size(split(col("text"), " ")) <= 120),
+      "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
       .where(col("jaccard_est") >= 0.25)
       .select(col("d1"), col("d2"), round(col("jaccard_est"), 4).as("jaccard_est"))
 
@@ -505,7 +516,8 @@ object Queries {
     val aK = s"((1103515245 * (2*k + 1) + 12345) % $P)"
     val bK = s"((1103515245 * k + 54321) % $P)"
     s"""WITH ${graft.text.HashFamily.powCte(255)},
-       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |       WHERE len(string_split(text, ' ')) <= 120),
        |sh AS (SELECT DISTINCT doc_id,
        |         array_to_string(t[i+1 : i+3], ' ') AS s
        |       FROM tk, generate_series(0, 127) ti(i)
@@ -567,11 +579,15 @@ object Queries {
        |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
        |WHERE bit_count(xor(a.sg, c.sg)) <= 7""".stripMargin
 
+  /** Both sides filter to <= 1000 chars: the oracle's window bound
+    * (generate_series to 1024) becomes an explicit contract (fixture max
+    * ~580 chars — no-op today, scale-proof forever). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      TextOps.fingerprint(col("text"), 16).as("fp"),
-      TextOps.simHash(col("text")).as("simhash"),
-      TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    docs(spark, dir).where(length(col("text")) <= 1000)
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text"), 16).as("fp"),
+        TextOps.simHash(col("text")).as("simhash"),
+        TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
 
   val qFingerprintSql: String = {
     import graft.text.HashFamily.P
@@ -579,7 +595,8 @@ object Queries {
        |$simhashSqlCte,
        |wins AS (SELECT doc_id, text, w
        |         FROM documents, generate_series(1, 1024) tw(w)
-       |         WHERE w <= greatest(length(text) - 15, 1)),
+       |         WHERE length(text) <= 1000
+       |           AND w <= greatest(length(text) - 15, 1)),
        |wfp AS (SELECT doc_id, w,
        |          coalesce(sum(CAST(ord(substr(text, w + j - 1, 1)) AS BIGINT) * p), 0)
        |            % $P AS h
@@ -845,23 +862,10 @@ object Queries {
   }
 
   val qZonalRgbSql: String = {
-    val r = "(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) + 1.0)"
-    val g = "(CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) + 1.0)"
-    val b = "(CAST((x*7 + y*13 + 62 + i*17) % 97 AS DOUBLE) + 1.0)"
-    val exg = s"($g * 2 - ($r - $b))"
-    val exr = s"($r * CAST(1.4 AS DOUBLE) - $g)"
-    val idx = Seq(
-      "exg"   -> exg,
-      "exr"   -> exr,
-      "exgr"  -> s"($exg - $exr)",
-      "cive"  -> s"($r * CAST(0.441 AS DOUBLE) - $g * CAST(0.811 AS DOUBLE) + $b * CAST(0.385 AS DOUBLE) + CAST(18.78745 AS DOUBLE))",
-      "ndi"   -> s"(($g - $r) / ($g + $r))",
-      "rgbvi" -> s"((($g * $g - $b) * $r) / (($g * $g + $b) * $r))",
-      "vari"  -> s"(($g - $r) / ($g + $r) - $b)",
-      "ari"   -> s"(CAST(1.0 AS DOUBLE) / ($g * $r))",
-      "rgbi"  -> s"($r / $g)",
-      "gli"   -> s"((($g - $r) + ($g - $b)) / ($g * 2) + $r + $b)",
-      "tgl"   -> s"(($g - CAST(0.39 AS DOUBLE)) * ($r - CAST(0.61 AS DOUBLE)) * $b)")
+    val idx = rgbIndexSql(
+      "(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) + 1.0)",
+      "(CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) + 1.0)",
+      "(CAST((x*7 + y*13 + 62 + i*17) % 97 AS DOUBLE) + 1.0)")
     s"""WITH fv AS (
        |  SELECT i, x, y,
        |    (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
