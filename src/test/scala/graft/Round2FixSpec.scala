@@ -186,6 +186,41 @@ class Round2FixSpec extends AnyFunSuite {
     assert(hex.nonEmpty)
   }
 
+  test("clipToPolygons on rect layers == clipToRects (independent paths)") {
+    val polys = graft.gen.Synth.polygons(nExtra = 4)
+    val rects = Seq(
+      (0L, Geom.BBox(-100.0, -100.0, 50.0, 50.0)),
+      (1L, Geom.BBox(800.0, 800.0, 1000.0, 1000.0)))
+    val viaRects = VectorOps.clipToRects(spark.createDataset(polys.toSeq), rects)
+      .collect().groupBy(_.poly_id).map { case (id, ps) =>
+        id -> ps.map(p => Geom.area(p.rings.map(_.map(q => (q.x, q.y))))).sum
+      }
+    val rectPolys = rects.map { case (id, b) =>
+      PolyRow(id, 0, Array(Array(Pt(b.x0, b.y0), Pt(b.x1, b.y0),
+        Pt(b.x1, b.y1), Pt(b.x0, b.y1))), 1, s"r$id", 0.0)
+    }
+    val viaJts = VectorOps.clipToPolygons(spark.createDataset(polys.toSeq), rectPolys)
+      .collect().groupBy(_.poly_id).map { case (id, ps) =>
+        id -> ps.map(p => Geom.area(p.rings.map(_.map(q => (q.x, q.y))))).sum
+      }
+    assert(viaJts.keySet == viaRects.keySet)
+    viaJts.foreach { case (id, a) =>
+      assert(math.abs(a - viaRects(id)) < 1e-9, s"poly $id: $a vs ${viaRects(id)}")
+    }
+  }
+
+  test("SnapshotTable resolves the Hadoop FS from an explicit file:/ scheme") {
+    import graft.plans.SnapshotTable
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_fs_").toString + "/t"
+    val table = new SnapshotTable(spark, root, "shard")
+    val df = spark.range(10).selectExpr("id", "cast(id % 2 as string) as shard")
+    assert(table.commit(df, "w1") == Set("0", "1"))
+    assert(table.read().count() == 10)
+    assert(table.committed()("0").rows == 5)
+    assert(table.commit(df, "w2").isEmpty) // idempotent re-commit
+  }
+
   test("otsu: quantized path stays near the exact threshold") {
     val res = Tiler.resForCellSize(16.0)
     val cell = GridIndex.cellId(2.0, 2.0, res)
