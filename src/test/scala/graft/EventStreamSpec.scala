@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Watermark semantics need the watermark to ADVANCE between
+  * micro-batches: early events land in batch 1, a far-future event in
+  * batch 2 pushes the watermark past batch 1's windows/sessions so
+  * append mode emits them as FINAL results. */
+class EventStreamSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // hour-aligned base: tumbling windows snap to epoch-hour boundaries
+  private val Base = 1700000000000L - (1700000000000L % 3600000L)
+  private def ts(minute: Long) = new Timestamp(Base + minute * 60000L)
+
+  private def writeBatches(dir: String): Unit = {
+    val early = Seq(
+      // window [t0, t0+1h): 3 clicks, 1 view; user 1 session of 3, user 2 of 1
+      (1L, ts(0), 1L, "click", 10.0, "{}"),
+      (2L, ts(5), 1L, "click", 2.5, "{}"),
+      (3L, ts(20), 1L, "click", 1.0, "{}"),
+      (4L, ts(30), 2L, "view", 4.0, "{}"),
+      // second window for user 1 after a > 1h gap: new session
+      (5L, ts(130), 1L, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val late = Seq((6L, ts(10000), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    early.repartition(1).write.mode("append").parquet(dir)
+    late.repartition(1).write.mode("append").parquet(dir)
+  }
+
+  test("watermarked tumbling windows emit final per-window counts") {
+    val dir = Files.createTempDirectory("graft_ev_in_").toString
+    writeBatches(dir)
+    val ckpt = Files.createTempDirectory("graft_ev_ck_").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_counts")
+      .select("w_start", "event_type", "n", "total")
+      .as[(Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.getTime, r._2) -> (r._3, r._4)).toMap
+    // both early windows are far below the final watermark -> emitted final
+    val w0 = ts(0).getTime
+    assert(got((w0, "click")) == (3L, 13.5))
+    assert(got((w0, "view")) == (1L, 4.0))
+    assert(got((w0 + 7200000L, "click")) == (1L, 7.0)) // [t0+2h) window
+  }
+
+  test("flatMapGroupsWithState sessionization closes gap-separated sessions") {
+    val dir = Files.createTempDirectory("graft_sess_in_").toString
+    writeBatches(dir)
+    val ckpt = Files.createTempDirectory("graft_sess_ck_").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.sessionize(stream).toDF()
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sessions")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // user 1: session [t0, t0+20m] of 3 events, then [t0+130m] of 1
+    assert(got((1L, ts(0).getTime)) == (ts(20).getTime, 3L))
+    assert(got((1L, ts(130).getTime)) == (ts(130).getTime, 1L))
+    // user 2: single-event session
+    assert(got((2L, ts(30).getTime)) == (ts(30).getTime, 1L))
+  }
+}
