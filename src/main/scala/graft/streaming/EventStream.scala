@@ -29,6 +29,13 @@ object EventStream {
   final case class Session(start: Long, end: Long, n: Long)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+  /** Streaming exact dedup: drop re-delivered events by id within the
+    * watermark horizon — state is bounded by ids seen inside the
+    * watermark window (the streaming face of the batch dedup family). */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling event-time windows per event_type behind a watermark. */
   def windowedCounts(events: DataFrame, watermark: String = "30 minutes",
                      windowDur: String = "1 hour"): DataFrame =

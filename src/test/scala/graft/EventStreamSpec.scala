@@ -59,6 +59,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got((w0 + 7200000L, "click")) == (1L, 7.0)) // [t0+2h) window
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup_in_").toString
+    // batch 1 delivers event 1 twice; batch 2 re-delivers it again
+    Seq((1L, ts(0), 1L, "click", 1.0, "{}"), (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1), 1L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("append").parquet(dir)
+    Seq((1L, ts(0), 1L, "click", 1.0, "{}"), (3L, ts(2), 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("append").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_dedup_ck_").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.dedupStream(stream)
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_ev").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), ids.mkString(","))
+  }
+
   test("flatMapGroupsWithState sessionization closes gap-separated sessions") {
     val dir = Files.createTempDirectory("graft_sess_in_").toString
     writeBatches(dir)
