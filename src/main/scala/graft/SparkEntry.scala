@@ -60,6 +60,7 @@ object SparkEntry {
       "q_resize"          -> (Q.qResize _),
       "q_quegan"          -> (Q.qQuegan _),
       "q_morphology"      -> (Q.qMorphology _),
+      "q_classify_object" -> (Q.qClassifyObject _),
       "q_assemble"        -> (Q.qAssemble _),
       "q_rasterize"       -> (Q.qRasterize _),
       "q_combine_grid"    -> (Q.qCombineGrid _),
@@ -132,6 +133,7 @@ object SparkEntry {
       "q_resize"          -> Q.qResizeSql,
       "q_quegan"          -> Q.qQueganSql,
       "q_morphology"      -> Q.qMorphologySql,
+      "q_classify_object" -> Q.qClassifyObjectSql,
       "q_assemble"        -> Q.qAssembleSql,
       "q_rasterize"       -> Q.qRasterizeSql,
       "q_combine_grid"    -> Q.qCombineGridSql,

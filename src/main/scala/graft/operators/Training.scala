@@ -91,6 +91,29 @@ object Training {
       agg.map(r => (0 until nBands).map(i => r.getDouble(2 + i)).toArray))
   }
 
+  /** classify_object (learning.py:1541-1614): OBJECT-wise model apply —
+    * per-feature-vector rows (e.g. per-polygon zonal means) scored by
+    * the centroid model as pure column math: squared distances per
+    * class, argmin via least() with first-match (= smallest label) tie
+    * break, matching CentroidModel.predict exactly. Codegen'd exprs,
+    * no UDF, no shuffle. */
+  def classifyObjects(df: DataFrame, model: CentroidModel,
+                      featureCols: Seq[String],
+                      predCol: String = "pred"): DataFrame = {
+    require(model.centroids.forall(_.length == featureCols.length))
+    val dists = model.centroids.map { c =>
+      featureCols.zipWithIndex.map { case (f, j) =>
+        (col(f) - c(j)) * (col(f) - c(j))
+      }.reduce(_ + _)
+    }
+    val dmin = least(dists: _*)
+    val pred = model.labels.indices.drop(1).foldLeft(
+      when(dists(0) === dmin, model.labels(0))) { (acc, i) =>
+      acc.when(dists(i) === dmin, model.labels(i))
+    }.otherwise(model.labels.last)
+    df.withColumn(predCol, pred)
+  }
+
   /** classify_pixel_bloc: broadcast model, per-pixel predict in a typed
     * map over all-bands tiles — genuinely no shuffle (plan-gated). */
   def classify(tiles: Dataset[MultiTileRow], model: CentroidModel)

@@ -880,6 +880,68 @@ object Queries {
          |GROUP BY poly_id""".stripMargin
   }
 
+  /** classify_object: per-POLYGON zonal mean features scored by the
+    * fitted centroid model (Training.classifyObjects column-math argmin);
+    * the oracle replays extraction -> fit -> per-poly means -> argmin. */
+  def qClassifyObject(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val imgs = gridImages(spark, 12, 2)
+    val mt = Tiler.multiTiles(imgs, 64, cellRes)
+    val trainPolys = classifyBoxes.zipWithIndex.map { case ((cls, x0, y0, x1, y1), k) =>
+      PolyRow(k.toLong, 0,
+        Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
+        cls, s"train$cls", 0.0)
+    }
+    val model = Training.fitCentroids(Training.extractSamples(mt,
+      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes))
+    val tiles = Tiler.tiles(imgs, 64, cellRes)
+    val hist = ZonalStats.histogram(tiles,
+      spark.createDataset(pipePolys)(Encoders.product[PolyRow]), cellRes)
+    val v = col("value").cast("double")
+    val feats = hist.groupBy("poly_id").agg(
+      (sum(when(col("band") === 0, v * col("cnt"))) /
+        sum(when(col("band") === 0, col("cnt")))).as("f0"),
+      (sum(when(col("band") === 1, v * col("cnt"))) /
+        sum(when(col("band") === 1, col("cnt")))).as("f1"))
+    Training.classifyObjects(feats, model, Seq("f0", "f1"))
+      .select(col("poly_id"), round(col("f0"), 4).as("f0"),
+        round(col("f1"), 4).as("f1"), col("pred"))
+  }
+
+  // lazy: references classifyBoxes/pipeBoxesSql defined further down
+  lazy val qClassifyObjectSql: String = {
+    val boxesVals = "(VALUES " + classifyBoxes.map { case (c, x0, y0, x1, y1) =>
+      s"($c, $x0, $y0, $x1, $y1)"
+    }.mkString(", ") + ") AS tb(cls, tx0, ty0, tx1, ty1)"
+    s"""WITH fv AS (
+       |  SELECT i, x, y,
+       |    CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v0,
+       |    CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) AS v1,
+       |    (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
+       |    (i // 8) * 256 - y - CAST(0.5 AS DOUBLE) AS wy
+       |  FROM generate_series(0, 11) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |cent AS (SELECT cls, sum(v0) / count(*) AS c0, sum(v1) / count(*) AS c1
+       |         FROM fv JOIN $boxesVals
+       |         ON wx > tx0 AND wx < tx1 AND wy > ty0 AND wy < ty1
+       |         GROUP BY 1),
+       |feats AS (SELECT poly_id, sum(v0) / count(*) AS f0,
+       |            sum(v1) / count(*) AS f1
+       |          FROM fv JOIN $pipeBoxesSql
+       |          ON wx > bx0 AND wx < bx1 AND wy > by0 AND wy < by1
+       |          GROUP BY 1),
+       |d AS (SELECT poly_id, f0, f1,
+       |        min(CASE WHEN cls = 1 THEN (f0-c0)*(f0-c0) + (f1-c1)*(f1-c1) END) AS d1,
+       |        min(CASE WHEN cls = 2 THEN (f0-c0)*(f0-c0) + (f1-c1)*(f1-c1) END) AS d2,
+       |        min(CASE WHEN cls = 3 THEN (f0-c0)*(f0-c0) + (f1-c1)*(f1-c1) END) AS d3
+       |      FROM feats CROSS JOIN cent GROUP BY 1, 2, 3)
+       |SELECT poly_id, round(f0, 4) AS f0, round(f1, 4) AS f1,
+       |  CAST(CASE WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |            WHEN d2 <= d3 THEN 2 ELSE 3 END AS INT) AS pred
+       |FROM d""".stripMargin
+  }
+
   /** array2raster round trip: tiles -> assemble (inverse tiler, geo from
     * tile rows) -> per-(image, band) pixel sums — the oracle is the raw
     * pixel formula, so any mis-placement or cell-duplication in the
