@@ -86,7 +86,7 @@ object VectorOps {
 
   private val gf = new GeometryFactory()
 
-  private[operators] def toJts(rings: Geom.Rings): JPolygon = {
+  private[graft] def toJts(rings: Geom.Rings): JPolygon = {
     def ring(r: Array[(Double, Double)]) = {
       val closed = if (r.head == r.last) r else r :+ r.head
       gf.createLinearRing(closed.map { case (x, y) => new Coordinate(x, y) })
@@ -94,7 +94,7 @@ object VectorOps {
     gf.createPolygon(ring(rings(0)), rings.drop(1).map(ring))
   }
 
-  private[operators] def fromJts(g: Geometry): Seq[Geom.Rings] = {
+  private[graft] def fromJts(g: Geometry): Seq[Geom.Rings] = {
     def polyRings(p: JPolygon): Geom.Rings = {
       val shell = p.getExteriorRing.getCoordinates.dropRight(1)
         .map(c => (c.x, c.y))

@@ -221,6 +221,42 @@ class Round2FixSpec extends AnyFunSuite {
     assert(table.commit(df, "w2").isEmpty) // idempotent re-commit
   }
 
+  test("PIP == JTS covers on random star polygons + holed rings (off-boundary)") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    val rng = new graft.gen.Synth.Rng(99L)
+    var checked = 0
+    for (trial <- 0 until 15) {
+      val cx = rng.nextDouble() * 200 - 100
+      val cy = rng.nextDouble() * 200 - 100
+      val k = 3 + rng.nextInt(4)
+      val nv = 12 + rng.nextInt(20)
+      val ring = Array.tabulate(nv) { v =>
+        val ang = 2 * math.Pi * v / nv
+        val r = 30.0 * (1.0 + 0.45 * math.sin(k * ang))
+        (cx + r * math.cos(ang), cy + r * math.sin(ang))
+      }
+      // every other trial adds a SAME-WINDING square hole at the center
+      val rings: Geom.Rings =
+        if (trial % 2 == 0) Array(ring)
+        else Array(ring, Array((cx - 5.0, cy - 5.0), (cx + 5.0, cy - 5.0),
+          (cx + 5.0, cy + 5.0), (cx - 5.0, cy + 5.0)))
+      val jts = VectorOps.toJts(rings)
+      val boundary = jts.getBoundary
+      for (_ <- 0 until 200) {
+        val px = cx + rng.nextDouble() * 120 - 60
+        val py = cy + rng.nextDouble() * 120 - 60
+        val pt = gf.createPoint(new Coordinate(px, py))
+        if (boundary.distance(pt) > 1e-6) { // off-boundary: conventions agree
+          assert(Geom.pointInPolygon(px, py, rings) == jts.covers(pt),
+            s"trial $trial point ($px, $py)")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 2500)
+  }
+
   test("otsu: quantized path stays near the exact threshold") {
     val res = Tiler.resForCellSize(16.0)
     val cell = GridIndex.cellId(2.0, 2.0, res)
