@@ -224,7 +224,10 @@ object Queries {
       col("c_custkey").as("q_id"),
       ((col("c_custkey") * 37) % 200 + lit(0.3)).as("x"),
       ((col("c_custkey") * 53) % 100 + lit(0.7)).as("y"))
-    Knn.knnJoinHex(queries, pts(spark, dir), k = 5, res = 9, r1 = 2)
+    // res 10 (hex size ~3.9 units): candidate volume per query matches
+    // the grid path's; sparse fixtures that miss the exactness guard
+    // fall to the brute pass, so results stay exact at every SF
+    Knn.knnJoinHex(queries, pts(spark, dir), k = 5, res = 10, r1 = 2)
   }
 
   val qKnnHexSql: String = qKnnSql
