@@ -233,6 +233,10 @@ object Geom {
     if (pointInPolygon(rect.x0, rect.y0, rings) || pointInPolygon(rect.x1, rect.y0, rings) ||
         pointInPolygon(rect.x0, rect.y1, rings) || pointInPolygon(rect.x1, rect.y1, rings)) return true
     if (rings.exists(_.exists { case (x, y) => rect.contains(x, y) })) return true
+    anyEdgeIntersectsRect(rect, rings)
+  }
+
+  private def anyEdgeIntersectsRect(rect: BBox, rings: Rings): Boolean = {
     val corners = Array((rect.x0, rect.y0), (rect.x1, rect.y0), (rect.x1, rect.y1), (rect.x0, rect.y1))
     var r = 0
     while (r < rings.length) {
@@ -251,6 +255,18 @@ object Geom {
       r += 1
     }
     false
+  }
+
+  /** Is the rect ENTIRELY inside the polygon (holes respected)? True only
+    * when every rect corner is inside, no polygon vertex lies inside the
+    * rect (a hole fully inside would), and no polygon edge crosses the
+    * rect boundary — the per-pixel-PIP skip condition for interior tiles. */
+  def rectInsidePolygon(rect: BBox, rings: Rings): Boolean = {
+    if (!(pointInPolygon(rect.x0, rect.y0, rings) && pointInPolygon(rect.x1, rect.y0, rings) &&
+          pointInPolygon(rect.x0, rect.y1, rings) && pointInPolygon(rect.x1, rect.y1, rings)))
+      return false
+    if (rings.exists(_.exists { case (x, y) => rect.contains(x, y) })) return false
+    !anyEdgeIntersectsRect(rect, rings)
   }
 
   private def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,

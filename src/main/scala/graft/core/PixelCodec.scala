@@ -49,7 +49,8 @@ object PixelCodec {
   private def encodeRaw(bands: Array[Array[Float]]): Array[Byte] = {
     val n  = bands.map(_.length).sum
     val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
-    bands.foreach(b => b.foreach(bb.putFloat))
+    val fb = bb.asFloatBuffer()
+    bands.foreach(fb.put) // bulk put: one bounds check per band, not per px
     bb.array()
   }
 
@@ -100,8 +101,12 @@ object PixelCodec {
     fmt match {
       case FmtRawLe =>
         val nb = bytes.length / (4 * px)
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        Decoded(w, h, Array.fill(nb)(Array.fill(px)(bb.getFloat)))
+        val fb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+        Decoded(w, h, Array.fill(nb) {
+          val b = new Array[Float](px)
+          fb.get(b) // bulk get: vectorized copy instead of per-px getFloat
+          b
+        })
       case FmtRle =>
         val nb = bytes(0) & 0xff
         val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1).order(ByteOrder.LITTLE_ENDIAN)

@@ -68,7 +68,17 @@ object ZonalStats {
       val cb = GridIndex.cellBounds(p.cell_id)
       val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
       val pb = Geom.bbox(rings)
-      val acc = new scala.collection.mutable.HashMap[Float, Long]
+      // interior-tile shortcut: when the rect spanned by the tile's pixel
+      // CENTERS sits entirely inside the polygon, every center passes PIP
+      // — large polygons pay zero per-pixel geometry
+      val fullInside = Geom.rectInsidePolygon(Geom.BBox(
+        t.x_min + 0.5 * t.px, t.y_max - (t.th - 0.5) * t.px,
+        t.x_min + (t.tw - 0.5) * t.px, t.y_max - 0.5 * t.px), rings)
+      // uint8-regime fast path (the reference's native domain,
+      // shape.py:1704-1710): integral values in [0, 256) count into a
+      // flat array — no boxing, no hashing; anything else falls to the map
+      val arr = new Array[Long](256)
+      var acc: scala.collection.mutable.HashMap[Float, Long] = null
       val nod = t.nodata
       var row = 0
       while (row < t.th) {
@@ -81,8 +91,13 @@ object ZonalStats {
             if (cx >= cb.x0 && cx < cb.x1 && cx >= pb.x0 && cx <= pb.x1) {
               val v = t.pixels(row * t.tw + col)
               val isNodata = if (nod.isNaN) v.isNaN else v == nod
-              if (!isNodata && Geom.pointInPolygon(cx, cy, rings)) {
-                acc.update(v, acc.getOrElse(v, 0L) + 1L)
+              if (!isNodata && (fullInside || Geom.pointInPolygon(cx, cy, rings))) {
+                val iv = v.toInt
+                if (iv >= 0 && iv < 256 && iv.toFloat == v) arr(iv) += 1L
+                else {
+                  if (acc == null) acc = new scala.collection.mutable.HashMap[Float, Long]
+                  acc.update(v, acc.getOrElse(v, 0L) + 1L)
+                }
               }
             }
             col += 1
@@ -90,7 +105,12 @@ object ZonalStats {
         }
         row += 1
       }
-      acc.iterator.map { case (v, c) => (p.poly_id, t.band, v, c) }
+      val fromArr = (0 until 256).iterator.filter(arr(_) > 0L)
+        .map(iv => (p.poly_id, t.band, iv.toFloat, arr(iv)))
+      val fromMap =
+        if (acc == null) Iterator.empty
+        else acc.iterator.map { case (v, c) => (p.poly_id, t.band, v, c) }
+      fromArr ++ fromMap
     }.toDF("poly_id", "band", "value", "cnt")
       .groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
   }
