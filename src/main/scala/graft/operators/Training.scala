@@ -95,22 +95,25 @@ object Training {
     * per-feature-vector rows (e.g. per-polygon zonal means) scored by
     * the centroid model as pure column math: squared distances per
     * class, argmin via least() with first-match (= smallest label) tie
-    * break, matching CentroidModel.predict exactly. Codegen'd exprs,
-    * no UDF, no shuffle. */
+    * break, matching CentroidModel.predict on non-null features. Rows
+    * with any NULL feature get a NULL prediction (never silently the
+    * last label). Codegen'd exprs, no UDF, no shuffle. */
   def classifyObjects(df: DataFrame, model: CentroidModel,
                       featureCols: Seq[String],
                       predCol: String = "pred"): DataFrame = {
+    require(model.labels.nonEmpty)
     require(model.centroids.forall(_.length == featureCols.length))
     val dists = model.centroids.map { c =>
       featureCols.zipWithIndex.map { case (f, j) =>
         (col(f) - c(j)) * (col(f) - c(j))
       }.reduce(_ + _)
     }
-    val dmin = least(dists: _*)
+    // least() needs >= 2 args; a one-class model predicts its only label
+    val dmin = if (dists.length == 1) dists(0) else least(dists: _*)
     val pred = model.labels.indices.drop(1).foldLeft(
       when(dists(0) === dmin, model.labels(0))) { (acc, i) =>
       acc.when(dists(i) === dmin, model.labels(i))
-    }.otherwise(model.labels.last)
+    }.otherwise(lit(null).cast("int"))
     df.withColumn(predCol, pred)
   }
 

@@ -70,10 +70,16 @@ object ZonalStats {
       val pb = Geom.bbox(rings)
       // interior-tile shortcut: when the rect spanned by the tile's pixel
       // CENTERS sits entirely inside the polygon, every center passes PIP
-      // — large polygons pay zero per-pixel geometry
-      val fullInside = Geom.rectInsidePolygon(Geom.BBox(
+      // — large polygons pay zero per-pixel geometry. The bbox pre-check
+      // keeps boundary/exterior pairs (the common case) from paying the
+      // full ring scans of the exact containment test.
+      val centers = Geom.BBox(
         t.x_min + 0.5 * t.px, t.y_max - (t.th - 0.5) * t.px,
-        t.x_min + (t.tw - 0.5) * t.px, t.y_max - 0.5 * t.px), rings)
+        t.x_min + (t.tw - 0.5) * t.px, t.y_max - 0.5 * t.px)
+      val fullInside =
+        pb.x0 <= centers.x0 && centers.x1 <= pb.x1 &&
+        pb.y0 <= centers.y0 && centers.y1 <= pb.y1 &&
+        Geom.rectInsidePolygon(centers, rings)
       // uint8-regime fast path (the reference's native domain,
       // shape.py:1704-1710): integral values in [0, 256) count into a
       // flat array — no boxing, no hashing; anything else falls to the map

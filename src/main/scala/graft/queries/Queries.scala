@@ -914,21 +914,7 @@ object Queries {
 
   // lazy: references classifyBoxes/pipeBoxesSql defined further down
   lazy val qClassifyObjectSql: String = {
-    val boxesVals = "(VALUES " + classifyBoxes.map { case (c, x0, y0, x1, y1) =>
-      s"($c, $x0, $y0, $x1, $y1)"
-    }.mkString(", ") + ") AS tb(cls, tx0, ty0, tx1, ty1)"
-    s"""WITH fv AS (
-       |  SELECT i, x, y,
-       |    CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v0,
-       |    CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) AS v1,
-       |    (i % 8) * 256 + x + CAST(0.5 AS DOUBLE) AS wx,
-       |    (i // 8) * 256 - y - CAST(0.5 AS DOUBLE) AS wy
-       |  FROM generate_series(0, 11) t(i), generate_series(0, 79) tx(x),
-       |       generate_series(0, 47) ty(y)),
-       |cent AS (SELECT cls, sum(v0) / count(*) AS c0, sum(v1) / count(*) AS c1
-       |         FROM fv JOIN $boxesVals
-       |         ON wx > tx0 AND wx < tx1 AND wy > ty0 AND wy < ty1
-       |         GROUP BY 1),
+    s"""WITH $classifyFvCentSql,
        |feats AS (SELECT poly_id, sum(v0) / count(*) AS f0,
        |            sum(v1) / count(*) AS f1
        |          FROM fv JOIN $pipeBoxesSql
@@ -1426,11 +1412,14 @@ object Queries {
       .groupBy("image_id").agg(round(sum("class_sum"), 2).as("class_mass"))
   }
 
-  val qClassifySql: String = {
+  /** Shared oracle fragment for the classify queries: the 12-image
+    * 2-band pixel/feature relation fv and the fitted class centroids
+    * cent — SINGLE source for q_classify and q_classify_object. */
+  private lazy val classifyFvCentSql: String = {
     val boxesVals = "(VALUES " + classifyBoxes.map { case (c, x0, y0, x1, y1) =>
       s"($c, $x0, $y0, $x1, $y1)"
     }.mkString(", ") + ") AS tb(cls, tx0, ty0, tx1, ty1)"
-    s"""WITH fv AS (
+    s"""fv AS (
        |  SELECT i, printf('g%03d', i) AS image_id, x, y,
        |    CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v0,
        |    CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) AS v1,
@@ -1441,7 +1430,11 @@ object Queries {
        |cent AS (SELECT cls, sum(v0) / count(*) AS c0, sum(v1) / count(*) AS c1
        |         FROM fv JOIN $boxesVals
        |         ON wx > tx0 AND wx < tx1 AND wy > ty0 AND wy < ty1
-       |         GROUP BY 1),
+       |         GROUP BY 1)""".stripMargin
+  }
+
+  lazy val qClassifySql: String = {
+    s"""WITH $classifyFvCentSql,
        |d AS (SELECT image_id, x, y,
        |        min(CASE WHEN cls = 1 THEN (v0-c0)*(v0-c0) + (v1-c1)*(v1-c1) END) AS d1,
        |        min(CASE WHEN cls = 2 THEN (v0-c0)*(v0-c0) + (v1-c1)*(v1-c1) END) AS d2,

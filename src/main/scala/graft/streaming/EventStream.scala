@@ -45,39 +45,46 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
-  /** Event-time sessionization: gap-separated sessions per user, closed
-    * and emitted when the watermark passes last-event + gap. */
+  /**
+   * Event-time sessionization: gap-separated sessions per user. State
+   * holds ALL open sessions and a session is emitted ONLY once the
+   * watermark passes its end + gap — never eagerly on a within-batch
+   * gap split — so a late event inside the watermark horizon that
+   * BRIDGES two provisional sessions merges them (and one arriving
+   * before a session's recorded start extends it backwards) instead of
+   * producing wrong splits. Append-mode results are therefore final.
+   */
   def sessionize(events: DataFrame, watermark: String = "30 minutes",
                  gapMs: Long = 60 * 60 * 1000L)
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    def mergeAll(sessions: Seq[Session]): List[Session] =
+      sessions.sortBy(_.start).foldLeft(List.empty[Session]) { (acc, s) =>
+        acc match {
+          case head :: rest if s.start - head.end <= gapMs =>
+            Session(head.start, math.max(head.end, s.end), head.n + s.n) :: rest
+          case _ => s :: acc
+        }
+      }.reverse
+
     def update(userId: Long, evs: Iterator[Ev],
-               state: GroupState[Session]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(SessionOut(userId, s.start, s.end, s.n))
-      } else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-        var cur = state.getOption
-        evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(Session(s.start, math.max(s.end, t), s.n + 1))
-            case Some(s) =>
-              out += SessionOut(userId, s.start, s.end, s.n)
-              cur = Some(Session(t, t, 1))
-            case None =>
-              cur = Some(Session(t, t, 1))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        out.iterator
+               state: GroupState[List[Session]]): Iterator[SessionOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val merged =
+        if (state.hasTimedOut) state.get
+        else mergeAll(state.getOption.getOrElse(Nil) ++
+          evs.map(e => Session(e.ts.getTime, e.ts.getTime, 1)))
+      // a session is FINAL once nothing inside the watermark horizon can
+      // still extend it: end + gap <= watermark
+      val (closed, open) = merged.partition(_.end + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        // fire again when the earliest open session can close; event-time
+        // timeouts must be strictly beyond the current watermark
+        state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
       }
+      closed.iterator.map(s => SessionOut(userId, s.start, s.end, s.n))
     }
     events.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts")).as[Ev]

@@ -28,12 +28,25 @@ class EventStreamSpec extends AnyFunSuite {
       (3L, ts(20), 1L, "click", 1.0, "{}"),
       (4L, ts(30), 2L, "view", 4.0, "{}"),
       // second window for user 1 after a > 1h gap: new session
-      (5L, ts(130), 1L, "click", 7.0, "{}"))
+      (5L, ts(130), 1L, "click", 7.0, "{}"),
+      // user 9: two provisional sessions 70m apart, bridged by a LATE
+      // batch-2 event at m110 — must merge into ONE session
+      (7L, ts(80), 9L, "ping", 0.0, "{}"),
+      (8L, ts(150), 9L, "ping", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val late = Seq((6L, ts(10000), 3L, "view", 1.0, "{}"))
+    // batch 2: far event advances the watermark; bridge event for user 9
+    // (m110 >= batch-1 watermark m100, so it is accepted)
+    val late = Seq(
+      (6L, ts(10000), 3L, "view", 1.0, "{}"),
+      (9L, ts(110), 9L, "ping", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 3: one more far event so the final watermark fires the
+    // remaining event-time timeouts
+    val flush = Seq((10L, ts(20000), 4L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     early.repartition(1).write.mode("append").parquet(dir)
     late.repartition(1).write.mode("append").parquet(dir)
+    flush.repartition(1).write.mode("append").parquet(dir)
   }
 
   test("watermarked tumbling windows emit final per-window counts") {
@@ -102,5 +115,9 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got((1L, ts(130).getTime)) == (ts(130).getTime, 1L))
     // user 2: single-event session
     assert(got((2L, ts(30).getTime)) == (ts(30).getTime, 1L))
+    // user 9: the late bridge event MERGED the two provisional sessions —
+    // one final session [m80, m150] of 3 events, no spurious split
+    assert(got((9L, ts(80).getTime)) == (ts(150).getTime, 3L))
+    assert(!got.contains((9L, ts(150).getTime)), "split session leaked")
   }
 }
