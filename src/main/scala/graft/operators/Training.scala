@@ -103,16 +103,19 @@ object Training {
                       predCol: String = "pred"): DataFrame = {
     require(model.labels.nonEmpty)
     require(model.centroids.forall(_.length == featureCols.length))
-    val dists = model.centroids.map { c =>
+    // label-ascending order so first-match == smallest label on distance
+    // ties, exactly predict()'s convention even for unsorted models
+    val ordered = model.labels.zip(model.centroids).sortBy(_._1)
+    val dists = ordered.map { case (_, c) =>
       featureCols.zipWithIndex.map { case (f, j) =>
         (col(f) - c(j)) * (col(f) - c(j))
       }.reduce(_ + _)
     }
     // least() needs >= 2 args; a one-class model predicts its only label
     val dmin = if (dists.length == 1) dists(0) else least(dists: _*)
-    val pred = model.labels.indices.drop(1).foldLeft(
-      when(dists(0) === dmin, model.labels(0))) { (acc, i) =>
-      acc.when(dists(i) === dmin, model.labels(i))
+    val pred = ordered.indices.drop(1).foldLeft(
+      when(dists(0) === dmin, ordered(0)._1)) { (acc, i) =>
+      acc.when(dists(i) === dmin, ordered(i)._1)
     }.otherwise(lit(null).cast("int"))
     df.withColumn(predCol, pred)
   }

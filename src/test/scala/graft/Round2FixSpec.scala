@@ -257,6 +257,40 @@ class Round2FixSpec extends AnyFunSuite {
     assert(checked > 2500)
   }
 
+  test("classifyObjects: single-class model, null features, tie break") {
+    import graft.operators.Training
+    val m1 = Training.CentroidModel(Array(7), Array(Array(1.0, 2.0)))
+    val df = Seq((1L, 0.0, 0.0), (2L, 9.0, 9.0)).toDF("id", "f0", "f1")
+    // one-class model: everything gets the only label (least() edge case)
+    assert(Training.classifyObjects(df, m1, Seq("f0", "f1"))
+      .select("pred").as[Int].collect().forall(_ == 7))
+    // equidistant centroids: smallest label wins (predict() convention)
+    val m2 = Training.CentroidModel(Array(3, 1),
+      Array(Array(2.0, 0.0), Array(0.0, 2.0)))
+    val tie = Seq((1L, 1.0, 1.0)).toDF("id", "f0", "f1")
+    assert(Training.classifyObjects(tie, m2, Seq("f0", "f1"))
+      .select("pred").as[Int].head() == 1)
+    // null feature -> null prediction, never silently the last label
+    val withNull = Seq((1L, Some(1.0), None: Option[Double]))
+      .toDF("id", "f0", "f1")
+    assert(Training.classifyObjects(withNull, m2, Seq("f0", "f1"))
+      .select("pred").collect().head.isNullAt(0))
+  }
+
+  test("hammingPairs fuzz: full recall on 64 random signatures, radii 1..15") {
+    val rng = new graft.gen.Synth.Rng(123L)
+    val sigs = (0 until 64).map(i => (i.toLong, rng.nextLong()))
+    val df = sigs.toDF("id", "sig")
+    val naive = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    for (radius <- Seq(1, 5, 11, 15)) {
+      val got = graft.text.TextOps.hammingPairs(df, "id", "sig", radius)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == naive.filter(_._3 <= radius), s"radius $radius")
+    }
+  }
+
   test("otsu: quantized path stays near the exact threshold") {
     val res = Tiler.resForCellSize(16.0)
     val cell = GridIndex.cellId(2.0, 2.0, res)
