@@ -77,7 +77,19 @@ object SparkEntry {
       "q_cell_index"      -> (Q.qCellIndex _),
       "q_s2_index"        -> (Q.qS2Index _),
       "q_phash_pairs"     -> (Q.qPhashPairs _),
-      "q_image_dedup"     -> (Q.qImageDedup _)
+      "q_image_dedup"     -> (Q.qImageDedup _),
+      // round 3: oracle rows for the previously spec-only ops
+      "q_clip_raster"     -> (Q.qClipRaster _),
+      "q_template_match"  -> (Q.qTemplateMatch _),
+      "q_stat_comp"       -> (Q.qStatComp _),
+      "q_mask_equals"     -> (Q.qMaskEquals _),
+      "q_otsu"            -> (Q.qOtsu _),
+      "q_buffer"          -> (Q.qBuffer _),
+      "q_zonal_point_stack" -> (Q.qZonalPointStack _),
+      "q_fid"             -> (Q.qFid _),
+      "q_clip_concave"    -> (Q.qClipConcave _),
+      "q_windowed"        -> (Q.qWindowed _),
+      "q_sessions"        -> (Q.qSessions _)
     )
   }
 
@@ -137,7 +149,18 @@ object SparkEntry {
       "q_assemble"        -> Q.qAssembleSql,
       "q_rasterize"       -> Q.qRasterizeSql,
       "q_combine_grid"    -> Q.qCombineGridSql,
-      "q_ndvi"            -> Q.qNdviSql
+      "q_ndvi"            -> Q.qNdviSql,
+      "q_clip_raster"     -> Q.qClipRasterSql,
+      "q_template_match"  -> Q.qTemplateMatchSql,
+      "q_stat_comp"       -> Q.qStatCompSql,
+      "q_mask_equals"     -> Q.qMaskEqualsSql,
+      "q_otsu"            -> Q.qOtsuSql,
+      "q_buffer"          -> Q.qBufferSql,
+      "q_zonal_point_stack" -> Q.qZonalPointStackSql,
+      "q_fid"             -> Q.qFidSql,
+      "q_clip_concave"    -> Q.qClipConcaveSql,
+      "q_windowed"        -> Q.qWindowedSql,
+      "q_sessions"        -> Q.qSessionsSql
     )
   }
 }

@@ -11,16 +11,17 @@ import graft.core.{Geom, GridIndex}
  * contrast, dissimilarity, homogeneity, ASM, energy, correlation.
  *
  * Distributed shape: like ZonalStats.histogram but emitting PAIR
- * histograms (q1, q2, cnt) for pixel pairs at offset (dx, dy) where both
- * pixels fall inside the polygon (and inside the owning cell, so tile
- * overlap never double-counts). Values are quantized to `levels` bins
- * (SURVEY §7 hard-point 5: bounded buffer; the reference's uint8 regime
- * quantized the same way). The co-occurrence matrix is made symmetric
- * (skimage symmetric=True) by emitting both (q1,q2) and (q2,q1).
- *
- * Deviation noted: pixel pairs crossing a TILE boundary are not formed
- * (tile-local pairs only) — at 256-px tiles that is <1% of pairs; the
- * reference forms pairs across its full per-feature window.
+ * histograms (q1, q2, cnt) for pixel pairs at offset (dx, dy). The pair
+ * ORIGIN must fall inside the polygon AND the owning cell (so tile
+ * overlap never double-counts); the PARTNER only needs the polygon —
+ * exactly skimage's full-window pair semantics. Pairs that cross a tile
+ * boundary come from the tiler's HALO pixels: feed tiles built with
+ * `Tiler.tiles(..., halo = max(|dx|, |dy|))` and every reference pair
+ * (shape.py:1704-1711) is formed exactly once, with zero shuffle.
+ * Values are quantized to `levels` bins (SURVEY §7 hard-point 5:
+ * bounded buffer; the reference's uint8 regime quantized the same way).
+ * The co-occurrence matrix is made symmetric (skimage symmetric=True)
+ * by emitting both (q1,q2) and (q2,q1).
  */
 object Glcm {
 
@@ -36,11 +37,18 @@ object Glcm {
       val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
       val acc = new scala.collection.mutable.HashMap[(Int, Int), Long]
       def quant(v: Float): Int = math.min(lv - 1, math.max(0, (v / maxVal * lv).toInt))
-      def inside(row: Int, c: Int): Boolean = {
+      // origin: owning-cell bounds (dedupe) + polygon; partner: polygon
+      // only (it may sit in a neighbor cell — that's what the halo is for)
+      def insideOrigin(row: Int, c: Int): Boolean = {
         val cx = t.x_min + (c + 0.5) * t.px
         val cy = t.y_max - (row + 0.5) * t.px
         cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
           Geom.pointInPolygon(cx, cy, rings)
+      }
+      def insidePartner(row: Int, c: Int): Boolean = {
+        val cx = t.x_min + (c + 0.5) * t.px
+        val cy = t.y_max - (row + 0.5) * t.px
+        Geom.pointInPolygon(cx, cy, rings)
       }
       // offset-signed bounds: row+dy and c+dx must stay in [0, th)x[0, tw)
       // for NEGATIVE offsets too (a -1 offset from row 0 would index out
@@ -49,7 +57,7 @@ object Glcm {
       while (row < t.th - math.max(0, dy)) {
         var c = math.max(0, -dx)
         while (c < t.tw - math.max(0, dx)) {
-          if (inside(row, c) && inside(row + dy, c + dx)) {
+          if (insideOrigin(row, c) && insidePartner(row + dy, c + dx)) {
             val a = quant(t.pixels(row * t.tw + c))
             val b = quant(t.pixels((row + dy) * t.tw + (c + dx)))
             acc.update((a, b), acc.getOrElse((a, b), 0L) + 1L)

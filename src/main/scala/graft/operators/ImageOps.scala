@@ -276,7 +276,9 @@ object ImageOps {
             val aspect = math.atan2(dzdy, -dzdx)
             val shade = math.cos(zen) * math.cos(slope) +
               math.sin(zen) * math.sin(slope) * math.cos(az - math.Pi / 2.0 - aspect)
-            math.max(0.0, math.round(254.0 * shade) + 1.0).toFloat
+            // gdaldem convention: clamp cang to 0 BEFORE scaling, so fully
+            // shadowed pixels emit 1 (never 0 — 0 would alias nodata)
+            (math.round(254.0 * math.max(0.0, shade)) + 1.0).toFloat
         }
       }
       img.copy(bytes = PixelCodec.encode(img.fmt, w, h, Array(out)),

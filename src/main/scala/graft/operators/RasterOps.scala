@@ -21,6 +21,20 @@ object RasterOps {
 
   private val tileKey = Seq("image_id", "tx", "ty")
 
+  /** Driver-safe bounded collect for small-by-contract feature layers
+    * (rasterize burn layers, training-label maps): materializes at most
+    * max+1 rows — a layer over the contract fails FAST with a clear
+    * message instead of silently OOM-ing the driver. Layers above the
+    * bound belong in a cell-keyed broadcast join (ZonalStats.polyCells). */
+  private[operators] def boundedCollect[T](ds: Dataset[T], what: String,
+                                           max: Int = 1 << 20): Array[T] = {
+    val rows = ds.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"$what layer exceeds the driver-broadcast contract ($max features); " +
+        "route it through a cell-keyed broadcast join instead")
+    rows
+  }
+
   /** mask_raster (raster.py:1031-1134): keep pixels == mval, else `fill`. */
   def maskEquals(tiles: DataFrame, mval: Float, fill: Float = 0f): DataFrame =
     tiles.withColumn("pixels",
@@ -239,10 +253,11 @@ object RasterOps {
 
   /** stat_comp (raster.py:2410-2528): composite across the BAND axis of
     * one raster — same fold as temporalComposite with band as the series
-    * key. No shuffle beyond the tile-key group. */
-  def bandComposite(tiles: DataFrame, stat: String): DataFrame =
+    * key (incl. the statChoose percentile, raster.py:2464-2473). No
+    * shuffle beyond the tile-key group. */
+  def bandComposite(tiles: DataFrame, stat: String, q: Double = 50.0): DataFrame =
     temporalComposite(
-      tiles.withColumn("t", col("band")).withColumn("band", lit(0)), stat)
+      tiles.withColumn("t", col("band")).withColumn("band", lit(0)), stat, q)
 
   /** raster2points (raster.py:1607-1699): tile -> (x, y, value) rows,
     * nodata dropped. Pixel-center coords via posexplode index math;
@@ -282,7 +297,7 @@ object RasterOps {
                (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
     val byCell: Map[Long, Array[(Long, Int, Geom.Rings, Float)]] =
-      polys.collect().flatMap { p =>
+      boundedCollect(polys, "rasterize burn").flatMap { p =>
         val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
         val burn = if (burnClass) p.cls.toFloat else 1f
         GridIndex.coverPolygon(rings, cellRes)
@@ -365,10 +380,12 @@ object RasterOps {
   def otsuThreshold(tiles: DataFrame, levels: Int = 256): Double = {
     val vals = tiles.select(explode(col("pixels")).as("v")).where(!isnan(col("v")))
     val probe = vals.agg(
-      approx_count_distinct(col("v")).as("nd"),
       min(col("v")).as("mn"), max(col("v")).as("mx")).head()
-    val (nd, mn, mx) = (probe.getLong(0), probe.getFloat(1).toDouble,
-      probe.getFloat(2).toDouble)
+    val (mn, mx) = (probe.getFloat(0).toDouble, probe.getFloat(1).toDouble)
+    // EXACT bounded distinct probe (capped at levels + 1 rows): the
+    // exact-vs-binned path choice is deterministic for the same data —
+    // approx_count_distinct's error could flip it across runs/engines
+    val nd = vals.select("v").distinct().limit(levels + 1).count()
     val binned =
       if (nd <= levels) vals.groupBy(col("v").cast("double").as("v"))
       else {

@@ -36,9 +36,17 @@ object Tiler {
   /** Tile world bounds are shrunk by epsilon before cell covering so an
     * exactly-aligned tile edge doesn't pull in a neighbor cell it only
     * touches. Geotransform convention (x_min, px, 0, y_max, 0, -px) per
-    * raster.py:260-266. */
+    * raster.py:260-266.
+    *
+    * `halo` > 0 expands each tile's PIXEL payload by that many
+    * image-clipped border pixels on every side (the emitted x_min/y_max/
+    * tw/th describe the expanded window) while the CELL covering stays
+    * that of the core tile — so ownership-checked consumers (zonal,
+    * GLCM origins) count nothing twice, and windowed kernels that need
+    * cross-tile neighbors (GLCM pixel pairs, reference
+    * shape.py:1704-1711) see them without any shuffle. */
   def tiles(images: Dataset[ImageRow], tileSize: Int, cellRes: Int,
-            nodata: Float = Float.NaN)
+            nodata: Float = Float.NaN, halo: Int = 0)
            (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
     val eps = 1e-9
@@ -59,20 +67,28 @@ object Tiler {
           val wy1 = img.y_max - y0 * img.px
           val wy0 = wy1 - th * img.px
           val wx1 = wx0 + tw * img.px
+          // cells cover the CORE tile only (ownership unchanged by halo)
           val cells = GridIndex.coverBBox(
             Geom.BBox(wx0 + eps, wy0 + eps, wx1 - eps, wy1 - eps), cellRes)
+          // expanded pixel window, clipped to the image
+          val hx0 = math.max(0, x0 - halo)
+          val hy0 = math.max(0, y0 - halo)
+          val htw = math.min(img.w, x0 + tw + halo) - hx0
+          val hth = math.min(img.h, y0 + th + halo) - hy0
+          val hwx0 = img.x_min + hx0 * img.px
+          val hwy1 = img.y_max - hy0 * img.px
           var band = 0
           while (band < dec.bands.length) {
             val src = dec.bands(band)
-            val px = new Array[Float](tw * th)
+            val px = new Array[Float](htw * hth)
             var r = 0
-            while (r < th) {
-              System.arraycopy(src, (y0 + r) * img.w + x0, px, r * tw, tw)
+            while (r < hth) {
+              System.arraycopy(src, (hy0 + r) * img.w + hx0, px, r * htw, htw)
               r += 1
             }
             cells.foreach { c =>
-              out += TileRow(img.image_id, c, tx, ty, wx0, wy1, img.px,
-                band, px, tw, th, nodata)
+              out += TileRow(img.image_id, c, tx, ty, hwx0, hwy1, img.px,
+                band, px, htw, hth, nodata)
             }
             band += 1
           }

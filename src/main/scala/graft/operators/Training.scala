@@ -48,7 +48,8 @@ object Training {
                     (implicit spark: SparkSession): Dataset[Sample] = {
     import spark.implicits._
     val pc = ZonalStats.polyCells(polys, cellRes)
-    val clsById = polys.collect().map(p => (p.poly_id, p.part) -> p.cls).toMap
+    val clsById = RasterOps.boundedCollect(polys, "training-label")
+      .map(p => (p.poly_id, p.part) -> p.cls).toMap
     val clsB = spark.sparkContext.broadcast(clsById)
     tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
       .flatMap { case (t, p) =>

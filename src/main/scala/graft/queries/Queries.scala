@@ -650,7 +650,7 @@ object Queries {
   val qAnnLshSql: String =
     """WITH sp AS (SELECT vec_id, p,
       |    sum(CAST(embedding[i] AS DOUBLE) *
-      |        (CAST((1103515245 * (p * 4096 + i - 1) + 12345) >> 16 & 1 AS DOUBLE)
+      |        (CAST((1103515245 * (p * 1048576 + i - 1) + 12345) >> 16 & 1 AS DOUBLE)
       |         * 2.0 - 1.0)) AS proj
       |  FROM embeddings, generate_series(0, 15) tp(p),
       |       generate_series(1, 64) ti(i)
@@ -1063,10 +1063,10 @@ object Queries {
        |       generate_series(0, 47) ty(y)),
        |d AS (SELECT i,
        |    CAST(degrees(atan(sqrt(zx*zx + zy*zy))) AS FLOAT) AS slope,
-       |    CAST(greatest(0.0, floor(254.0 *
-       |      (cos(radians(45.0)) * cos(atan(sqrt(zx*zx + zy*zy)))
+       |    CAST(floor(254.0 * greatest(0.0,
+       |      cos(radians(45.0)) * cos(atan(sqrt(zx*zx + zy*zy)))
        |       + sin(radians(45.0)) * sin(atan(sqrt(zx*zx + zy*zy)))
-       |         * cos(radians(315.0) - pi()/2 - atan2(zy, -zx))) + 0.5) + 1.0)
+       |         * cos(radians(315.0) - pi()/2 - atan2(zy, -zx))) + 0.5) + 1.0
        |      AS FLOAT) AS hs
        |  FROM g)
        |SELECT printf('g%03d', i) AS image_id, 'slope' AS prop,
@@ -1343,13 +1343,13 @@ object Queries {
 
   /** GLCM texture over grid images with one all-covering polygon; the
     * oracle rebuilds the symmetric pair histogram (offset (1,0), 32
-    * levels over maxVal 256 = exact v/8 quantization, tile-local pairs:
-    * x+1 in the same 64-px tile) and recomputes every greycoprops
-    * formula. */
+    * levels over maxVal 256 = exact v/8 quantization, FULL-window pairs
+    * incl. the ones crossing the 64-px tile boundary — formed from the
+    * tiler's halo pixels) and recomputes every greycoprops formula. */
   def qGlcm(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.tiles(gridImages(spark, 12, 2), 64, cellRes)
+    val tiles = Tiler.tiles(gridImages(spark, 12, 2), 64, cellRes, halo = 1)
     val all = PolyRow(0L, 0,
       Array(Array(Pt(-10, -60), Pt(2100, -60), Pt(2100, 300), Pt(-10, 300))),
       1, "all", 0.0)
@@ -1363,8 +1363,7 @@ object Queries {
        |pr AS (SELECT p1.b, CAST(floor(p1.v / 8) AS INT) AS qa,
        |              CAST(floor(p2.v / 8) AS INT) AS qb
        |       FROM px p1 JOIN px p2
-       |         ON p1.i = p2.i AND p1.b = p2.b AND p1.y = p2.y AND p2.x = p1.x + 1
-       |       WHERE p1.x <> 63),
+       |         ON p1.i = p2.i AND p1.b = p2.b AND p1.y = p2.y AND p2.x = p1.x + 1),
        |h AS (SELECT CAST(0 AS BIGINT) AS poly_id, CAST(b AS INT) AS band,
        |             q1, q2, count(*) AS cnt
        |      FROM (SELECT b, qa AS q1, qb AS q2 FROM pr
@@ -1800,4 +1799,272 @@ object Queries {
        |        ELSE lh END AS BIGINT) & -68719476736) | 68719476736 AS s2
        |FROM leaf""".stripMargin
   }
+
+  // ------------------------------------------- round-3 oracle rows for the
+  //     previously spec-only operators (clip_raster, temp_match, stat_comp,
+  //     mask_raster, otsu+LUT, buffer, zonal_point_stk, FID, concave clip,
+  //     streaming batch replays)
+
+  /** clip_raster cutline (raster.py:1932-2047): crop to the polygon's
+    * cells + nodata-mask outside, then rasterToPoints drops the NaN
+    * nodata — kept-pixel count and sum per (image, band); the oracle
+    * counts centers strictly inside the rectangle. */
+  def qClipRaster(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 8, 2), 64, cellRes)
+    val cut = PolyRow(0L, 0, Array(Array(
+      Pt(50, -40), Pt(290, -40), Pt(290, -10), Pt(50, -10))), 1, "cut", 0.0)
+    RasterOps.rasterToPoints(RasterOps.clipRaster(tiles, cut, cellRes).toDF())
+      .groupBy("image_id", "band")
+      .agg(count(lit(1)).as("n_kept"), round(sum("value"), 2).as("sum_v"))
+  }
+
+  val qClipRasterSql: String =
+    s"""WITH ${GridImages.pxSql(8, 2)}
+       |SELECT image_id, CAST(b AS INT) AS band, count(*) AS n_kept,
+       |  round(sum(v), 2) AS sum_v
+       |FROM px
+       |WHERE wx > 50 AND wx < 290 AND wy > -40 AND wy < -10
+       |GROUP BY 1, 2""".stripMargin
+
+  /** temp_match (utilities.py:1110-1239): fixed 4x4 template planted in
+    * otherwise-flat images at a per-image closed-form location — flat
+    * windows score 0 (zero variance), partial overlaps < 1, the planted
+    * window scores exactly 1, so the NCC argmax is provable. */
+  private val tmplVals: Array[Float] =
+    Array.tabulate(16)(k => ((k * 29) % 83 + 20).toFloat)
+
+  private def plantedImages(spark: SparkSession, n: Int) = {
+    val imgs = (0 until n).map { i =>
+      val r0 = (i * 5) % 40 + 2
+      val c0 = (i * 11) % 70 + 3
+      val b = Array.fill(GridImages.W * GridImages.H)(10f)
+      var k = 0
+      while (k < 16) {
+        b((r0 + k / 4) * GridImages.W + (c0 + k % 4)) = tmplVals(k)
+        k += 1
+      }
+      ImageOps.fromArray(f"p$i%03d", Array(b), GridImages.W, GridImages.H,
+        0.0, 0.0, 1.0, graft.core.PixelCodec.FmtRawLe)
+    }
+    spark.createDataset(imgs)(Encoders.product[ImageRow])
+  }
+
+  def qTemplateMatch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    ImageOps.templateMatch(plantedImages(spark, 16), tmplVals, 4, 4)
+      .select(col("image_id"), col("row").as("m_row"), col("col").as("m_col"),
+        round(col("score"), 4).as("score"))
+  }
+
+  val qTemplateMatchSql: String =
+    """SELECT printf('p%03d', i) AS image_id,
+      |  CAST((i*5) % 40 + 2 AS INT) AS m_row,
+      |  CAST((i*11) % 70 + 3 AS INT) AS m_col,
+      |  CAST(1.0 AS DOUBLE) AS score
+      |FROM generate_series(0, 15) t(i)""".stripMargin
+
+  /** stat_comp (raster.py:2410-2528): band-axis percentile composite
+    * (statChoose np.nanpercentile, raster.py:2464-2473) — p25 across the
+    * 3 bands; the oracle interpolates the sorted 3-value stack in closed
+    * form (lo + (mid - lo) * 0.5). */
+  def qStatComp(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 6, 3), 64, cellRes)
+    RasterOps.bandComposite(tiles.toDF(), "percentile", q = 25.0)
+      .select(col("image_id"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("total"))
+      .groupBy("image_id").agg(round(sum("total"), 2).as("total"))
+  }
+
+  val qStatCompSql: String =
+    """WITH g AS (
+      |  SELECT i,
+      |    CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v0,
+      |    CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE) AS v1,
+      |    CAST((x*7 + y*13 + 62 + i*17) % 97 AS DOUBLE) AS v2
+      |  FROM generate_series(0, 5) t(i), generate_series(0, 79) tx(x),
+      |       generate_series(0, 47) ty(y)),
+      |p AS (SELECT i, CAST(least(v0, v1, v2)
+      |        + ((v0 + v1 + v2 - least(v0, v1, v2) - greatest(v0, v1, v2))
+      |           - least(v0, v1, v2)) * CAST(0.5 AS DOUBLE) AS FLOAT) AS pv
+      |      FROM g)
+      |SELECT printf('g%03d', i) AS image_id,
+      |  round(sum(CAST(pv AS DOUBLE)), 2) AS total
+      |FROM p GROUP BY 1""".stripMargin
+
+  /** mask_raster (raster.py:1031-1134): keep pixels == 42, fill 0 — the
+    * kept mass per (image, band) is 42 x the matching-pixel count. */
+  def qMaskEquals(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 8, 2), 64, cellRes)
+    RasterOps.maskEquals(tiles.toDF(), mval = 42f, fill = 0f)
+      .select(col("image_id"), col("band"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
+      .groupBy("image_id", "band").agg(sum("mass").cast("long").as("mass"))
+  }
+
+  val qMaskEqualsSql: String =
+    s"""WITH ${GridImages.pxSql(8, 2)}
+       |SELECT image_id, CAST(b AS INT) AS band,
+       |  CAST(sum(CASE WHEN v = 42 THEN 42 ELSE 0 END) AS BIGINT) AS mass
+       |FROM px GROUP BY 1, 2""".stripMargin
+
+  /** Otsu threshold + LUT application (shape.py:2367-2372 thresholds,
+    * raster.py LUT remap): the exact-histogram Otsu scan (97 distinct
+    * values) picks the between-class-variance argmax; a broadcast LUT
+    * binarizes and the per-image above-threshold counts come out. The
+    * oracle replays the WHOLE argmax scan relationally. */
+  def qOtsu(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 8, 1), 64, cellRes)
+    val thr = RasterOps.otsuThreshold(tiles.toDF(), levels = 256)
+    val lut = (0 until 97).map(v => v.toFloat -> (if (v > thr) 1f else 0f)).toMap
+    RasterOps.applyLut(tiles.toDF(), lut)
+      .select(col("image_id"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("n_above"))
+      .groupBy("image_id").agg(sum("n_above").cast("long").as("n_above"))
+      .withColumn("threshold", lit(thr))
+  }
+
+  val qOtsuSql: String =
+    """WITH gpx AS (
+      |  SELECT i, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+      |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+      |       generate_series(0, 47) ty(y)),
+      |h AS (SELECT v, count(*) AS c FROM gpx GROUP BY 1),
+      |t AS (SELECT sum(c) AS total, sum(v * c) AS sumall FROM h),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS wb,
+      |               sum(v * c) OVER (ORDER BY v) AS sumb FROM h),
+      |bc AS (SELECT v,
+      |        wb * (total - wb)
+      |          * ((sumb / wb) - (sumall - sumb) / (total - wb))
+      |          * ((sumb / wb) - (sumall - sumb) / (total - wb)) AS bcv
+      |       FROM cum, t WHERE wb > 0 AND wb < total),
+      |best AS (SELECT v AS thr FROM bc ORDER BY bcv DESC, v ASC LIMIT 1)
+      |SELECT printf('g%03d', i) AS image_id,
+      |  CAST(sum(CASE WHEN v > (SELECT thr FROM best) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_above,
+      |  (SELECT thr FROM best) AS threshold
+      |FROM gpx GROUP BY 1""".stripMargin
+
+  /** ST_Buffer (shape.py:2830-2867) erosion: negative buffer of an
+    * axis-aligned rectangle is the exactly-shrunk rectangle (no arc
+    * approximation on an inward convex offset), so areas are closed-form. */
+  def qBuffer(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    VectorOps.buffer(spark.createDataset(boxPolys), -5.0)
+      .map(p => (p.poly_id, graft.core.Geom.area(p.rings.map(_.map(q => (q.x, q.y))))))
+      .toDF("poly_id", "area")
+      .select(col("poly_id"), round(col("area"), 4).as("area"))
+  }
+
+  val qBufferSql: String =
+    s"""SELECT poly_id,
+       |  round(CAST((x1 - x0 - 10.0) * (y1 - y0 - 10.0) AS DOUBLE), 4) AS area
+       |FROM $boxesSql""".stripMargin
+
+  /** zonal_point_stk (shape.py:2615-2711): the REAL tile-join point
+    * gather over encoded grid images, all bands per point — every
+    * returned value is the closed-form pixel formula at the point's
+    * (image, x, y). */
+  def qZonalPointStack(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 8, 2), 64, cellRes)
+    val pts = spark.range(200).select(
+      col("id").as("pt_id"),
+      ((col("id") % 8) * 256 + (col("id") * 7) % 80 + lit(0.5)).as("x"),
+      (-((col("id") * 11) % 48) - lit(0.5)).as("y"))
+    ZonalStats.zonalPoint(tiles, pts, cellRes)
+      .select(col("pt_id"), col("image_id"), col("band"),
+        col("value").cast("double").as("value"))
+  }
+
+  val qZonalPointStackSql: String =
+    """SELECT k AS pt_id, printf('g%03d', k % 8) AS image_id,
+      |  CAST(b AS INT) AS band,
+      |  CAST(((k*7) % 80 * 7 + (k*11) % 48 * 13 + b*31 + (k % 8)*17) % 97
+      |    AS DOUBLE) AS value
+      |FROM generate_series(0, 199) t(k), generate_series(0, 1) tb(b)""".stripMargin
+
+  /** write_id_field (shape.py:1536-1564): dense sequential FID in
+    * doc_id order via the distributed sort + zipWithIndex path. */
+  def qFid(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.writeIdField(docs(spark, dir).select("doc_id"), "doc_id")
+
+  val qFidSql: String =
+    """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS fid
+      |FROM documents""".stripMargin
+
+  /** General JTS clip with a CONCAVE, HOLED clip polygon (the geometry
+    * class clipToRects cannot express): L-shape = A(0,0,120,40) ∪
+    * B(0,0,60,100) minus hole H(10,10,30,30) — every clipped area is
+    * closed-form by inclusion-exclusion over rectangle intersections. */
+  private def lClip: PolyRow = PolyRow(9L, 0, Array(
+    Array(Pt(0, 0), Pt(120, 0), Pt(120, 40), Pt(60, 40), Pt(60, 100), Pt(0, 100)),
+    Array(Pt(10, 10), Pt(30, 10), Pt(30, 30), Pt(10, 30))), 1, "L", 0.0)
+
+  def qClipConcave(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    VectorOps.clipToPolygons(spark.createDataset(boxPolys), Seq(lClip))
+      .map(p => (p.poly_id, graft.core.Geom.area(p.rings.map(_.map(q => (q.x, q.y))))))
+      .toDF("clip_id", "area")
+      .groupBy("clip_id").agg(round(sum("area"), 4).as("area"))
+  }
+
+  val qClipConcaveSql: String = {
+    def inter(rx0: Int, ry0: Int, rx1: Int, ry1: Int): String =
+      s"greatest(0, least(x1, $rx1) - greatest(x0, $rx0)) * " +
+        s"greatest(0, least(y1, $ry1) - greatest(y0, $ry0))"
+    s"""SELECT poly_id * 100000 + 9 AS clip_id,
+       |  round(CAST(${inter(0, 0, 120, 40)} + ${inter(0, 0, 60, 100)}
+       |    - ${inter(0, 0, 60, 40)} - ${inter(10, 10, 30, 30)} AS DOUBLE), 4) AS area
+       |FROM $boxesSql
+       |WHERE ${inter(0, 0, 120, 40)} + ${inter(0, 0, 60, 100)}
+       |    - ${inter(0, 0, 60, 40)} - ${inter(10, 10, 30, 30)} > 0""".stripMargin
+  }
+
+  /** Streaming windowed aggregation, batch-replayed for the oracle: the
+    * SAME EventStream.windowedCounts code runs over the batch events
+    * table (withWatermark is a no-op in batch). Values pre-quantized to
+    * integer cents so both engines sum exact integers (summation order
+    * can never flip a rounding boundary). */
+  def qWindowed(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.windowedCounts(
+      events(spark, dir).withColumn("value", round(col("value") * 100)))
+      .select(unix_timestamp(col("w_start")).as("w_start_s"),
+        col("event_type"), col("n"), col("total"))
+
+  val qWindowedSql: String =
+    """SELECT (epoch_ms(ts) // 1000) // 3600 * 3600 AS w_start_s,
+      | event_type, count(*) AS n,
+      | round(sum(round(value * 100)), 4) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Event-time sessionization, batch-replayed (gaps-and-islands with
+    * the streaming operator's exact gap rule; EventStreamSpec holds the
+    * streaming flatMapGroupsWithState path equal to this). */
+  def qSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionizeBatch(events(spark, dir))
+
+  val qSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |o AS (SELECT user_id, t,
+      |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |               > 3600000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |s AS (SELECT user_id, t,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM o)
+      |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
 }

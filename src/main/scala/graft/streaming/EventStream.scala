@@ -36,7 +36,10 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Tumbling event-time windows per event_type behind a watermark. */
+  /** Tumbling event-time windows per event_type behind a watermark.
+    * Works unchanged on a BATCH events DataFrame (withWatermark is a
+    * no-op there) — the driver's q_windowed oracle row runs exactly this
+    * code over the events table. */
   def windowedCounts(events: DataFrame, watermark: String = "30 minutes",
                      windowDur: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
@@ -44,6 +47,28 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
+
+  /** Batch replay of `sessionize`: identical gap semantics computed
+    * relationally (gaps-and-islands over event-time order) — the form a
+    * DuckDB oracle can recompute, and the equality target EventStreamSpec
+    * holds the streaming operator to. Time in MICROseconds (exact for
+    * the parquet µs timestamps). One window + one grouped agg, both
+    * partitioned by user — scales like any keyed aggregation. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 60 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cast: parquet event-time lands as TIMESTAMP_NTZ; sessions are
+    // computed in UTC epoch micros either way (no-op on TIMESTAMP input)
+    events.select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      .withColumn("__brk",
+        when(col("t") - lag("t", 1).over(byUser) > gapMs * 1000L, 1).otherwise(0))
+      .withColumn("__sid", sum("__brk").over(cum))
+      .groupBy("user_id", "__sid")
+      .agg(min("t").as("start_us"), max("t").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "end_us", "n_events")
+  }
 
   /**
    * Event-time sessionization: gap-separated sessions per user. State

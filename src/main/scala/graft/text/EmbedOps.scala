@@ -47,16 +47,20 @@ object EmbedOps {
   }
 
   /** Deterministic pseudo-random hyperplane sign bit: the ±1 for
-    * (plane p, dim i) is bit 16 of the LCG value 1103515245*(p*4096+i)
+    * (plane p, dim i) is bit 16 of the LCG value 1103515245*(p*2^20+i)
     * + 12345 — closed-form integer math (no 64-bit wraparound), so a
     * DuckDB oracle recomputes the identical planes. sign(sum_i v_i *
-    * r_pi) -> bit p. Pure column math. */
+    * r_pi) -> bit p. Pure column math. The 2^20 plane stride keeps
+    * hyperplanes independent for embeddings up to 2^20 dims (a 4096
+    * stride would alias plane p's high dims onto plane p+1). */
+  val PlaneStride = 1048576L // 2^20: max supported embedding dimension
+
   def lshSignature(emb: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
           (v, i) => v.cast("double") *
-            (shiftrightunsigned(lit(1103515245L) * (lit(p.toLong * 4096L) + i) + 12345L, 16)
+            (shiftrightunsigned(lit(1103515245L) * (lit(p.toLong * PlaneStride) + i) + 12345L, 16)
               .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
@@ -124,13 +128,19 @@ object EmbedOps {
       .as[(Long, Seq[Float])].collect().toSeq
     for (_ <- 0 until iters) {
       val cDf = cents.toDF("c_id", "cent")
-      val w = Window.partitionBy("vec_id").orderBy(col("__cos").desc, col("c_id"))
+      // map-side argmax: the k candidate rows of one vector are generated
+      // in the SAME task (broadcast fan-out), so the partial max_by folds
+      // them to one row BEFORE the exchange — the shuffle carries N rows,
+      // never N x k (a Window.partitionBy(vec_id) rank would). Ordering
+      // struct (__cos, -c_id) == (cos desc, c_id asc): ties to smaller id.
       val assigned = corpus.select(col("vec_id"), col("embedding"))
         .join(broadcast(cDf), cDf("c_id").isNotNull)
         .withColumn("__cos", cosine(col("embedding"), col("cent")))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("c_id"), col("embedding"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("__cos"), -col("c_id"))).as("__best"))
+        .select(col("__best.c_id").as("c_id"),
+          col("__best.embedding").as("embedding"))
       val means = assigned
         .select(col("c_id"), posexplode(col("embedding")))
         .groupBy("c_id", "pos")
@@ -152,15 +162,27 @@ object EmbedOps {
               k: Int, nProbe: Int): DataFrame = {
     val cent = centroids.select(col("c_id"), col("embedding").as("cent"))
     def nearestLists(df: DataFrame, emb: String, n: Int, out: String) = {
-      // c_id tiebreak: exact-cosine ties must order deterministically
-      val w = Window.partitionBy(df.columns.head)
-        .orderBy(col("__d").desc, col("c_id"))
-      df.join(broadcast(cent), cent("c_id").isNotNull)
+      val key = df.columns.head
+      val joined = df.join(broadcast(cent), cent("c_id").isNotNull)
         .withColumn("__d", cosine(col(emb), col("cent")))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= n)
-        .drop("cent", "__d", "__rn")
-        .withColumnRenamed("c_id", out)
+      if (n == 1) {
+        // corpus-side assignment: map-side argmax (see fitKMeans) — the
+        // exchange carries one row per vector, never corpus x k. The
+        // (__d, -c_id) ordering == (cos desc, c_id asc): exact-cosine
+        // ties break to the smaller centroid id, same as the rank path.
+        joined.groupBy(col(key))
+          .agg(max_by(struct(col(emb), col("c_id")),
+            struct(col("__d"), -col("c_id"))).as("__best"))
+          .select(col(key), col(s"__best.$emb").as(emb),
+            col("__best.c_id").as(out))
+      } else {
+        // query-side probing (small by contract): rank keeps n > 1 lists
+        val w = Window.partitionBy(key).orderBy(col("__d").desc, col("c_id"))
+        joined.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= n)
+          .drop("cent", "__d", "__rn")
+          .withColumnRenamed("c_id", out)
+      }
     }
     val assigned = nearestLists(corpus.select(col("vec_id"), col("embedding")), "embedding", 1, "list_id")
     val probed = nearestLists(queries.select(col("q_id"), col("embedding").as("qe")), "qe", nProbe, "list_id")

@@ -167,7 +167,9 @@ object TextOps {
       .withColumn("__pos", row_number().over(byDoc.orderBy(col("__df"), col("t"))))
       .withColumn("__n", count(lit(1)).over(byDoc))
     val prefix = ranked
-      .where(col("__pos") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      // epsilon-guarded ceil: IEEE noise (0.1*30 = 3.0000000000000004)
+      // must never shorten the prefix and drop an exactly-at-threshold pair
+      .where(col("__pos") <= col("__n") - ceil(col("__n") * threshold - 1e-9) + 1)
       .select("doc", "t")
     val cand = prefix.select(col("doc").as("d1"), col("t"))
       .join(prefix.select(col("doc").as("d2"), col("t")), Seq("t"))
@@ -252,6 +254,16 @@ object TextOps {
  * (no engine-private xxhash64 in any correctness-bearing path). No
  * intermediate exceeds 2^62, so the same arithmetic runs overflow-free
  * in any engine with 64-bit integers.
+ *
+ * Scale bound: fingerprints live in a 31-bit space, so distinct
+ * shingles/tokens birthday-collide once a corpus exceeds ~10^4-10^5
+ * DISTINCT features per document set being compared (expected colliding
+ * pairs ~ n^2/2P). Collisions only ever INFLATE similarity estimates
+ * (minhash jaccard_est, simhash closeness) — near-dup recall is
+ * unaffected, precision is restored by the exact verification step every
+ * pipeline here ends with (exact Jaccard / bit_count verify). For a
+ * corpus whose per-bucket distinct-feature count approaches P, compose
+ * two independent (a, b) permutations of the same fp into a 62-bit key.
  */
 object HashFamily {
   val P = 2147483647L // 2^31 - 1

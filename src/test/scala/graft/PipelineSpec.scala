@@ -32,12 +32,18 @@ class PipelineSpec extends AnyFunSuite {
   test("killed pipeline resumes per-shard; final stats equal single-shot") {
     val root = Files.createTempDirectory("graft_pipe_").toString
     val table = new SnapshotTable(spark, root, "shard")
-    val imgDs = spark.createDataset(images.toSeq)
     val polyDs = spark.createDataset(polys.toSeq)
+    // ingest: shard-partitioned image table (the layout resume reads)
+    val imagesPath = Files.createTempDirectory("graft_pipe_img_").toString + "/images"
+    Pipeline.ingest(spark.createDataset(images.toSeq), imagesPath, nShards)
+    // every shard landed as a partition dir; Column shardCol == shardOf
+    val shardDirs = new java.io.File(imagesPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(shardDirs == images.map(i => s"shard=${Pipeline.shardOf(i.image_id, nShards)}").toSet)
 
     // run 1 crashes after 2 shards (batchShards = 1: shard-granular kill)
     val crashed = intercept[RuntimeException] {
-      Pipeline.run(imgDs, polyDs, table, nShards, 64, cellRes,
+      Pipeline.run(imagesPath, polyDs, table, nShards, 64, cellRes,
         failAfterShards = 2, batchShards = 1)
     }
     assert(crashed.getMessage.contains("injected failure"))
@@ -45,7 +51,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(committed1.size == 2)
 
     // run 2 resumes: processes ONLY the pending shards
-    val done2 = Pipeline.run(imgDs, polyDs, table, nShards, 64, cellRes)
+    val done2 = Pipeline.run(imagesPath, polyDs, table, nShards, 64, cellRes)
     assert(done2.intersect(committed1).isEmpty)
     assert(committed1 ++ done2 == (0 until nShards).map(i => s"s$i").toSet)
 
@@ -63,6 +69,6 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == singleShot())
 
     // run 3 is a no-op (idempotent)
-    assert(Pipeline.run(imgDs, polyDs, table, nShards, 64, cellRes).isEmpty)
+    assert(Pipeline.run(imagesPath, polyDs, table, nShards, 64, cellRes).isEmpty)
   }
 }

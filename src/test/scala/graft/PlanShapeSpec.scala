@@ -97,6 +97,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"raw text must not be a grouping key:\n$p")
   }
 
+  test("IVF corpus assignment: map-side argmax (partial_max_by), not a vec_id window") {
+    import graft.text.EmbedOps
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = corpus.orderBy("vec_id").limit(4)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("c_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val queries = corpus.limit(2).select(
+      org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(EmbedOps.ivfTopK(queries, corpus, cents, k = 2, nProbe = 2))
+    // partial max_by must fold the corpus x k rows BEFORE any exchange
+    assert(p.contains("partial_max_by"),
+      s"corpus assignment lost its map-side argmax:\n${p.take(4000)}")
+  }
+
+  test("pipeline shard scan: partition-pruned (PartitionFilters), never a full rescan") {
+    import graft.plans.Pipeline
+    val images = Synth.images(8, seed = 5L, bands = 1)
+    val path = Files.createTempDirectory("graft_shardscan_").toString + "/images"
+    Pipeline.ingest(spark.createDataset(images.toSeq), path, 4)
+    val p = plan(Pipeline.shardScan(path, "s1").toDF())
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*shard[^\\]]*s1[^\\]]*\\].*"),
+      s"shard predicate not pushed to PartitionFilters (full rescan!):\n$p")
+  }
+
   test("extractSamples: only exchange is the polygon-side broadcast") {
     import graft.operators.{Tiler, Training}
     val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
