@@ -42,6 +42,26 @@ object SpatialFunctions {
   def hexCellId(x: Column, y: Column, res: Int): Column =
     colOf(HexCellIdExpr(exprOf(x), exprOf(y), exprOf(lit(res))))
 
+  // ---- latitude-aware entry points (reference raster.py:647-648:
+  //      meters-per-degree-longitude = 111320 * cos(lat)) — pure column
+  //      math over the planar encoders, so codegen/pushdown carry over.
+
+  /** Equirectangular planar x (64 m world units) from lat/lng degrees. */
+  def geoX(lat: Column, lng: Column): Column =
+    lng * lit(graft.core.GeoScale.DegScale) * cos(radians(lat))
+
+  /** Planar y (64 m world units) from latitude degrees. */
+  def geoY(lat: Column): Column = lat * lit(graft.core.GeoScale.DegScale)
+
+  /** Grid cell id straight from lat/lng — cells span 2^(26-res) ground
+    * meters, east-west exact at every latitude. */
+  def gridCellIdGeo(lat: Column, lng: Column, res: Int): Column =
+    gridCellId(geoX(lat, lng), geoY(lat), res)
+
+  /** Hex cell id straight from lat/lng (same k-ring algebra as planar). */
+  def hexCellIdGeo(lat: Column, lng: Column, res: Int): Column =
+    hexCellId(geoX(lat, lng), geoY(lat), res)
+
   /** Array of grid cells within Chebyshev distance k (kNN expansion). */
   def gridKRing(cell: Column, k: Int): Column =
     colOf(GridKRingExpr(exprOf(cell), exprOf(lit(k))))

@@ -25,9 +25,19 @@ import graft.core.{Geom, GridIndex}
  */
 object Glcm {
 
+  /** `halo`/`tileSize`: when the tiles carry halo pixels
+    * (Tiler.tiles(..., halo = h)), pass the same h and the tile size so
+    * the kernel can restrict pair ORIGINS to the core region — the core
+    * partitions the image across tiles and the cell bounds partition it
+    * across cells, so each origin is counted exactly once even when a
+    * cell spans several tiles. halo = 0 (default) = plain tiles. */
   def pairHistogram(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
-                    dx: Int = 1, dy: Int = 0, levels: Int = 32, maxVal: Float = 256f)
+                    dx: Int = 1, dy: Int = 0, levels: Int = 32, maxVal: Float = 256f,
+                    halo: Int = 0, tileSize: Int = 0)
                    (implicit spark: SparkSession): DataFrame = {
+    require(halo == 0 || tileSize > 0, "halo tiles need the tileSize for core bounds")
+    require(halo >= math.max(math.abs(dx), math.abs(dy)) || halo == 0,
+      s"halo $halo too small for offset ($dx, $dy) cross-tile pairs")
     import spark.implicits._
     val pc = ZonalStats.polyCells(polys, cellRes)
     val joined = tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
@@ -50,20 +60,31 @@ object Glcm {
         val cy = t.y_max - (row + 0.5) * t.px
         Geom.pointInPolygon(cx, cy, rings)
       }
-      // offset-signed bounds: row+dy and c+dx must stay in [0, th)x[0, tw)
-      // for NEGATIVE offsets too (a -1 offset from row 0 would index out
-      // of bounds if the loops started at 0)
-      var row = math.max(0, -dy)
-      while (row < t.th - math.max(0, dy)) {
-        var c = math.max(0, -dx)
-        while (c < t.tw - math.max(0, dx)) {
-          if (insideOrigin(row, c) && insidePartner(row + dy, c + dx)) {
-            val a = quant(t.pixels(row * t.tw + c))
-            val b = quant(t.pixels((row + dy) * t.tw + (c + dx)))
-            acc.update((a, b), acc.getOrElse((a, b), 0L) + 1L)
-            acc.update((b, a), acc.getOrElse((b, a), 0L) + 1L) // symmetric
+      // core region inside the (possibly halo-expanded) pixel array: the
+      // left/top pad is `halo` except on image-edge tiles where the
+      // tiler clipped it away; the core never exceeds tileSize
+      val cLeft = if (halo == 0 || t.tx == 0) 0 else halo
+      val rTop = if (halo == 0 || t.ty == 0) 0 else halo
+      val coreW = if (halo == 0) t.tw else math.min(tileSize, t.tw - cLeft)
+      val coreH = if (halo == 0) t.th else math.min(tileSize, t.th - rTop)
+      // origins scan the core; partner indices bounds-check against the
+      // FULL array (halo included), handling negative offsets too
+      var row = rTop
+      while (row < rTop + coreH) {
+        val pr = row + dy
+        if (pr >= 0 && pr < t.th) {
+          var c = cLeft
+          while (c < cLeft + coreW) {
+            val pc2 = c + dx
+            if (pc2 >= 0 && pc2 < t.tw &&
+              insideOrigin(row, c) && insidePartner(pr, pc2)) {
+              val a = quant(t.pixels(row * t.tw + c))
+              val b = quant(t.pixels(pr * t.tw + pc2))
+              acc.update((a, b), acc.getOrElse((a, b), 0L) + 1L)
+              acc.update((b, a), acc.getOrElse((b, a), 0L) + 1L) // symmetric
+            }
+            c += 1
           }
-          c += 1
         }
         row += 1
       }

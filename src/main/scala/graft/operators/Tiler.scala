@@ -41,10 +41,12 @@ object Tiler {
     * `halo` > 0 expands each tile's PIXEL payload by that many
     * image-clipped border pixels on every side (the emitted x_min/y_max/
     * tw/th describe the expanded window) while the CELL covering stays
-    * that of the core tile — so ownership-checked consumers (zonal,
-    * GLCM origins) count nothing twice, and windowed kernels that need
-    * cross-tile neighbors (GLCM pixel pairs, reference
-    * shape.py:1704-1711) see them without any shuffle. */
+    * that of the core tile. Windowed kernels that need cross-tile
+    * neighbors (GLCM pixel pairs, reference shape.py:1704-1711) read
+    * them with zero shuffle; such consumers must restrict their pair
+    * ORIGINS to the core region (Glcm.pairHistogram does, via its
+    * halo/tileSize params) — feeding halo tiles to a plain per-pixel
+    * consumer like ZonalStats.histogram would double-count borders. */
   def tiles(images: Dataset[ImageRow], tileSize: Int, cellRes: Int,
             nodata: Float = Float.NaN, halo: Int = 0)
            (implicit spark: SparkSession): Dataset[TileRow] = {

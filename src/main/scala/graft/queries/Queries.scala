@@ -1355,7 +1355,7 @@ object Queries {
       1, "all", 0.0)
     val polys = spark.createDataset(Seq(all))(Encoders.product[PolyRow])
     Glcm.textureStats(Glcm.pairHistogram(tiles, polys, cellRes,
-      dx = 1, dy = 0, levels = 32, maxVal = 256f))
+      dx = 1, dy = 0, levels = 32, maxVal = 256f, halo = 1, tileSize = 64))
   }
 
   val qGlcmSql: String =

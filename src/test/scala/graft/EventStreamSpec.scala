@@ -120,4 +120,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got((9L, ts(80).getTime)) == (ts(150).getTime, 3L))
     assert(!got.contains((9L, ts(150).getTime)), "split session leaked")
   }
+
+  test("sessionizeBatch (the driver-oracle replay) == streamed closed sessions") {
+    val dir = Files.createTempDirectory("graft_sesseq_in_").toString
+    writeBatches(dir)
+    val ckpt = Files.createTempDirectory("graft_sesseq_ck_").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.sessionize(stream).toDF()
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_eq")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStream.sessionizeBatch(spark.read.parquet(dir))
+      .select(col("user_id"), (col("start_us") / 1000).cast("long"),
+        (col("end_us") / 1000).cast("long"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the stream emits exactly the batch sessions the final watermark
+    // closed; the only extra in batch is user 4's still-open last session
+    // (user 3's closed too — the batch-3 sentinel advanced the watermark
+    // past it)
+    assert(streamed.subsetOf(batch), s"streamed not in batch:\n${streamed -- batch}")
+    assert((batch -- streamed).forall { case (u, _, _, _) => u == 4L },
+      s"unexpected unclosed sessions:\n${batch -- streamed}")
+    assert(batch.size == streamed.size + 1)
+  }
 }
