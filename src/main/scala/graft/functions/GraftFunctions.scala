@@ -28,5 +28,9 @@ object GraftFunctions {
       es => graft.text.RollingFingerprintExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("grid_cell_id",
       es => GridCellIdExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => graft.text.DotExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_signature",
+      es => graft.text.LshSigExpr(es(0), es(1)), "scala_udf")
   }
 }

@@ -3,6 +3,12 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
 
 /**
  * Similarity search over an embedding column (ARRAY<FLOAT>) — builder
@@ -14,10 +20,11 @@ import org.apache.spark.sql.expressions.Window
  */
 object EmbedOps {
 
-  /** Sum_i a_i*b_i in double, sequential index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sum_i a_i*b_i in double, sequential index order — a codegen'd
+    * native expression (the zip_with/aggregate HOF form computes the
+    * identical value but evaluates per-element interpreted lambdas;
+    * the ANN paths run millions of these per task). */
+  def dot(a: Column, b: Column): Column = colOf(DotExpr(exprOf(a), exprOf(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -55,18 +62,8 @@ object EmbedOps {
     * stride would alias plane p's high dims onto plane p+1). */
   val PlaneStride = 1048576L // 2^20: max supported embedding dimension
 
-  def lshSignature(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, i) => v.cast("double") *
-            (shiftrightunsigned(lit(1103515245L) * (lit(p.toLong * PlaneStride) + i) + 12345L, 16)
-              .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshSignature(emb: Column, planes: Int): Column =
+    colOf(LshSigExpr(exprOf(emb), exprOf(lit(planes))))
 
   /**
    * LSH-bucketed approximate near-duplicate pairs: bucket by the
@@ -194,4 +191,82 @@ object EmbedOps {
       .where(col("rn") <= k)
       .select("q_id", "vec_id", "cos", "rn")
   }
+}
+
+/** Static eval targets for the embedding expressions — sequential double
+  * accumulation in INDEX ORDER, bit-identical to the zip_with/aggregate
+  * column form (and to what the DuckDB oracles replay), but running as a
+  * tight loop inside WholeStageCodegen instead of per-element
+  * interpreted HOF lambdas. */
+object EmbedRuntime {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Bit p = sign of sum_i v_i * r_pi where r_pi = ±1 from bit 16 of the
+    * LCG value 1103515245*(p*2^20 + i) + 12345 — identical formula and
+    * accumulation order to the Column form this replaced (x + v*(-1.0)
+    * == x - v in IEEE, so the add of a signed product is exact). */
+  def lshSig(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val base = p.toLong * EmbedOps.PlaneStride
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val r = (((1103515245L * (base + i) + 12345L) >>> 16) & 1L) * 2.0 - 1.0
+        proj += v.getFloat(i).toDouble * r
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd float-vector dot product in double. */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs two ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EmbedRuntime.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.EmbedRuntime.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** Codegen'd hyperplane-LSH signature over an ARRAY<FLOAT> embedding. */
+case class LshSigExpr(child: Expression, planes: Expression) extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = planes
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_signature needs ARRAY<FLOAT>, got $t")
+  }
+  override def nullSafeEval(v: Any, p: Any): Any =
+    EmbedRuntime.lshSig(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p) => s"graft.text.EmbedRuntime.lshSig($v, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, planes = r)
+  override def prettyName: String = "lsh_signature"
 }
