@@ -89,7 +89,8 @@ object SparkEntry {
       "q_fid"             -> (Q.qFid _),
       "q_clip_concave"    -> (Q.qClipConcave _),
       "q_windowed"        -> (Q.qWindowed _),
-      "q_sessions"        -> (Q.qSessions _)
+      "q_sessions"        -> (Q.qSessions _),
+      "q_frame_sample"    -> (Q.qFrameSample _)
     )
   }
 
@@ -160,7 +161,8 @@ object SparkEntry {
       "q_fid"             -> Q.qFidSql,
       "q_clip_concave"    -> Q.qClipConcaveSql,
       "q_windowed"        -> Q.qWindowedSql,
-      "q_sessions"        -> Q.qSessionsSql
+      "q_sessions"        -> Q.qSessionsSql,
+      "q_frame_sample"    -> Q.qFrameSampleSql
     )
   }
 }

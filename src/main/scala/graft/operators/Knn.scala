@@ -31,8 +31,54 @@ import graft.functions.SpatialFunctions._
  * explode multiplies the QUERY side only, by (2*r1+1)^2); the point side
  * partitions by its own cell and never explodes. Skewed dense cells are
  * AQE-splittable since both sides are shuffle-partitioned by cell key.
+ *
+ * The top-k candidate set (queries x k rows — tiny) is PERSISTED so the
+ * guarantee check, the good-side anti join and the fallback sizing all
+ * reuse one pass over the point table (unpersisted phase 1 would rescan
+ * it once per consumer), and the brute-force pass is SKIPPED entirely
+ * when every query satisfied the guarantee — the common case used to
+ * pay a full point-table scan against an empty broadcast.
  */
 object Knn {
+
+  import org.apache.spark.storage.StorageLevel
+
+  /** Shared tail: guarantee check over the persisted candidates, then
+    * good ∪ (brute fallback only if any query actually needs it). */
+  private def finishExact(queries: DataFrame, points: DataFrame, k: Int,
+                          cand0: DataFrame, guard2: Double): DataFrame = {
+    val cand = cand0.persist(StorageLevel.MEMORY_AND_DISK)
+    // guarantee check per query. Queries with ZERO candidates don't appear
+    // in `cand` at all, so "bad" must be derived as NOT-satisfied (anti
+    // join against the satisfied set), never as filter-of-found.
+    val satisfied = cand.groupBy("q_id")
+      .agg(count(lit(1)).as("__n"), max("dist2").as("__kd2"))
+      // STRICT <: a point outside the ring at distance exactly guard2 with
+      // a smaller pt_id would rank ahead under (dist2, pt_id) — boundary
+      // ties must fall through to the brute-force pass
+      .filter(col("__n") === k && col("__kd2") < guard2)
+      .select("q_id")
+    val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
+    // eager, cheap (candidates are cached): sizes the fallback so the
+    // zero-fallback common case never scans the point table again
+    val nBad = badQ.count()
+    if (nBad == 0) return cand
+
+    val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
+    val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
+      .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))
+    val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
+      (col("qy") - col("py")) * (col("qy") - col("py"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("pt_id"))
+    val brute = points
+      .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
+      .crossJoin(broadcast(badQueries))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "pt_id", "dist2", "rn")
+    good.unionByName(brute)
+  }
 
   /** queries: (q_id, x, y); points: (pt_id, x, y). Returns
     * (q_id, pt_id, dist2, rn) with rn in 1..k ordered by (dist2, pt_id). */
@@ -59,32 +105,7 @@ object Knn {
       .filter(col("rn") <= k)
       .select("q_id", "pt_id", "dist2", "rn")
 
-    // guarantee check per query. Queries with ZERO candidates don't appear
-    // in `cand` at all, so "bad" must be derived as NOT-satisfied (anti
-    // join against the satisfied set), never as filter-of-found.
-    val satisfied = cand.groupBy("q_id")
-      .agg(count(lit(1)).as("__n"), max("dist2").as("__kd2"))
-      // STRICT <: a point outside the ring at distance exactly guard2 with
-      // a smaller pt_id would rank ahead under (dist2, pt_id) — boundary
-      // ties must fall through to the brute-force pass
-      .filter(col("__n") === k && col("__kd2") < guard2)
-      .select("q_id")
-    val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
-
-    val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
-
-    // brute-force fallback for the (rare) unsatisfied queries
-    val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
-      .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))
-    val brute = points
-      .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
-      .crossJoin(broadcast(badQueries))
-      .withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("q_id", "pt_id", "dist2", "rn")
-
-    good.unionByName(brute)
+    finishExact(queries, points, k, cand, guard2)
   }
 
   /**
@@ -126,24 +147,6 @@ object Knn {
       .filter(col("rn") <= k)
       .select("q_id", "pt_id", "dist2", "rn")
 
-    val satisfied = cand.groupBy("q_id")
-      .agg(count(lit(1)).as("__n"), max("dist2").as("__kd2"))
-      .filter(col("__n") === k && col("__kd2") < guard2)
-      .select("q_id")
-    val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
-
-    val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
-
-    val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
-      .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))
-    val brute = points
-      .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
-      .crossJoin(broadcast(badQueries))
-      .withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("q_id", "pt_id", "dist2", "rn")
-
-    good.unionByName(brute)
+    finishExact(queries, points, k, cand, guard2)
   }
 }

@@ -2031,6 +2031,28 @@ object Queries {
        |    - ${inter(0, 0, 60, 40)} - ${inter(10, 10, 30, 30)} > 0""".stripMargin
   }
 
+  /** Frame sampling (the multimodal "video" analog: keep every stride-th
+    * band of the opaque payload): stride 2 over 3-band grid images keeps
+    * original bands 0 and 2; per-(image, kept-band) pixel sums. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    ImageOps.frameSample(gridImages(spark, 8, 3), stride = 2).flatMap { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      dec.bands.zipWithIndex.map { case (b, i) =>
+        (im.image_id, i, b.map(_.toDouble).sum)
+      }
+    }.toDF("image_id", "band", "total")
+      .select(col("image_id"), col("band"), round(col("total"), 2).as("total"))
+  }
+
+  val qFrameSampleSql: String =
+    """SELECT printf('g%03d', i) AS image_id, CAST(j AS INT) AS band,
+      |  round(sum(CAST((x*7 + y*13 + (j*2)*31 + i*17) % 97 AS DOUBLE)), 2) AS total
+      |FROM generate_series(0, 7) t(i), generate_series(0, 1) tj(j),
+      |     generate_series(0, 79) tx(x), generate_series(0, 47) ty(y)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Streaming windowed aggregation, batch-replayed for the oracle: the
     * SAME EventStream.windowedCounts code runs over the batch events
     * table (withWatermark is a no-op in batch). Values pre-quantized to
