@@ -101,8 +101,12 @@ object TextOps {
       .select(col("doc"),
         explode(transform(col("__idx"),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
-      .distinct()
+      // fingerprint BEFORE the distinct: the dedup shuffle then carries
+      // (doc, 8-byte fp) rows, never shingle strings — and min-aggregating
+      // permutations downstream is multiset-invariant, so deduping on the
+      // fp is result-identical even if two shingles collided
       .select(col("doc"), colOf(PolyHashExpr(exprOf(col("shingle")))).as("sh"))
+      .distinct()
   }
 
   /**
