@@ -32,22 +32,22 @@ import graft.functions.SpatialFunctions._
  * partitions by its own cell and never explodes. Skewed dense cells are
  * AQE-splittable since both sides are shuffle-partitioned by cell key.
  *
- * The top-k candidate set (queries x k rows — tiny) is PERSISTED so the
- * guarantee check, the good-side anti join and the fallback sizing all
- * reuse one pass over the point table (unpersisted phase 1 would rescan
- * it once per consumer), and the brute-force pass is SKIPPED entirely
- * when every query satisfied the guarantee — the common case used to
- * pay a full point-table scan against an empty broadcast.
+ * The brute-force fallback is SKIPPED entirely when every query
+ * satisfied the guarantee (sized by an eager count of the unsatisfied
+ * set) — the common case used to pay a full point-table scan against an
+ * empty broadcast. Phase 1 is evaluated twice (once for the guarantee
+ * count, once when the caller consumes the result); callers looping
+ * kNN over the same big point table should persist THAT input
+ * themselves — the operator deliberately does not cache internally
+ * (a persist here would pin blocks in the session's CacheManager with
+ * no unpersist point, leaking across long-lived sessions).
  */
 object Knn {
 
-  import org.apache.spark.storage.StorageLevel
-
-  /** Shared tail: guarantee check over the persisted candidates, then
+  /** Shared tail: guarantee check over the candidates, then
     * good ∪ (brute fallback only if any query actually needs it). */
   private def finishExact(queries: DataFrame, points: DataFrame, k: Int,
-                          cand0: DataFrame, guard2: Double): DataFrame = {
-    val cand = cand0.persist(StorageLevel.MEMORY_AND_DISK)
+                          cand: DataFrame, guard2: Double): DataFrame = {
     // guarantee check per query. Queries with ZERO candidates don't appear
     // in `cand` at all, so "bad" must be derived as NOT-satisfied (anti
     // join against the satisfied set), never as filter-of-found.
@@ -59,8 +59,8 @@ object Knn {
       .filter(col("__n") === k && col("__kd2") < guard2)
       .select("q_id")
     val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
-    // eager, cheap (candidates are cached): sizes the fallback so the
-    // zero-fallback common case never scans the point table again
+    // eager: sizes the fallback so the zero-fallback common case never
+    // scans the point table for an empty brute pass
     val nBad = badQ.count()
     if (nBad == 0) return cand
 

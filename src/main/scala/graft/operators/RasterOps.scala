@@ -382,10 +382,23 @@ object RasterOps {
     val probe = vals.agg(
       min(col("v")).as("mn"), max(col("v")).as("mx")).head()
     val (mn, mx) = (probe.getFloat(0).toDouble, probe.getFloat(1).toDouble)
-    // EXACT bounded distinct probe (capped at levels + 1 rows): the
-    // exact-vs-binned path choice is deterministic for the same data —
-    // approx_count_distinct's error could flip it across runs/engines
-    val nd = vals.select("v").distinct().limit(levels + 1).count()
+    // EXACT bounded distinct probe — deterministic path choice (an
+    // approximate count's error could flip it across runs/engines) with
+    // bounded cost: each partition emits at most levels+1 of ITS
+    // distinct values, so per-task memory and the shuffle stay O(levels)
+    // regardless of the raster's distinct-value count. The <= levels
+    // decision stays exact: a truncating partition alone contributes
+    // levels+1 distinct values; if none truncates, the union is the true
+    // distinct set.
+    val nd = {
+      import org.apache.spark.sql.Encoders
+      vals.select(col("v")).as[Float](Encoders.scalaFloat).mapPartitions { it =>
+        val s = new java.util.LinkedHashSet[Float]()
+        while (it.hasNext && s.size <= levels) s.add(it.next())
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+      }(Encoders.scalaFloat).distinct().limit(levels + 1).count()
+    }
     val binned =
       if (nd <= levels) vals.groupBy(col("v").cast("double").as("v"))
       else {

@@ -199,15 +199,21 @@ object EmbedOps {
   * tight loop inside WholeStageCodegen instead of per-element
   * interpreted HOF lambdas. */
 object EmbedRuntime {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null mirrors the zip_with/aggregate form this replaced: a length
+    * mismatch or any null element makes the whole dot product NULL
+    * (never a silently-truncated or zero-padded finite value that would
+    * rank in top-k results). */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
   /** Bit p = sign of sum_i v_i * r_pi where r_pi = ±1 from bit 16 of the
@@ -216,6 +222,10 @@ object EmbedRuntime {
     * == x - v in IEEE, so the add of a signed product is exact). */
   def lshSig(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
+    // HOF-form parity: a null element nulled every projection, and the
+    // when(proj > 0).otherwise(0) fold then emitted signature 0
+    var j = 0
+    while (j < n) { if (v.isNullAt(j)) return 0L; j += 1 }
     var sig = 0L
     var p = 0
     while (p < planes) {
@@ -244,10 +254,14 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
       case _ => TypeCheckResult.TypeCheckFailure(
         s"vec_dot needs two ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
     }
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
-    EmbedRuntime.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    EmbedRuntime.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.text.EmbedRuntime.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.text.EmbedRuntime.dotOrNull($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
@@ -258,10 +272,13 @@ case class LshSigExpr(child: Expression, planes: Expression) extends BinaryExpre
   override def left: Expression = child
   override def right: Expression = planes
   override def dataType: DataType = LongType
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"lsh_signature needs ARRAY<FLOAT>, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, planes.dataType) match {
+      case (ArrayType(FloatType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, pt) => TypeCheckResult.TypeCheckFailure(
+        s"lsh_signature needs (ARRAY<FLOAT>, INT), got ($t, $pt)")
+    }
   override def nullSafeEval(v: Any, p: Any): Any =
     EmbedRuntime.lshSig(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
