@@ -32,17 +32,21 @@ import graft.functions.SpatialFunctions._
  * partitions by its own cell and never explodes. Skewed dense cells are
  * AQE-splittable since both sides are shuffle-partitioned by cell key.
  *
- * The brute-force fallback is SKIPPED entirely when every query
- * satisfied the guarantee (sized by an eager count of the unsatisfied
- * set) — the common case used to pay a full point-table scan against an
- * empty broadcast. Phase 1 is evaluated twice (once for the guarantee
- * count, once when the caller consumes the result); callers looping
- * kNN over the same big point table should persist THAT input
- * themselves — the operator deliberately does not cache internally
- * (a persist here would pin blocks in the session's CacheManager with
- * no unpersist point, leaking across long-lived sessions).
+ * The unsatisfied-query set is COLLECTED once (it is small by
+ * construction — the guard fails only for sparse neighbourhoods, and a
+ * bounded collect caps the pathological case), so the result plan
+ * filters by a literal id list: the zero-fallback common case returns
+ * phase 1 untouched (one point-table scan total when consumed), the
+ * fallback path scans it once more for just the broadcast bad queries,
+ * and nothing re-derives the guarantee check per consumer. No internal
+ * persist (a cache here would pin blocks in the session's CacheManager
+ * with no unpersist point, leaking across long-lived sessions).
  */
 object Knn {
+
+  /** Above this many guard misses the r1/res choice is wrong for the
+    * data — brute-force everything rather than build a huge isin. */
+  private val MaxFallbackQueries = 4096
 
   /** Shared tail: guarantee check over the candidates, then
     * good ∪ (brute fallback only if any query actually needs it). */
@@ -58,26 +62,25 @@ object Knn {
       // ties must fall through to the brute-force pass
       .filter(col("__n") === k && col("__kd2") < guard2)
       .select("q_id")
-    val badQ = queries.select("q_id").join(broadcast(satisfied), Seq("q_id"), "left_anti")
-    // eager: sizes the fallback so the zero-fallback common case never
-    // scans the point table for an empty brute pass
-    val nBad = badQ.count()
-    if (nBad == 0) return cand
+    val badIds = queries.select("q_id")
+      .join(broadcast(satisfied), Seq("q_id"), "left_anti")
+      .limit(MaxFallbackQueries + 1).collect().map(_.get(0)).toSeq
+    if (badIds.isEmpty) return cand
 
-    val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
-    val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
-      .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))
     val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
       (col("qy") - col("py")) * (col("qy") - col("py"))
     val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("pt_id"))
-    val brute = points
+    def bruteFor(qs: DataFrame): DataFrame = points
       .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
-      .crossJoin(broadcast(badQueries))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("x").as("qx"), col("y").as("qy"))))
       .withColumn("dist2", dist2)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "pt_id", "dist2", "rn")
-    good.unionByName(brute)
+
+    if (badIds.length > MaxFallbackQueries) return bruteFor(queries)
+    cand.filter(!col("q_id").isin(badIds: _*))
+      .unionByName(bruteFor(queries.filter(col("q_id").isin(badIds: _*))))
   }
 
   /** queries: (q_id, x, y); points: (pt_id, x, y). Returns
