@@ -15,6 +15,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (bucketed-table specs) land in /tmp, never cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
