@@ -62,9 +62,13 @@ object Knn {
       // ties must fall through to the brute-force pass
       .filter(col("__n") === k && col("__kd2") < guard2)
       .select("q_id")
+    // null query ids can never satisfy the guard and would poison the
+    // NOT-IN literal list below (three-valued logic) — excluded here;
+    // their cand rows (if any) drop under the same NULL semantics
     val badIds = queries.select("q_id")
       .join(broadcast(satisfied), Seq("q_id"), "left_anti")
-      .limit(MaxFallbackQueries + 1).collect().map(_.get(0)).toSeq
+      .limit(MaxFallbackQueries + 1).collect().map(_.get(0))
+      .filterNot(_ == null).toSeq
     if (badIds.isEmpty) return cand
 
     val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
@@ -78,7 +82,18 @@ object Knn {
       .filter(col("rn") <= k)
       .select("q_id", "pt_id", "dist2", "rn")
 
-    if (badIds.length > MaxFallbackQueries) return bruteFor(queries)
+    if (badIds.length > MaxFallbackQueries) {
+      // many guard misses: stay fully relational — no driver literal
+      // list and, crucially, broadcast only the BAD queries (a fleet of
+      // misses is still a small fraction of a large query table; the
+      // whole table must never ride a broadcast)
+      val badQ = queries.select("q_id")
+        .join(broadcast(satisfied), Seq("q_id"), "left_anti")
+      val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
+      val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
+        .select(col("q_id"), col("x"), col("y"))
+      return good.unionByName(bruteFor(badQueries))
+    }
     cand.filter(!col("q_id").isin(badIds: _*))
       .unionByName(bruteFor(queries.filter(col("q_id").isin(badIds: _*))))
   }

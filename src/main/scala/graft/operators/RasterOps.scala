@@ -394,7 +394,13 @@ object RasterOps {
       import org.apache.spark.sql.Encoders
       vals.select(col("v")).as[Float](Encoders.scalaFloat).mapPartitions { it =>
         val s = new java.util.LinkedHashSet[Float]()
-        while (it.hasNext && s.size <= levels) s.add(it.next())
+        // normalize -0.0f: JVM Float.equals splits the zeros while
+        // Spark's distinct() merges them — an unnormalized set could
+        // truncate one Spark-distinct value short and break the bound
+        while (it.hasNext && s.size <= levels) {
+          val v = it.next()
+          s.add(if (v == 0f) 0f else v)
+        }
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
       }(Encoders.scalaFloat).distinct().limit(levels + 1).count()

@@ -14,14 +14,15 @@ import graft.TileRow
  * cluster on exactly these, so two tables bucketed alike join with
  * ZERO Exchange under DEFAULT confs (plan-gated in TileTableSpec): at
  * 100 TB the per-pixel payloads never move for a scene merge, only
- * bucket-local sorts run. Joins keyed on a SUBSET of the bucket
- * columns (normalizedDifference's band-crossing key omits `band`) also
- * run shuffle-free once
- * `spark.sql.requireAllClusterKeysForCoPartition=false` — subset
- * co-partitioning is semantically sound (equal full keys imply equal
- * bucket keys); the default merely declines it. Bucketed tables are
- * catalog-managed (`saveAsTable`), the standard Spark requirement for
- * bucket metadata.
+ * bucket-local sorts run.
+ *
+ * BAND-CROSSING joins (normalizedDifference joins band A rows to
+ * band B rows, so the two sides' bucket keys differ by construction)
+ * cannot be served by any band-including bucket key — for those the
+ * engine's shuffle-free path is `Tiler.multiTiles` (all bands decoded
+ * into ONE row; no join at all), which is the recommended shape.
+ * Bucketed tables are catalog-managed (`saveAsTable`), the standard
+ * Spark requirement for bucket metadata.
  */
 object TileTable {
 
