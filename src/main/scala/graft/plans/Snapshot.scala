@@ -150,8 +150,21 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     val tmp = new Path(manifestDir, s".v$v.json.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, new Path(manifestDir, s"v$v.json")))
+    val target = new Path(manifestDir, s"v$v.json")
+    if (!f.rename(tmp, target))
       throw new java.io.IOException(s"manifest publish failed for v$v at $root")
+    // read-back guard: HDFS rename-to-existing fails (detected above),
+    // but POSIX/local rename silently OVERWRITES — a racing committer
+    // publishing the same version would lose this commit's partitions
+    // without this check. The manifest is tiny; read it back and fail
+    // LOUDLY on a lost race rather than return success for dropped work.
+    val in2 = f.open(target)
+    val back =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in2), "UTF-8")
+      finally in2.close()
+    if (back != json)
+      throw new java.io.IOException(
+        s"manifest v$v at $root was overwritten by a concurrent committer")
   }
 
   private def parseManifest(json: String): Map[String, PartMeta] = {
