@@ -1474,9 +1474,12 @@ object Queries {
 
   def qImageFeatures(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    // caption rides through decode -> feature extraction untouched: the
+    // north rule's per-row caption-equality invariant, driver-checked
     ImageOps.features(gridImages(spark, 24, 2))
       .select(col("image_id"), col("band"), col("phash"),
-        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"))
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        col("caption"))
   }
 
   /** The oracle recomputes the 64-bit average-hash (8x8 block means vs
@@ -1494,12 +1497,13 @@ object Queries {
        |                ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END
        |           ELSE 0 END) AS BIGINT) AS phash
        |       FROM cells JOIN gm USING (i) GROUP BY 1),
-       |st AS (SELECT image_id, CAST(b AS INT) AS band,
+       |st AS (SELECT i, image_id, CAST(b AS INT) AS band,
        |         round(sum(v) / count(*), 4) AS mean,
        |         round(sqrt(greatest(0.0, sum(v*v) / count(*)
        |           - (sum(v)/count(*)) * (sum(v)/count(*)))), 4) AS std
-       |       FROM px GROUP BY 1, 2)
-       |SELECT st.image_id, band, phash, mean, std
+       |       FROM px GROUP BY 1, 2, 3)
+       |SELECT st.image_id, band, phash, mean, std,
+       |  'grid image ' || st.i AS caption
        |FROM st JOIN ph USING (image_id)""".stripMargin
 
   def qTranscode(spark: SparkSession, dir: String): DataFrame = {
