@@ -48,6 +48,38 @@ class Round3FixSpec extends AnyFunSuite {
     }
   }
 
+  test("GLCM halo + PARTIAL polygon mask == naive masked pairs") {
+    // polygon covers only part of each image and crosses the 64-px tile
+    // boundary of image 0 — origin/partner membership must follow the
+    // mask exactly, including pairs whose partner sits in halo pixels
+    val poly = PolyRow(0L, 0, Array(Array(
+      Pt(40, -40), Pt(330, -40), Pt(330, -5), Pt(40, -5))), 1, "part", 0.0)
+    val imgs = GridImages.images(2, bands = 1)
+    def inPoly(i: Int, x: Int, y: Int): Boolean = {
+      val wx = GridImages.xMin(i.toLong) + x + 0.5
+      val wy = GridImages.yMax(i.toLong) - y - 0.5
+      wx > 40 && wx < 330 && wy > -40 && wy < -5
+    }
+    val acc = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    imgs.zipWithIndex.foreach { case (img, i) =>
+      val b = PixelCodec.decode(img.bytes, img.fmt, GridImages.W, GridImages.H).bands(0)
+      for (y <- 0 until GridImages.H; x <- 0 until GridImages.W - 1)
+        if (inPoly(i, x, y) && inPoly(i, x + 1, y)) {
+          val a = (b(y * GridImages.W + x) / 8).toInt
+          val q = (b(y * GridImages.W + x + 1) / 8).toInt
+          acc((a, q)) += 1; acc((q, a)) += 1
+        }
+    }
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(spark.createDataset(imgs.toSeq), 64, cellRes, halo = 1)
+    val got = Glcm.pairHistogram(tiles, Seq(poly).toDS, cellRes,
+      dx = 1, dy = 0, levels = 32, maxVal = 256f, halo = 1, tileSize = 64)
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map { case (_, _, q1, q2, c) => (q1, q2) -> c }.toMap
+    assert(got == acc.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("GLCM core-origin dedupe: cell spanning TWO tiles still counts pairs once") {
     // 128-unit cells over 64-px tiles: both tiles of a cell see shared
     // halo pixels INSIDE the cell — only core origins may count them
