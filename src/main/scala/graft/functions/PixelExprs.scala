@@ -1,0 +1,274 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+
+/**
+ * Native per-pixel tile transforms. The `transform`/`zip_with`
+ * higher-order-function forms of these ops evaluate an interpreted
+ * lambda PER PIXEL — measured at ~4x the whole decode+mask cost at
+ * bench volume — while these expressions run one static-call loop per
+ * tile inside WholeStageCodegen and emit an UnsafeArrayData directly.
+ *
+ * Comparison semantics mirror Spark SQL's float ordering EXACTLY
+ * (SQLOrderingUtil: NaN == NaN and greater than everything,
+ * -0.0 == 0.0) — parity with the HOF forms is spec-gated over
+ * NaN / ±0.0 / ordinary values (PixelExprsSpec).
+ *
+ * Inputs are ARRAY<FLOAT> pixel payloads. Element nulls (parquet reads
+ * arrays back as containsNull=true) follow the lambda forms' exact
+ * semantics per op — maskEquals FILLS a null element (`when(null === m,
+ * p).otherwise(fill)` takes the otherwise branch), every other op
+ * propagates element null — gated over null-bearing arrays in
+ * PixelExprsSpec. The no-null fast path emits UnsafeArrayData from a
+ * primitive float array.
+ */
+object PxRuntime {
+
+  /** Spark SQL float comparison (SQLOrderingUtil.compareFloats:
+    * primitive ordering — so -0.0 == 0.0 — with NaN == NaN greatest). */
+  def cmp(x: Float, y: Float): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else -1
+
+  /** Finish: primitive fast path unless any output element is null. */
+  private def emit(out: Array[Float], nulls: java.util.BitSet): ArrayData =
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](out.length)(i => if (nulls.get(i)) null else out(i)))
+
+  private def mark(nulls: java.util.BitSet, i: Int): java.util.BitSet = {
+    val b = if (nulls == null) new java.util.BitSet() else nulls
+    b.set(i); b
+  }
+
+  def maskEquals(px: ArrayData, mval: Float, fill: Float): ArrayData = {
+    val n = px.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      // null element: when(null === m, p).otherwise(fill) -> fill
+      out(i) =
+        if (px.isNullAt(i)) fill
+        else { val v = px.getFloat(i); if (cmp(v, mval) == 0) v else fill }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** rule: 0 = "==", 1 = "<", 2 = ">" — matching pixels become repl. */
+  def maskRule(px: ArrayData, rule: Int, thr: Float, repl: Float): ArrayData = {
+    val n = px.numElements()
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (px.isNullAt(i)) nulls = mark(nulls, i) // when(null).otherwise(p=null)
+      else {
+        val v = px.getFloat(i)
+        val c = cmp(v, thr)
+        val hit = rule match { case 0 => c == 0; case 1 => c < 0; case _ => c > 0 }
+        out(i) = if (hit) repl else v
+      }
+      i += 1
+    }
+    emit(out, nulls)
+  }
+
+  /** Exact-key LUT (keys sorted by cmp); unmapped values pass through. */
+  def applyLut(px: ArrayData, keys: Array[Float], vals: Array[Float]): ArrayData = {
+    val n = px.numElements()
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (px.isNullAt(i)) nulls = mark(nulls, i) // element_at(m, null) -> null
+      else {
+        val v = px.getFloat(i)
+        var lo = 0; var hi = keys.length - 1; var found = -1
+        while (lo <= hi && found < 0) {
+          val mid = (lo + hi) >>> 1
+          val c = cmp(v, keys(mid))
+          if (c == 0) found = mid else if (c < 0) hi = mid - 1 else lo = mid + 1
+        }
+        out(i) = if (found >= 0) vals(found) else v
+      }
+      i += 1
+    }
+    emit(out, nulls)
+  }
+
+  def zipMul(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nulls = mark(nulls, i) // null * y -> null
+      else out(i) = a.getFloat(i) * b.getFloat(i)
+      i += 1
+    }
+    emit(out, nulls)
+  }
+
+  /** combine_scene rule: where a == 0 take b, else keep a. */
+  def combineScene(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      // x null: when(null === 0, y).otherwise(x) -> x = null
+      if (a.isNullAt(i)) nulls = mark(nulls, i)
+      else {
+        val x = a.getFloat(i)
+        if (cmp(x, 0f) == 0) {
+          if (b.isNullAt(i)) nulls = mark(nulls, i) else out(i) = b.getFloat(i)
+        } else out(i) = x
+      }
+      i += 1
+    }
+    emit(out, nulls)
+  }
+
+  /** (a-b)/(a+b) with 0-denominator -> nodata; float adds/subs, double
+    * division truncated to float — exactly the HOF expression tree
+    * (`((x - y) / (x + y)).cast("float")` promotes the division). */
+  def ndvi(a: ArrayData, b: ArrayData, nodata: Float): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nulls = mark(nulls, i) // null arith
+      else {
+        val x = a.getFloat(i); val y = b.getFloat(i)
+        val s = x + y
+        out(i) = if (cmp(s, 0f) == 0) nodata
+                 else ((x - y).toDouble / s.toDouble).toFloat
+      }
+      i += 1
+    }
+    emit(out, nulls)
+  }
+}
+
+private[graft] object PixelExprs {
+  val PxType: DataType = ArrayType(FloatType, containsNull = false)
+  val PxTypeNullable: DataType = ArrayType(FloatType, containsNull = true)
+  def checkPx(what: String, ts: (String, DataType)*): TypeCheckResult = {
+    val bad = ts.filterNot(t => t._2 == PxType || t._2 == PxTypeNullable)
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$what needs ARRAY<FLOAT> pixels; got " +
+        bad.map { case (n, t) => s"$n: $t" }.mkString(", "))
+  }
+  /** Output element nullability follows the inputs (the fill-on-null
+    * maskEquals op overrides to non-null). */
+  def outType(ins: DataType*): DataType =
+    if (ins.contains(PxTypeNullable)) PxTypeNullable else PxType
+
+  /** Java source literal for an arbitrary float constant — NaN/Infinity
+    * have no Java literal form ("NaNf" fails Janino and would silently
+    * fall the whole stage back to interpreted eval). */
+  def jlit(f: Float): String =
+    s"java.lang.Float.intBitsToFloat(${java.lang.Float.floatToIntBits(f)})"
+}
+
+case class MaskEqualsExpr(child: Expression, mval: Float, fill: Float)
+    extends UnaryExpression {
+  override def dataType: DataType = PixelExprs.PxType // null elements fill
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_mask_equals", "pixels" -> child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    PxRuntime.maskEquals(v.asInstanceOf[ArrayData], mval, fill)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PxRuntime.maskEquals($c, ${PixelExprs.jlit(mval)}, ${PixelExprs.jlit(fill)})")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "px_mask_equals"
+}
+
+case class MaskRuleExpr(child: Expression, rule: Int, thr: Float, repl: Float)
+    extends UnaryExpression {
+  require(rule >= 0 && rule <= 2)
+  override def dataType: DataType = PixelExprs.outType(child.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_mask_rule", "pixels" -> child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    PxRuntime.maskRule(v.asInstanceOf[ArrayData], rule, thr, repl)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PxRuntime.maskRule($c, $rule, ${PixelExprs.jlit(thr)}, ${PixelExprs.jlit(repl)})")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "px_mask_rule"
+}
+
+case class ApplyLutExpr(child: Expression, keys: Array[Float], vals: Array[Float])
+    extends UnaryExpression {
+  require(keys.length == vals.length)
+  override def dataType: DataType = PixelExprs.outType(child.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_apply_lut", "pixels" -> child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    PxRuntime.applyLut(v.asInstanceOf[ArrayData], keys, vals)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("lutKeys", keys, "float[]")
+    val vRef = ctx.addReferenceObj("lutVals", vals, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PxRuntime.applyLut($c, $kRef, $vRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "px_apply_lut"
+}
+
+case class ZipMulExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = PixelExprs.outType(left.dataType, right.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_mul", "left" -> left.dataType, "right" -> right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PxRuntime.zipMul(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PxRuntime.zipMul($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "px_mul"
+}
+
+case class CombineSceneExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = PixelExprs.outType(left.dataType, right.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_combine_scene", "left" -> left.dataType, "right" -> right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PxRuntime.combineScene(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PxRuntime.combineScene($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "px_combine_scene"
+}
+
+case class NdviExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = PixelExprs.outType(first.dataType, second.dataType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val px = PixelExprs.checkPx("px_ndvi", "a" -> first.dataType, "b" -> second.dataType)
+    if (px != TypeCheckResult.TypeCheckSuccess) px
+    else if (third.dataType == FloatType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"px_ndvi nodata must be FLOAT, got ${third.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any, nd: Any): Any =
+    PxRuntime.ndvi(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      nd.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, nd) => s"graft.functions.PxRuntime.ndvi($a, $b, $nd)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "px_ndvi"
+}

@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
 import graft.{TileRow, PolyRow}
 import graft.core.{Geom, GridIndex}
+import graft.functions.{ApplyLutExpr, CombineSceneExpr, MaskEqualsExpr, MaskRuleExpr, NdviExpr, PxRuntime, ZipMulExpr}
 
 /**
  * Per-tile raster operators (SURVEY §2.2, §2.4, §2.8). All of these are
@@ -35,22 +37,24 @@ object RasterOps {
     rows
   }
 
-  /** mask_raster (raster.py:1031-1134): keep pixels == mval, else `fill`. */
+  /** mask_raster (raster.py:1031-1134): keep pixels == mval, else `fill`.
+    * Native per-tile loop (PixelExprs) — the transform() HOF form paid an
+    * interpreted lambda per pixel, measured ~4x the whole decode cost. */
   def maskEquals(tiles: DataFrame, mval: Float, fill: Float = 0f): DataFrame =
     tiles.withColumn("pixels",
-      transform(col("pixels"), p => when(p === mval, p).otherwise(lit(fill))))
+      colOf(MaskEqualsExpr(exprOf(col("pixels")), mval, fill)))
 
   /** mask_raster_multi (raster.py:1136-1265): rule in {"==", "<", ">"}
     * with replacement value — pixels matching the rule become `repl`. */
   def maskRule(tiles: DataFrame, rule: String, threshold: Float, repl: Float): DataFrame = {
-    def cond(p: Column): Column = rule match {
-      case "==" => p === threshold
-      case "<"  => p < threshold
-      case ">"  => p > threshold
+    val code = rule match {
+      case "==" => 0
+      case "<"  => 1
+      case ">"  => 2
       case r    => throw new IllegalArgumentException(s"rule $r")
     }
     tiles.withColumn("pixels",
-      transform(col("pixels"), p => when(cond(p), lit(repl)).otherwise(p)))
+      colOf(MaskRuleExpr(exprOf(col("pixels")), code, threshold, repl)))
   }
 
   /** Band algebra (NDVI raster.py:1347): (a - b) / (a + b) between two
@@ -63,9 +67,8 @@ object RasterOps {
       .select(col("image_id"), col("tx"), col("ty"), col("cell_id"),
         col("pixels").as("pb"))
     a.join(b, tileKey :+ "cell_id")
-      .withColumn("pixels", zip_with(col("pa"), col("pb"), (x, y) =>
-        when(x + y === 0f, col("nodata"))
-          .otherwise(((x - y) / (x + y)).cast("float"))))
+      .withColumn("pixels",
+        colOf(NdviExpr(exprOf(col("pa")), exprOf(col("pb")), exprOf(col("nodata")))))
       .drop("pa", "pb")
       .withColumn("band", lit(0))
   }
@@ -146,8 +149,8 @@ object RasterOps {
     val b = s2.toDF().select(col("image_id"), col("tx"), col("ty"),
       col("band"), col("cell_id"), col("pixels").as("pb"))
     a.join(b, tileKey ++ Seq("band", "cell_id"))
-      .withColumn("pixels", zip_with(col("pa"), col("pb"), (x, y) =>
-        when(x === 0f, y).otherwise(x)))
+      .withColumn("pixels",
+        colOf(CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb")))))
       .drop("pa", "pb")
   }
 
@@ -247,7 +250,7 @@ object RasterOps {
     val b = s2.toDF().select(col("image_id"), col("tx"), col("ty"),
       col("band"), col("cell_id"), col("pixels").as("pb"))
     a.join(b, tileKey ++ Seq("band", "cell_id"))
-      .withColumn("pixels", zip_with(col("pa"), col("pb"), (x, y) => x * y))
+      .withColumn("pixels", colOf(ZipMulExpr(exprOf(col("pa")), exprOf(col("pb")))))
       .drop("pa", "pb")
   }
 
@@ -364,10 +367,9 @@ object RasterOps {
     * join computes the mapping). Unmapped values pass through. */
   def applyLut(tiles: DataFrame, lut: Map[Float, Float])
               (implicit spark: SparkSession): DataFrame = {
-    val entries = lut.toSeq.sortBy(_._1)
-    val m = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    tiles.withColumn("pixels",
-      transform(col("pixels"), p => coalesce(element_at(m, p), p)))
+    val entries = lut.toSeq.sortWith((p, q) => PxRuntime.cmp(p._1, q._1) < 0)
+    tiles.withColumn("pixels", colOf(ApplyLutExpr(exprOf(col("pixels")),
+      entries.map(_._1).toArray, entries.map(_._2).toArray)))
   }
 
   /** Otsu threshold (shape.py:2367-2372 thresholds): maximize between-
