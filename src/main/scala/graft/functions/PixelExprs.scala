@@ -138,6 +138,142 @@ object PxRuntime {
     emit(out, nulls)
   }
 
+  /** Series composite over an ARRAY<ARRAY<FLOAT>> time/band stack —
+    * the temporal_comp / stat_comp fold, one native loop instead of the
+    * aggregate/zip_with/array_sort HOF chains (which paid interpreted
+    * lambdas per pixel PER SERIES ELEMENT and dominated the whole job).
+    * op: 0 sum, 1 mean, 2 min, 3 max, 4 percentile(q). Mirrors the HOF
+    * forms exactly: NaN-skipping pairwise folds in series order; a NULL
+    * series array nulls the whole result (zip_with(acc, null) poisoning)
+    * for fold ops and is SKIPPED by the percentile (element_at ->
+    * filter); inner null / out-of-range elements poison that index for
+    * folds and are skipped by the percentile; percentile interpolation
+    * is float-subtract then double multiply/add cast to float
+    * (np.nanpercentile convention, identical expression tree). */
+  def seriesComposite(arrays: ArrayData, op: Int, q: Double): ArrayData = {
+    val t = arrays.numElements()
+    if (t == 0) return null // element_at(arrays, 1) -> null seed -> null
+    if (op == 4) {
+      val first = arrays.getArray(0)
+      if (first == null) return null // size(null) -> null index list
+      val n = first.numElements()
+      val out = new Array[Float](n)
+      val buf = new Array[Float](t)
+      var i = 0
+      while (i < n) {
+        var m = 0
+        var k = 0
+        while (k < t) {
+          val a = arrays.getArray(k)
+          if (a != null && i < a.numElements() && !a.isNullAt(i)) {
+            val v = a.getFloat(i)
+            if (!v.isNaN) { buf(m) = v; m += 1 }
+          }
+          k += 1
+        }
+        if (m == 0) out(i) = Float.NaN
+        else {
+          java.util.Arrays.sort(buf, 0, m)
+          val pos = (m - 1) * q / 100.0
+          val lo = pos.toInt
+          val frac = pos - lo
+          val vlo = buf(lo)
+          val vhi = buf(math.min(lo + 1, m - 1))
+          out(i) = (vlo.toDouble + (vhi - vlo).toDouble * frac).toFloat
+        }
+        i += 1
+      }
+      return UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    // fold ops: a null series array nulls the whole composite
+    var k = 0
+    while (k < t) { if (arrays.getArray(k) == null) return null; k += 1 }
+    val first = arrays.getArray(0)
+    val n = first.numElements()
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    val cnt = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (first.isNullAt(i)) nulls = mark(nulls, i)
+      else {
+        val v = first.getFloat(i)
+        out(i) = v
+        if (!v.isNaN) cnt(i) = 1
+      }
+      i += 1
+    }
+    k = 1
+    while (k < t) {
+      val cur = arrays.getArray(k)
+      i = 0
+      while (i < n) {
+        if (nulls == null || !nulls.get(i)) {
+          // zip_with pads a shorter array with null -> poison, like an
+          // inner null element
+          if (i >= cur.numElements() || cur.isNullAt(i)) nulls = mark(nulls, i)
+          else {
+            val y = cur.getFloat(i)
+            if (!y.isNaN) cnt(i) += 1
+            val x = out(i)
+            out(i) =
+              if (x.isNaN) y
+              else if (y.isNaN) x
+              else op match {
+                case 0 | 1 => x + y
+                case 2     => if (cmp(y, x) < 0) y else x
+                case _     => if (cmp(y, x) > 0) y else x
+              }
+          }
+        }
+        i += 1
+      }
+      k += 1
+    }
+    if (op == 1) {
+      i = 0
+      while (i < n) {
+        if (nulls == null || !nulls.get(i))
+          out(i) = if (cnt(i) == 0) Float.NaN
+                   else (out(i).toDouble / cnt(i).toDouble).toFloat
+        i += 1
+      }
+    }
+    emit(out, nulls)
+  }
+
+  /** Mosaic fold: first non-`nodata` value in series order (layers are
+    * pre-sorted by image_id); null layers/elements poison like zip_with. */
+  def mosaicComposite(arrays: ArrayData, nodata: Float): ArrayData = {
+    val t = arrays.numElements()
+    if (t == 0) return null
+    var k = 0
+    while (k < t) { if (arrays.getArray(k) == null) return null; k += 1 }
+    val first = arrays.getArray(0)
+    val n = first.numElements()
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (first.isNullAt(i)) nulls = mark(nulls, i) else out(i) = first.getFloat(i)
+      i += 1
+    }
+    k = 1
+    while (k < t) {
+      val cur = arrays.getArray(k)
+      i = 0
+      while (i < n) {
+        if (nulls == null || !nulls.get(i)) {
+          if (i >= cur.numElements() || cur.isNullAt(i)) nulls = mark(nulls, i)
+          else if (cmp(out(i), nodata) == 0) out(i) = cur.getFloat(i)
+        }
+        i += 1
+      }
+      k += 1
+    }
+    emit(out, nulls)
+  }
+
   /** (a-b)/(a+b) with 0-denominator -> nodata; float adds/subs, double
     * division truncated to float — exactly the HOF expression tree
     * (`((x - y) / (x + y)).cast("float")` promotes the division). */
@@ -252,6 +388,51 @@ case class CombineSceneExpr(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "px_combine_scene"
+}
+
+case class SeriesCompositeExpr(child: Expression, op: Int, q: Double)
+    extends UnaryExpression {
+  require(op >= 0 && op <= 4)
+  override def nullable: Boolean = true
+  override def dataType: DataType = PixelExprs.PxTypeNullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"px_series_composite needs ARRAY<ARRAY<FLOAT>>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PxRuntime.seriesComposite(v.asInstanceOf[ArrayData], op, q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.PxRuntime.seriesComposite($c, $op, ${q}D);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "px_series_composite"
+}
+
+case class MosaicCompositeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = PixelExprs.PxTypeNullable
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(FloatType, _), _), FloatType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"px_mosaic needs (ARRAY<ARRAY<FLOAT>>, FLOAT), got ($l, $r)")
+  }
+  override def nullSafeEval(a: Any, nd: Any): Any =
+    PxRuntime.mosaicComposite(a.asInstanceOf[ArrayData], nd.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, nd) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.PxRuntime.mosaicComposite($a, $nd);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "px_mosaic"
 }
 
 case class NdviExpr(first: Expression, second: Expression, third: Expression)

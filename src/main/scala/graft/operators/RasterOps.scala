@@ -173,52 +173,22 @@ object RasterOps {
         first("px").as("px"), first("tw").as("tw"), first("th").as("th"),
         first("nodata").as("nodata"))
     val arrays = col("series.pixels")
-    val n = size(col("series"))
-    val summed = reduceArrays(arrays, (x, y) =>
-      when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(x + y)))
-    val out = stat match {
-      case "sum"  => summed
-      case "mean" => zip_with(summed, countNonNaN(arrays), (s, c) =>
-        when(c === 0f, lit(Float.NaN)).otherwise((s / c).cast("float")))
-      case "min" => reduceArrays(arrays, (x, y) =>
-        when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(least(x, y))))
-      case "max" => reduceArrays(arrays, (x, y) =>
-        when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(greatest(x, y))))
-      case "median" | "percentile" =>
-        val qq = if (stat == "median") 50.0 else q
-        require(qq >= 0.0 && qq <= 100.0, s"percentile out of range: $qq")
-        // per pixel index: sort the non-NaN time series, linear-interpolate
-        // at pos = (m-1)*q/100 (np.nanpercentile convention)
-        val idxs = sequence(lit(0), size(element_at(arrays, 1)) - 1)
-        transform(idxs, i => {
-          val vals = array_sort(filter(
-            transform(arrays, a => element_at(a, i + 1)), v => !v.isNaN))
-          val m = size(vals)
-          val pos = (m - 1).cast("double") * lit(qq / 100.0)
-          val lo = floor(pos).cast("int")
-          val frac = pos - floor(pos)
-          when(m === 0, lit(Float.NaN)).otherwise(
-            (element_at(vals, lo + 1) +
-              (element_at(vals, least(lo + 2, m)) - element_at(vals, lo + 1)) * frac
-            ).cast("float"))
-        })
+    // native one-loop composite (PixelExprs): the aggregate/zip_with/
+    // array_sort HOF chains paid interpreted lambdas per pixel PER
+    // SERIES ELEMENT and dominated the whole job at bench volume
+    val opCode = stat match {
+      case "sum" => 0
+      case "mean" => 1
+      case "min" => 2
+      case "max" => 3
+      case "median" | "percentile" => 4
       case s => throw new IllegalArgumentException(s"stat $s")
     }
+    val qq = if (stat == "median") 50.0 else q
+    require(opCode != 4 || (qq >= 0.0 && qq <= 100.0), s"percentile out of range: $qq")
+    val out = colOf(graft.functions.SeriesCompositeExpr(exprOf(arrays), opCode, qq))
     gathered.withColumn("pixels", out).drop("series")
   }
-
-  /** Element-wise fold over an array-of-arrays column (seed = first
-    * array; fold over the REST — folding the whole column would apply
-    * element 1 twice). */
-  private def reduceArrays(arrays: Column, f: (Column, Column) => Column): Column =
-    aggregate(slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
-      element_at(arrays, 1), (acc, cur) => zip_with(acc, cur, f))
-
-  private def countNonNaN(arrays: Column): Column =
-    aggregate(arrays,
-      transform(element_at(arrays, 1), x => when(x.isNaN, 0f).otherwise(0f)),
-      (acc, cur) => zip_with(acc, cur, (a, x) =>
-        a + when(x.isNaN, 0f).otherwise(1f)))
 
   /** _merge / mosaic (gdal_merge.py:288-533 via raster.py:1449-1464):
     * composite N aligned rasters into one — per aligned tile, first
@@ -232,12 +202,8 @@ object RasterOps {
       .agg(sort_array(collect_list(struct(col("image_id"), col("pixels"),
         col("nodata")))).as("layers"),
         first("px").as("px"), first("nodata").as("nodata"))
-    val arrays = col("layers.pixels")
-    val nod = col("nodata")
-    val composited = aggregate(
-      slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
-      element_at(arrays, 1),
-      (acc, cur) => zip_with(acc, cur, (a, x) => when(a === nod, x).otherwise(a)))
+    val composited = colOf(graft.functions.MosaicCompositeExpr(
+      exprOf(col("layers.pixels")), exprOf(col("nodata"))))
     gathered.withColumn("pixels", composited)
       .withColumn("image_id", lit("mosaic")).drop("layers")
   }

@@ -65,6 +65,67 @@ class PixelExprsSpec extends AnyFunSuite {
       df.select(transform(col("pa"), p => coalesce(element_at(m, p), p))))
   }
 
+  test("SeriesCompositeExpr == the aggregate/zip_with/array_sort HOF forms") {
+    import org.apache.spark.sql.Column
+    // random series with NaNs sprinkled in (4 epochs x 16 px)
+    val rng = new graft.gen.Synth.Rng(31L)
+    val series = (0 until 24).map { _ =>
+      (0 until 4).map { _ =>
+        Array.tabulate(16)(_ =>
+          if (rng.nextInt(5) == 0) Float.NaN else rng.nextInt(200) - 50f)
+      }
+    }
+    val sdf = series.toDF("arrays")
+    def reduceArrays(arrays: Column, f: (Column, Column) => Column): Column =
+      aggregate(slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
+        element_at(arrays, 1), (acc, cur) => zip_with(acc, cur, f))
+    def countNonNaN(arrays: Column): Column =
+      aggregate(arrays,
+        transform(element_at(arrays, 1), x => when(x.isNaN, 0f).otherwise(0f)),
+        (acc, cur) => zip_with(acc, cur, (a, x) =>
+          a + when(x.isNaN, 0f).otherwise(1f)))
+    val arrays = col("arrays")
+    val summed = reduceArrays(arrays, (x, y) =>
+      when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(x + y)))
+    val hofs: Seq[(Int, Double, Column)] = Seq(
+      (0, 0.0, summed),
+      (1, 0.0, zip_with(summed, countNonNaN(arrays), (s, c) =>
+        when(c === 0f, lit(Float.NaN)).otherwise((s / c).cast("float")))),
+      (2, 0.0, reduceArrays(arrays, (x, y) =>
+        when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(least(x, y))))),
+      (3, 0.0, reduceArrays(arrays, (x, y) =>
+        when(x.isNaN, y).otherwise(when(y.isNaN, x).otherwise(greatest(x, y)))))) ++
+      Seq(25.0, 50.0, 90.0).map { qq =>
+        val idxs = sequence(lit(0), size(element_at(arrays, 1)) - 1)
+        (4, qq, transform(idxs, i => {
+          val vals = array_sort(filter(
+            transform(arrays, a => element_at(a, i + 1)), v => !v.isNaN))
+          val m = size(vals)
+          val pos = (m - 1).cast("double") * lit(qq / 100.0)
+          val lo = floor(pos).cast("int")
+          val frac = pos - floor(pos)
+          when(m === 0, lit(Float.NaN)).otherwise(
+            (element_at(vals, lo + 1) +
+              (element_at(vals, least(lo + 2, m)) - element_at(vals, lo + 1)) * frac
+            ).cast("float"))
+        }))
+      }
+    hofs.foreach { case (op, qq, hof) =>
+      check(
+        sdf.select(colOf(SeriesCompositeExpr(exprOf(arrays), op, qq))),
+        sdf.select(hof))
+    }
+    // mosaic fold vs its HOF (nodata = 0)
+    val nod = lit(0f)
+    val mosaicHof = aggregate(
+      slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
+      element_at(arrays, 1),
+      (acc, cur) => zip_with(acc, cur, (a, x) => when(a === nod, x).otherwise(a)))
+    check(
+      sdf.select(colOf(MosaicCompositeExpr(exprOf(arrays), exprOf(nod.cast("float"))))),
+      sdf.select(mosaicHof))
+  }
+
   test("ZipMulExpr / CombineSceneExpr / NdviExpr == zip_with HOFs") {
     check(
       df.select(colOf(ZipMulExpr(exprOf(col("pa")), exprOf(col("pb"))))),
