@@ -105,8 +105,19 @@ object PxRuntime {
     emit(out, nulls)
   }
 
+  /** Binary tile ops require EQUAL-LENGTH pixel arrays — tiles of one
+    * grid always are, and a mismatch means misaligned rasters upstream.
+    * zip_with would null-pad the shorter side and silently poison the
+    * tail; failing fast surfaces the real bug instead (spec-gated). */
+  private def requireSameLength(op: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"$op: pixel arrays differ in length (${n} vs ${b.numElements()}) — misaligned tiles")
+    n
+  }
+
   def zipMul(a: ArrayData, b: ArrayData): ArrayData = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = requireSameLength("px_zip_mul", a, b)
     val out = new Array[Float](n)
     var nulls: java.util.BitSet = null
     var i = 0
@@ -120,7 +131,7 @@ object PxRuntime {
 
   /** combine_scene rule: where a == 0 take b, else keep a. */
   def combineScene(a: ArrayData, b: ArrayData): ArrayData = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = requireSameLength("px_combine_scene", a, b)
     val out = new Array[Float](n)
     var nulls: java.util.BitSet = null
     var i = 0
@@ -278,7 +289,7 @@ object PxRuntime {
     * division truncated to float — exactly the HOF expression tree
     * (`((x - y) / (x + y)).cast("float")` promotes the division). */
   def ndvi(a: ArrayData, b: ArrayData, nodata: Float): ArrayData = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = requireSameLength("px_ndvi", a, b)
     val out = new Array[Float](n)
     var nulls: java.util.BitSet = null
     var i = 0

@@ -32,70 +32,63 @@ import graft.functions.SpatialFunctions._
  * partitions by its own cell and never explodes. Skewed dense cells are
  * AQE-splittable since both sides are shuffle-partitioned by cell key.
  *
- * The unsatisfied-query set is COLLECTED once (it is small by
- * construction — the guard fails only for sparse neighbourhoods, and a
- * bounded collect caps the pathological case), so the result plan
- * filters by a literal id list: the zero-fallback common case returns
- * phase 1 untouched (one point-table scan total when consumed), the
- * fallback path scans it once more for just the broadcast bad queries,
- * and nothing re-derives the guarantee check per consumer. No internal
- * persist (a cache here would pin blocks in the session's CacheManager
- * with no unpersist point, leaking across long-lived sessions).
+ * The guarantee check is FULLY RELATIONAL and single-job: the per-query
+ * candidate count and kth distance are window aggregates over the SAME
+ * q_id partitioning the top-k window already shuffled by, so they add
+ * zero exchanges; the good rows and the bad-query set both hang off that
+ * one shuffle and Spark's ReuseExchange computes the expensive
+ * join+explode subtree ONCE (plan-gated in PlanShapeSpec). No driver
+ * round-trip, no literal id lists (round 3's bounded collect ran the
+ * whole phase-1 join twice — once for the guard collect, once in the
+ * returned plan — and tripled q_knn_hex wall time), no internal persist.
+ *
+ * Fallback cost: the brute pass always scans the point table once more
+ * against a broadcast of the bad queries — usually empty, and a single
+ * extra scan is far cheaper than re-running the ring join. If the
+ * r1/res choice is so wrong that MOST queries miss the guard, that
+ * broadcast is the failure you want: raise r1 (documented user error —
+ * the guard exists to keep the common case exact, not to rescue a
+ * misconfigured index).
  */
 object Knn {
 
-  /** Above this many guard misses the r1/res choice is wrong for the
-    * data — brute-force everything rather than build a huge isin. */
-  private val MaxFallbackQueries = 4096
-
-  /** Shared tail: guarantee check over the candidates, then
-    * good ∪ (brute fallback only if any query actually needs it). */
+  /** Shared tail: annotate candidates with the per-query guarantee
+    * (count == k and kth distance strictly inside the ring), split into
+    * guaranteed-exact rows and brute-forced stragglers. Queries with
+    * ZERO candidates don't appear in `cand` at all, so the bad set must
+    * be derived as NOT-satisfied (anti join), never as filter-of-found.
+    * Null-id queries can never match the anti join and always take the
+    * brute path (their cand rows are excluded from the good set). */
   private def finishExact(queries: DataFrame, points: DataFrame, k: Int,
                           cand: DataFrame, guard2: Double): DataFrame = {
-    // guarantee check per query. Queries with ZERO candidates don't appear
-    // in `cand` at all, so "bad" must be derived as NOT-satisfied (anti
-    // join against the satisfied set), never as filter-of-found.
-    val satisfied = cand.groupBy("q_id")
-      .agg(count(lit(1)).as("__n"), max("dist2").as("__kd2"))
-      // STRICT <: a point outside the ring at distance exactly guard2 with
-      // a smaller pt_id would rank ahead under (dist2, pt_id) — boundary
-      // ties must fall through to the brute-force pass
-      .filter(col("__n") === k && col("__kd2") < guard2)
-      .select("q_id")
-    // null query ids can never satisfy the guard and would poison the
-    // NOT-IN literal list below (three-valued logic) — excluded here;
-    // their cand rows (if any) drop under the same NULL semantics
-    val badIds = queries.select("q_id")
-      .join(broadcast(satisfied), Seq("q_id"), "left_anti")
-      .limit(MaxFallbackQueries + 1).collect().map(_.get(0))
-      .filterNot(_ == null).toSeq
-    if (badIds.isEmpty) return cand
+    val wq = Window.partitionBy("q_id")
+    // STRICT < on the kth distance: a point outside the ring at distance
+    // exactly guard2 with a smaller pt_id would rank ahead under
+    // (dist2, pt_id) — boundary ties must fall through to the brute pass
+    val guarded = cand
+      .withColumn("__n", count(lit(1)).over(wq))
+      .withColumn("__kd2", max("dist2").over(wq))
+      .withColumn("__ok",
+        col("q_id").isNotNull && col("__n") === k && col("__kd2") < guard2)
+    val good = guarded.where(col("__ok"))
+      .select("q_id", "pt_id", "dist2", "rn")
+    val satisfied = guarded.where(col("__ok")).select("q_id").distinct()
+    val badQueries = queries.select(col("q_id"), col("x"), col("y"))
+      .join(satisfied, Seq("q_id"), "left_anti")
 
     val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
       (col("qy") - col("py")) * (col("qy") - col("py"))
     val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("pt_id"))
-    def bruteFor(qs: DataFrame): DataFrame = points
+    val brute = points
       .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
-      .crossJoin(broadcast(qs.select(col("q_id"), col("x").as("qx"), col("y").as("qy"))))
+      .crossJoin(broadcast(badQueries
+        .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))))
       .withColumn("dist2", dist2)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "pt_id", "dist2", "rn")
 
-    if (badIds.length > MaxFallbackQueries) {
-      // many guard misses: stay fully relational — no driver literal
-      // list and, crucially, broadcast only the BAD queries (a fleet of
-      // misses is still a small fraction of a large query table; the
-      // whole table must never ride a broadcast)
-      val badQ = queries.select("q_id")
-        .join(broadcast(satisfied), Seq("q_id"), "left_anti")
-      val good = cand.join(broadcast(badQ), Seq("q_id"), "left_anti")
-      val badQueries = queries.join(broadcast(badQ), Seq("q_id"))
-        .select(col("q_id"), col("x"), col("y"))
-      return good.unionByName(bruteFor(badQueries))
-    }
-    cand.filter(!col("q_id").isin(badIds: _*))
-      .unionByName(bruteFor(queries.filter(col("q_id").isin(badIds: _*))))
+    good.unionByName(brute)
   }
 
   /** queries: (q_id, x, y); points: (pt_id, x, y). Returns

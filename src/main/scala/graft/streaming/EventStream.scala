@@ -58,9 +58,17 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("t")
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // cast: parquet event-time lands as TIMESTAMP_NTZ; sessions are
-    // computed in UTC epoch micros either way (no-op on TIMESTAMP input)
-    events.select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+    // parquet event-time lands as TIMESTAMP_NTZ: its naive datetime is
+    // epoch-diffed directly (pure field arithmetic, no timezone in play).
+    // A cast("timestamp") here would interpret the naive value in
+    // spark.sql.session.timeZone and shift start_us/end_us under any
+    // non-UTC session. TIMESTAMP input is already an instant: unix_micros.
+    val tExpr = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
+    events.select(col("user_id"), tExpr.as("t"))
       .withColumn("__brk",
         when(col("t") - lag("t", 1).over(byUser) > gapMs * 1000L, 1).otherwise(0))
       .withColumn("__sid", sum("__brk").over(cum))

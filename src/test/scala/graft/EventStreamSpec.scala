@@ -148,4 +148,28 @@ class EventStreamSpec extends AnyFunSuite {
       s"unexpected unclosed sessions:\n${batch -- streamed}")
     assert(batch.size == streamed.size + 1)
   }
+
+  test("sessionizeBatch on TIMESTAMP_NTZ is session-timezone invariant") {
+    // NTZ naive datetimes must epoch-diff as pure field arithmetic — a
+    // cast("timestamp") would shift start_us/end_us by the session offset
+    val ntz = Seq((1L, "2024-03-01 00:10:00"), (1L, "2024-03-01 00:20:00"),
+      (1L, "2024-03-01 03:00:00"), (2L, "2024-03-01 12:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp_ntz").as("ts"))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    def run(): Set[(Long, Long, Long, Long)] =
+      EventStream.sessionizeBatch(ntz)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    val utc = try { spark.conf.set(tzKey, "UTC"); run() }
+      finally spark.conf.set(tzKey, orig)
+    val ny = try { spark.conf.set(tzKey, "America/New_York"); run() }
+      finally spark.conf.set(tzKey, orig)
+    assert(utc == ny, s"session tz shifted the epochs:\nUTC=$utc\nNY =$ny")
+    // and the epochs are the naive-as-UTC instants
+    assert(utc.exists(_._2 == java.time.LocalDateTime.parse("2024-03-01T00:10")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L))
+  }
 }

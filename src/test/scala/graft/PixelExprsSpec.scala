@@ -140,4 +140,20 @@ class PixelExprsSpec extends AnyFunSuite {
       df.select(zip_with(col("pa"), col("pb"), (x, y) =>
         when(x + y === 0f, nodata).otherwise(((x - y) / (x + y)).cast("float")))))
   }
+
+  test("binary px exprs FAIL FAST on length mismatch (equal-length contract)") {
+    // zip_with would null-pad the shorter array and silently poison the
+    // tail; misaligned tiles are an upstream bug and must surface
+    val bad = spark.createDataFrame(Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)))).toDF("pa", "pb")
+    for (e <- Seq(
+        ZipMulExpr(exprOf(col("pa")), exprOf(col("pb"))),
+        CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb"))),
+        NdviExpr(exprOf(col("pa")), exprOf(col("pb")), exprOf(lit(0f))))) {
+      val ex = intercept[Exception](bad.select(colOf(e)).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("differ in length")), s"$e: $ex")
+    }
+  }
 }

@@ -63,6 +63,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan(q).contains("WindowGroupLimit"))
   }
 
+  test("kNN guarantee tail: ring join computed ONCE (ReusedExchange), single job") {
+    // the good-rows path and the bad-query anti join both hang off the
+    // same q_id shuffle; losing the reuse silently doubles the expensive
+    // ring join (round 3's collect-based tail cost +111% on q_knn_hex)
+    val q = Queries.qKnn(spark, "/root/testdata/sf0.001")
+    q.collect() // finalize the adaptive plan
+    val p = plan(q)
+    assert(p.contains("ReusedExchange"),
+      s"guarantee check recomputes the ring join instead of reusing its exchange:\n$p")
+  }
+
   test("classify: zero shuffle (no Exchange anywhere in the plan)") {
     import graft.operators.{Tiler, Training}
     val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
