@@ -511,13 +511,15 @@ object Queries {
       .where(col("jaccard_est") >= 0.25)
       .select(col("d1"), col("d2"), round(col("jaccard_est"), 4).as("jaccard_est"))
 
-  /** Full MinHash+LSH oracle: shingles, HashFamily fingerprints, the 64
-    * permutation minima, band-bucket candidates and the signature-
-    * agreement estimate are ALL recomputed relationally. */
+  /** Full MinHash+LSH oracle: shingles, HashFamily's composed 62-bit
+    * fingerprints (base-131 hi half + base-137 lo half), the 64
+    * permutation minima over both halves, band-bucket candidates and the
+    * signature-agreement estimate are ALL recomputed relationally. */
   val qMinhashPairsSql: String = {
     import graft.text.HashFamily.{P, B}
     val aK = s"((1103515245 * (2*k + 1) + 12345) % $P)"
     val bK = s"((1103515245 * k + 54321) % $P)"
+    val cK = s"((48271 * (2*k + 1) + 11213) % $P)"
     s"""WITH ${graft.text.HashFamily.powCte(255)},
        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |       WHERE len(string_split(text, ' ')) <= 120),
@@ -526,10 +528,12 @@ object Queries {
        |       FROM tk, generate_series(0, 127) ti(i)
        |       WHERE i <= greatest(len(t) - 3, 0)),
        |shf AS (SELECT doc_id, s,
-       |          coalesce(sum(CAST(ord(substr(s, j, 1)) AS BIGINT) * p), 0) % $P AS fp
+       |          coalesce(sum(CAST(ord(substr(s, j, 1)) AS BIGINT) * p), 0) % $P AS fhi,
+       |          coalesce(sum(CAST(ord(substr(s, j, 1)) AS BIGINT) * p2), 0) % $P AS flo
        |        FROM sh LEFT JOIN pwv ON j <= least(length(s), 255)
        |        GROUP BY 1, 2),
-       |mh AS (SELECT doc_id, k, min(($aK * fp + $bK) % $P) AS h
+       |mh AS (SELECT doc_id, k,
+       |         min((($aK * flo) % $P + ($cK * fhi) % $P + $bK) % $P) AS h
        |       FROM shf, generate_series(0, 63) tkk(k) GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(h ORDER BY k) AS sg FROM mh GROUP BY 1),
        |banded AS (SELECT doc_id, sg, b,
@@ -551,19 +555,22 @@ object Queries {
 
   /** Shared oracle fragment: HashFamily simhash signature per document
     * (distinct tokens weighted by occurrence count — same sum as the
-    * per-occurrence loop). */
+    * per-occurrence loop; composed 62-bit token fingerprints, both
+    * halves permuted). */
   private def simhashSqlCte: String = {
     import graft.text.HashFamily.P
     val aK = s"((1103515245 * (2*k + 1) + 12345) % $P)"
     val bK = s"((1103515245 * k + 54321) % $P)"
+    val cK = s"((48271 * (2*k + 1) + 11213) % $P)"
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok WHERE t <> '' GROUP BY 1, 2),
        |tfp AS (SELECT doc_id, t, cnt,
-       |          coalesce(sum(CAST(ord(substr(t, j, 1)) AS BIGINT) * p), 0) % $P AS fp
+       |          coalesce(sum(CAST(ord(substr(t, j, 1)) AS BIGINT) * p), 0) % $P AS fhi,
+       |          coalesce(sum(CAST(ord(substr(t, j, 1)) AS BIGINT) * p2), 0) % $P AS flo
        |        FROM tf LEFT JOIN pwv ON j <= least(length(t), 255)
        |        GROUP BY 1, 2, 3),
        |bits AS (SELECT doc_id, k,
-       |           sum(CASE WHEN (($aK * fp + $bK) % $P) & 1 = 1
+       |           sum(CASE WHEN ((($aK * flo) % $P + ($cK * fhi) % $P + $bK) % $P) & 1 = 1
        |               THEN cnt ELSE -cnt END) AS c
        |         FROM tfp, generate_series(0, 63) tkk(k) GROUP BY 1, 2),
        |sig AS (SELECT doc_id,
@@ -601,7 +608,9 @@ object Queries {
        |         WHERE length(text) <= 1000
        |           AND w <= greatest(length(text) - 15, 1)),
        |wfp AS (SELECT doc_id, w,
-       |          coalesce(sum(CAST(ord(substr(text, w + j - 1, 1)) AS BIGINT) * p), 0)
+       |          (coalesce(sum(CAST(ord(substr(text, w + j - 1, 1)) AS BIGINT) * p), 0)
+       |            % $P) * 2147483648
+       |          + coalesce(sum(CAST(ord(substr(text, w + j - 1, 1)) AS BIGINT) * p2), 0)
        |            % $P AS h
        |        FROM wins LEFT JOIN pwv
        |          ON j <= least(16, length(text) - w + 1)

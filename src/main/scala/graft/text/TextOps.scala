@@ -113,7 +113,10 @@ object TextOps {
    * MinHash signatures + LSH banding -> candidate near-dup pairs with
    * verified shingle-Jaccard (shingle->minhash->band->bucket-join).
    * The numHashes permutations are the universal family h_i(x) =
-   * (a_i*x + b_i) mod P over HashFamily fingerprints; band buckets fold
+   * (a_i*lo(x) + c_i*hi(x) + b_i) mod P over HashFamily's composed
+   * 62-bit fingerprints (both 31-bit halves reach every permutation, so
+   * fingerprint-level collisions are ~2^-62 — see HashFamily); band
+   * buckets fold
    * the band's signature slice with the same base-131 mod-P polynomial —
    * every stage is engine-independent integer math (DuckDB-checkable).
    * Returns (d1, d2, jaccard_est) for pairs sharing >= 1 band bucket,
@@ -125,9 +128,15 @@ object TextOps {
     val rows = numHashes / bands
     val P = HashFamily.P
     val sh = shingles(docs, idCol, textCol, shingleN)
-    // signature: numHashes min-aggregates in ONE pass (partial+final agg)
+    // signature: numHashes min-aggregates in ONE pass (partial+final agg).
+    // The composed 62-bit fingerprint splits into its 31-bit halves with
+    // bit ops (never a double-rounding division) so each permutation sees
+    // all 62 bits without any product overflowing a signed 64-bit long.
+    val lo = col("sh").bitwiseAND(lit(0x7FFFFFFFL))
+    val hi = shiftrightunsigned(col("sh"), 31)
     val minCols = (0 until numHashes).map(i =>
-      min((lit(HashFamily.a(i)) * col("sh") + lit(HashFamily.b(i))) % P).as(s"h$i"))
+      min(((lit(HashFamily.a(i)) * lo) % P + (lit(HashFamily.c(i)) * hi) % P
+        + lit(HashFamily.b(i))) % P).as(s"h$i"))
     val sig = sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     // LSH: polynomial fold of each band slice; bucket-join within (band, hash)
@@ -252,51 +261,87 @@ object TextOps {
 
 /**
  * The engine's universal hash family — plain modular integer math over
- * the Mersenne prime P = 2^31 - 1 with base B = 131, chosen so EVERY
- * dedup signature (shingle fingerprints, minhash permutations, simhash
- * token bits, winnowing windows) is recomputable by a relational oracle
- * (no engine-private xxhash64 in any correctness-bearing path). No
+ * the Mersenne prime P = 2^31 - 1, chosen so EVERY dedup signature
+ * (shingle fingerprints, minhash permutations, simhash token bits,
+ * winnowing windows) is recomputable by a relational oracle (no
+ * engine-private xxhash64 in any correctness-bearing path). No
  * intermediate exceeds 2^62, so the same arithmetic runs overflow-free
  * in any engine with 64-bit integers.
  *
- * Scale bound: fingerprints live in a 31-bit space, so distinct
- * shingles/tokens birthday-collide once a corpus exceeds ~10^4-10^5
- * DISTINCT features per document set being compared (expected colliding
- * pairs ~ n^2/2P). Collisions only ever INFLATE similarity estimates
- * (minhash jaccard_est, simhash closeness) — near-dup recall is
- * unaffected, precision is restored by the exact verification step every
- * pipeline here ends with (exact Jaccard / bit_count verify). For a
- * corpus whose per-bucket distinct-feature count approaches P, compose
- * two independent (a, b) permutations of the same fp into a 62-bit key.
+ * Fingerprints are 62-BIT COMPOSED keys: two independent polynomial
+ * hashes of the same string — base B = 131 and base B2 = 137, each
+ * mod P — packed as (h131 << 31) | h137. A feature pair collides only
+ * if BOTH component hashes collide (~2^-62), so distinct shingles/
+ * tokens stay distinct at 100 TB corpus scale (the 31-bit space would
+ * birthday-collide at ~10^4-10^5 distinct features and systematically
+ * inflate every minhash/simhash similarity estimate — a fingerprint
+ * collision agrees across ALL permutations, unlike per-permutation
+ * mod-P collisions which are independent noise). Permutations read the
+ * two 31-bit halves separately — h_i(x) = (a_i*lo + c_i*hi + b_i)
+ * mod P — so the full 62 bits reach every permutation without any
+ * 64-bit-overflowing product.
  */
 object HashFamily {
   val P = 2147483647L // 2^31 - 1
   val B = 131L
+  val B2 = 137L
   val MaxChars = 255 // fingerprints read at most this many UTF-16 units
 
-  /** Polynomial fingerprint sum(code(c_j) * B^j) mod P over s[from, until). */
-  def fp(s: String, from: Int, until: Int): Long = {
+  /** Component polynomial fingerprint sum(code(c_j) * base^j) mod P
+    * over s[from, until). */
+  def fp(s: String, from: Int, until: Int, base: Long = B): Long = {
     var h = 0L; var pw = 1L
     var i = from
     val end = math.min(until, from + MaxChars)
     while (i < end) {
       h = (h + s.charAt(i) * pw) % P
-      pw = (pw * B) % P
+      pw = (pw * base) % P
       i += 1
     }
     h
   }
 
-  /** Permutation coefficients: h_i(x) = (a(i)*x + b(i)) mod P. */
+  /** Composed 62-bit fingerprint: (fp_B << 31) | fp_B2, one pass. */
+  def fp62(s: String, from: Int, until: Int): Long = {
+    var h1 = 0L; var pw1 = 1L
+    var h2 = 0L; var pw2 = 1L
+    var i = from
+    val end = math.min(until, from + MaxChars)
+    while (i < end) {
+      val cc = s.charAt(i).toLong
+      h1 = (h1 + cc * pw1) % P
+      pw1 = (pw1 * B) % P
+      h2 = (h2 + cc * pw2) % P
+      pw2 = (pw2 * B2) % P
+      i += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  /** Permutation coefficients: h_i(x) = (a(i)*lo(x) + c(i)*hi(x) + b(i))
+    * mod P over a composed 62-bit fingerprint x. The a/c multiplier
+    * families differ multiplicatively (LCG vs MINSTD constants), so the
+    * per-permutation map over (hi, lo) pairs is 2-universal-ish: two
+    * distinct composed fps collide in permutation i with probability
+    * ~1/P, independently per i. */
   def a(i: Int): Long = (1103515245L * (2 * i + 1) + 12345L) % P
   def b(i: Int): Long = (1103515245L * i + 54321L) % P
+  def c(i: Int): Long = (48271L * (2 * i + 1) + 11213L) % P
 
-  /** SQL CTE: B^j mod P power table pwv(j, p), 1-based j to pair with
-    * substr positions (p = B^(j-1) mod P). */
+  /** h_i over a composed 62-bit fingerprint; every intermediate < 2^62. */
+  def perm(i: Int, fp62: Long): Long = {
+    val lo = fp62 & 0x7FFFFFFFL
+    val hi = fp62 >>> 31
+    ((a(i) * lo) % P + (c(i) * hi) % P + b(i)) % P
+  }
+
+  /** SQL CTE: power table pwv(j, p, p2), 1-based j to pair with substr
+    * positions (p = B^(j-1) mod P, p2 = B2^(j-1) mod P). */
   def powCte(n: Int): String = {
     val ps = Iterator.iterate(1L)(p => p * B % P).take(n).toIndexedSeq
-    "pwv(j, p) AS (VALUES " +
-      ps.indices.map(j => s"(${j + 1}, ${ps(j)})").mkString(",") + ")"
+    val ps2 = Iterator.iterate(1L)(p => p * B2 % P).take(n).toIndexedSeq
+    "pwv(j, p, p2) AS (VALUES " +
+      ps.indices.map(j => s"(${j + 1}, ${ps(j)}, ${ps2(j)})").mkString(",") + ")"
   }
 }
 
@@ -306,7 +351,7 @@ object HashFamily {
 object HashRuntime {
   def polyFp(v: UTF8String): Long = {
     val s = v.toString
-    HashFamily.fp(s, 0, s.length)
+    HashFamily.fp62(s, 0, s.length)
   }
 
   def simhash(v: UTF8String): Long = {
@@ -318,10 +363,10 @@ object HashRuntime {
       var end = start
       while (end < n && s.charAt(end) != ' ') end += 1
       if (end > start) {
-        val fp = HashFamily.fp(s, start, end)
+        val fp = HashFamily.fp62(s, start, end)
         var k = 0
         while (k < 64) {
-          val bit = ((HashFamily.a(k) * fp + HashFamily.b(k)) % HashFamily.P) & 1L
+          val bit = HashFamily.perm(k, fp) & 1L
           counts(k) += (if (bit == 1L) 1 else -1)
           k += 1
         }
@@ -337,11 +382,11 @@ object HashRuntime {
   def rollingFp(v: UTF8String, win: Int): Long = {
     val s = v.toString
     val n = s.length
-    if (n <= win) return HashFamily.fp(s, 0, n)
+    if (n <= win) return HashFamily.fp62(s, 0, n)
     var minH = Long.MaxValue
     var start = 0
     while (start + win <= n) {
-      val h = HashFamily.fp(s, start, start + win)
+      val h = HashFamily.fp62(s, start, start + win)
       if (h < minH) minH = h
       start += 1
     }
@@ -349,7 +394,8 @@ object HashRuntime {
   }
 }
 
-/** Polynomial fingerprint mod P of a whole string (HashFamily.fp). */
+/** Composed 62-bit polynomial fingerprint of a whole string
+  * (HashFamily.fp62). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
@@ -361,8 +407,8 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 }
 
 /** 64-bit SimHash: per whitespace token (multiset, empties skipped),
-  * fingerprint via HashFamily, bit k from the parity of the k-th
-  * permutation hash; add +1/-1 per bit; sign -> bit. */
+  * composed 62-bit fingerprint via HashFamily, bit k from the parity of
+  * the k-th permutation hash; add +1/-1 per bit; sign -> bit. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
