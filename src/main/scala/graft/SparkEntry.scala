@@ -90,7 +90,9 @@ object SparkEntry {
       "q_clip_concave"    -> (Q.qClipConcave _),
       "q_windowed"        -> (Q.qWindowed _),
       "q_sessions"        -> (Q.qSessions _),
-      "q_frame_sample"    -> (Q.qFrameSample _)
+      "q_frame_sample"    -> (Q.qFrameSample _),
+      // round 4: the streamed-image ingest path (micro-batch delta fold)
+      "q_image_stream"    -> (Q.qImageStream _)
     )
   }
 
@@ -162,7 +164,8 @@ object SparkEntry {
       "q_clip_concave"    -> Q.qClipConcaveSql,
       "q_windowed"        -> Q.qWindowedSql,
       "q_sessions"        -> Q.qSessionsSql,
-      "q_frame_sample"    -> Q.qFrameSampleSql
+      "q_frame_sample"    -> Q.qFrameSampleSql,
+      "q_image_stream"    -> Q.qImageStreamSql
     )
   }
 }

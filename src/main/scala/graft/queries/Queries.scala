@@ -847,6 +847,33 @@ object Queries {
        |FROM st JOIN med USING (poly_id, band) JOIN md USING (poly_id, band)
        |JOIN ent USING (poly_id, band)""".stripMargin
 
+  /** The STREAMING ingest path run for real: the same 16 grid images
+    * land as 4 parquet file "arrivals", ImageStream.zonalStream replays
+    * them as 4 micro-batches (maxFilesPerTrigger = 1, AvailableNow),
+    * appending per-batch histogram DELTAS with exactly-once checkpoint
+    * state, and ImageStream.stats folds the deltas into final zonal
+    * stats. Histogram counts are exact longs, so the fold is batching-
+    * invariant and the DuckDB oracle is the same closed-form zonal SQL
+    * as q_pipeline_zonal — the delta-fold resume model is what this row
+    * actually oracles. */
+  def qImageStream(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.Files
+    val cellRes = Tiler.resForCellSize(64.0)
+    val inDir = Files.createTempDirectory("graft_qis_in_").toString
+    val outDir = Files.createTempDirectory("graft_qis_out_").toString + "/hist"
+    val ckpt = Files.createTempDirectory("graft_qis_ck_").toString
+    GridImages.images(16, 2).grouped(4).foreach { g =>
+      spark.createDataset(g.toSeq)(Encoders.product[ImageRow])
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    graft.streaming.ImageStream.zonalStream(spark, inDir, pipePolys, cellRes,
+      64, outDir, ckpt, maxFilesPerTrigger = Some(1)).awaitTermination()
+    graft.streaming.ImageStream.stats(spark, outDir)
+  }
+
+  val qImageStreamSql: String = qPipelineZonalSql
+
   /** The real zonal_rgb_idx op (RasterOps.zonalRgbIndices) over 3-band
     * grid images: all 11 per-polygon index means, oracle-recomputed from
     * the pixel formula. Boxes stay under ~1000 pixels so double-summation

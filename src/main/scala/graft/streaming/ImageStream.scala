@@ -20,14 +20,19 @@ import graft.operators.{Tiler, ZonalStats}
 object ImageStream {
 
   /** Start the streaming zonal pipeline over a directory of image
-    * parquet files; emits per-batch histogram rows. */
+    * parquet files; emits per-batch histogram rows. `maxFilesPerTrigger`
+    * bounds each micro-batch (and lets tests/oracles force a multi-batch
+    * replay over a static directory). */
   def zonalStream(spark: SparkSession, imagesDir: String, polys: Seq[PolyRow],
                   cellRes: Int, tileSize: Int, outDir: String,
-                  checkpointDir: String): StreamingQuery = {
+                  checkpointDir: String,
+                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[ImageRow].schema
-    val stream = spark.readStream.schema(schema).parquet(imagesDir).as[ImageRow]
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(imagesDir).as[ImageRow]
     val polyDs = spark.createDataset(polys)
     // per micro-batch: decode -> tile -> broadcast PIP join -> histogram
     val query = stream.writeStream

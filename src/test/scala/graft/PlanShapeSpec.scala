@@ -74,6 +74,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"guarantee check recomputes the ring join instead of reusing its exchange:\n$p")
   }
 
+  test("cosineTopK: corpus x queries rows pruned to top-k BELOW the exchange") {
+    // the exactness baseline ranks every (query, corpus) pair; without a
+    // partial WindowGroupLimit the q_id exchange would carry the full
+    // corpus x queries product instead of k rows per query per partition
+    val q = Queries.qAnnTopK(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k not pruned below the exchange:\n$p")
+    assert(p.matches("(?s).*WindowGroupLimit.*Partial.*"),
+      s"no partial (pre-exchange) group limit:\n$p")
+  }
+
   test("classify: zero shuffle (no Exchange anywhere in the plan)") {
     import graft.operators.{Tiler, Training}
     val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
