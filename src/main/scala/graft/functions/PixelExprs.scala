@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Native per-pixel tile transforms. The `transform`/`zip_with`
@@ -305,6 +305,21 @@ object PxRuntime {
     }
     emit(out, nulls)
   }
+
+  /** Pixel-array sum in double, strict index order — bit-identical to
+    * `aggregate(px, 0.0D, (a, x) => a + x)` (each float promotes to
+    * double at its add; a null element poisons the whole sum). */
+  def sumOrNull(px: ArrayData): java.lang.Double = {
+    val n = px.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (px.isNullAt(i)) return null
+      s += px.getFloat(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 private[graft] object PixelExprs {
@@ -463,4 +478,31 @@ case class NdviExpr(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
   override def prettyName: String = "px_ndvi"
+}
+
+/** Codegen'd pixel-array sum (double, index order) — replaces the
+  * interpreted `aggregate(pixels, 0.0, (a, x) => a + x)` HOF fold
+  * (bit-parity spec-gated in PixelExprsSpec). */
+case class PxSumExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_sum", "px" -> child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    PxRuntime.sumOrNull(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.PxRuntime.sumOrNull($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "px_sum"
+}
+
+/** Public Column helpers for the native pixel expressions. */
+object PxFunctions {
+  import org.apache.spark.sql.{Column, GraftBridge}
+  /** Sum of a pixel array in double, strict index order. */
+  def pxSum(c: Column): Column =
+    GraftBridge.column(PxSumExpr(GraftBridge.expression(c)))
 }

@@ -1000,7 +1000,7 @@ object Queries {
     val polys = spark.createDataset(pipePolys)(Encoders.product[PolyRow])
     RasterOps.rasterize(tiles, polys, cellRes).toDF()
       .select(col("image_id"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("burned"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("burned"))
       .groupBy("image_id")
       .agg(sum("burned").cast("long").as("n_burned"))
   }
@@ -1030,7 +1030,7 @@ object Queries {
     val s2 = tiles.filter(_.band == 1).map(t => t.copy(band = 0))
     RasterOps.combineGrid(s1, s2).toDF()
       .select(col("image_id"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("mass"))
       .groupBy("image_id").agg(round(sum("mass"), 2).as("mass"))
   }
 
@@ -1050,7 +1050,7 @@ object Queries {
     val tiles = Tiler.tiles(gridImages(spark, 6, 2), 64, cellRes)
     RasterOps.normalizedDifference(tiles, 0, 1)
       .select(col("image_id"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("total"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("total"))
       .groupBy("image_id").agg(round(sum("total"), 4).as("total"))
   }
 
@@ -1443,7 +1443,7 @@ object Queries {
     val model = Training.fitCentroids(samples)
     Training.classify(tiles, model).toDF()
       .select(col("image_id"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("class_sum"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("class_sum"))
       .groupBy("image_id").agg(round(sum("class_sum"), 2).as("class_mass"))
   }
 
@@ -1492,7 +1492,7 @@ object Queries {
     val tiles = Tiler.tiles(imgs, 64, cellRes, nodata = 0f)
     RasterOps.mosaic(tiles.toDF())
       .select(col("cell_id"), col("band"), col("tx"), col("ty"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("mass"))
       .groupBy("band").agg(count(lit(1)).as("n_tiles"), round(sum("mass"), 2).as("mass"))
   }
 
@@ -1915,7 +1915,7 @@ object Queries {
     val tiles = Tiler.tiles(gridImages(spark, 6, 3), 64, cellRes)
     RasterOps.bandComposite(tiles.toDF(), "percentile", q = 25.0)
       .select(col("image_id"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("total"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("total"))
       .groupBy("image_id").agg(round(sum("total"), 2).as("total"))
   }
 
@@ -1943,7 +1943,7 @@ object Queries {
     val tiles = Tiler.tiles(gridImages(spark, 8, 2), 64, cellRes)
     RasterOps.maskEquals(tiles.toDF(), mval = 42f, fill = 0f)
       .select(col("image_id"), col("band"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("mass"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("mass"))
       .groupBy("image_id", "band").agg(sum("mass").cast("long").as("mass"))
   }
 
@@ -1966,7 +1966,7 @@ object Queries {
     val lut = (0 until 97).map(v => v.toFloat -> (if (v > thr) 1f else 0f)).toMap
     RasterOps.applyLut(tiles.toDF(), lut)
       .select(col("image_id"),
-        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("n_above"))
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("n_above"))
       .groupBy("image_id").agg(sum("n_above").cast("long").as("n_above"))
       .withColumn("threshold", lit(thr))
   }

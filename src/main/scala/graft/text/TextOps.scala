@@ -33,14 +33,17 @@ object TextOps {
 
   /** Quality features per doc: chars, tokens, mean token length,
     * punctuation ratio, stopword ratio — the length/punct/stopword
-    * heuristics of standard corpus-quality scoring. */
+    * heuristics of standard corpus-quality scoring. The four counts come
+    * from ONE native byte-walk (TextStatsExpr): the split/filter/
+    * array_contains HOF form paid an interpreted lambda per token and
+    * roughly DOUBLED the whole job at bench volume (A/B in BENCH.md);
+    * parity with the HOF tree is spec-gated in TextOpsSpec. */
   def qualityFeatures(text: Column): Column = {
-    val toks = split(text, " ")
-    val nTok = size(toks)
-    val nChar = length(text)
-    val punct = nChar - length(regexp_replace(text, "[.,;:!?]", ""))
-    val stops = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stops, t)))
+    val st = colOf(TextStatsExpr(exprOf(text)))
+    val nChar = element_at(st, 1)
+    val nTok = element_at(st, 2)
+    val punct = element_at(st, 3)
+    val nStop = element_at(st, 4)
     struct(
       nChar.as("n_chars"),
       nTok.as("n_tokens"),
@@ -48,6 +51,11 @@ object TextOps {
       round(punct.cast("double") / greatest(nChar, lit(1)), 4).as("punct_ratio"),
       round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio"))
   }
+
+  /** The stopword list the quality score counts (single-space-separated
+    * token equality, occurrences not distinct — the split/filter HOF
+    * semantics TextStatsExpr replicates byte for byte). */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Language-marker scores (n-gram/stopword heuristic). Deterministic
     * CASE-expressible so it is DuckDB-oracle-checkable: score(lang) =
@@ -379,6 +387,50 @@ object HashRuntime {
     sig
   }
 
+  private val StopBytes: Array[Array[Byte]] =
+    TextOps.QualityStopwords.map(_.getBytes("UTF-8")).toArray
+
+  /** One byte-walk over the UTF-8 payload -> [n_chars, n_tokens,
+    * n_punct, n_stop]. Exact parity with the HOF tree it replaced:
+    * n_chars = length(text) (codepoints = numChars); n_tokens =
+    * size(split(text, " ")) = single-space count + 1 (split keeps empty
+    * segments, limit -1); n_punct counts [.,;:!?] (ASCII bytes never
+    * occur inside UTF-8 continuation sequences, so byte counting ==
+    * codepoint counting); n_stop counts segments equal to a quality
+    * stopword (occurrences, not distinct). */
+  def textStats(v: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numBytes()
+    var spaces = 0; var punct = 0; var stops = 0
+    var segStart = 0
+    var i = 0
+    while (i <= n) {
+      val c = if (i == n) ' '.toInt else (v.getByte(i) & 0xFF)
+      if (c == ' ') {
+        val len = i - segStart
+        if (len >= 1 && len <= 3) { // longest stopword is 3 bytes
+          var k = 0
+          var matched = false
+          while (k < StopBytes.length && !matched) {
+            val sw = StopBytes(k)
+            if (sw.length == len) {
+              var j = 0
+              while (j < len && sw(j) == v.getByte(segStart + j)) j += 1
+              matched = j == len
+            }
+            k += 1
+          }
+          if (matched) stops += 1
+        }
+        if (i < n) spaces += 1
+        segStart = i + 1
+      } else if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+        punct += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(v.numChars(), spaces + 1, punct, stops))
+  }
+
   def rollingFp(v: UTF8String, win: Int): Long = {
     val s = v.toString
     val n = s.length
@@ -392,6 +444,18 @@ object HashRuntime {
     }
     minH
   }
+}
+
+/** [n_chars, n_tokens, n_punct, n_stop] of a document in one byte-walk
+  * (HashRuntime.textStats — the quality-score counts). */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashRuntime.textStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HashRuntime.textStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_stats"
 }
 
 /** Composed 62-bit polynomial fingerprint of a whole string

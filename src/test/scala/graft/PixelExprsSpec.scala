@@ -141,6 +141,20 @@ class PixelExprsSpec extends AnyFunSuite {
         when(x + y === 0f, nodata).otherwise(((x - y) / (x + y)).cast("float")))))
   }
 
+  test("PxSumExpr == aggregate HOF fold (incl. NaN, -0.0, empty)") {
+    def checkD(native: DataFrame, hof: DataFrame): Unit = {
+      val n = native.as[Double].collect().map(java.lang.Double.doubleToRawLongBits)
+      val h = hof.as[Double].collect().map(java.lang.Double.doubleToRawLongBits)
+      assert(n.toSeq == h.toSeq, s"\n native ${n.toSeq}\n hof    ${h.toSeq}")
+    }
+    val edge = spark.createDataFrame(Seq(
+      Tuple1(Array(Float.NaN, 1f)), Tuple1(Array(-0.0f, 0.0f)),
+      Tuple1(Array.empty[Float]))).toDF("pa")
+    for (d <- Seq(df, edge)) checkD(
+      d.select(colOf(PxSumExpr(exprOf(col("pa"))))),
+      d.select(aggregate(col("pa"), lit(0.0), (a, x) => a + x)))
+  }
+
   test("binary px exprs FAIL FAST on length mismatch (equal-length contract)") {
     // zip_with would null-pad the shorter array and silently poison the
     // tail; misaligned tiles are an upstream bug and must surface

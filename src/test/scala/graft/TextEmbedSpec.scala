@@ -28,6 +28,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r.contains(3L))
   }
 
+  test("qualityFeatures (native text_stats) == split/filter HOF tree") {
+    // the exact expression tree the native byte-walk replaced
+    def hofQuality(text: org.apache.spark.sql.Column) = {
+      val toks = split(text, " ")
+      val nTok = size(toks)
+      val nChar = length(text)
+      val punct = nChar - length(regexp_replace(text, "[.,;:!?]", ""))
+      val stops = array(TextOps.QualityStopwords.map(lit): _*)
+      val nStop = size(filter(toks, t => array_contains(stops, t)))
+      struct(
+        nChar.as("n_chars"), nTok.as("n_tokens"),
+        round((nChar - nTok + 1).cast("double") / nTok, 4).as("mean_tok_len"),
+        round(punct.cast("double") / greatest(nChar, lit(1)), 4).as("punct_ratio"),
+        round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio"))
+    }
+    val edge = Seq((10L, ""), (11L, " "), (12L, "the  the a "), (13L, "..;;!?"),
+      (14L, "héllo wörld the ünïcode a test."), (15L, "a"), (16L, "the"),
+      (17L, "  leading and trailing  ")).toDF("doc_id", "text")
+    for (d <- Seq(docs, edge)) {
+      val native = d.select(TextOps.qualityFeatures(col("text"))).collect().toSeq
+      val hof = d.select(hofQuality(col("text"))).collect().toSeq
+      assert(native == hof, s"\n native $native\n hof    $hof")
+    }
+  }
+
   test("ngramJaccardPairs equals naive token-set jaccard") {
     def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSet
     val naive = for {
