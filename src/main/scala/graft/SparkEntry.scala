@@ -92,7 +92,9 @@ object SparkEntry {
       "q_sessions"        -> (Q.qSessions _),
       "q_frame_sample"    -> (Q.qFrameSample _),
       // round 4: the streamed-image ingest path (micro-batch delta fold)
-      "q_image_stream"    -> (Q.qImageStream _)
+      // and the geodesic (great-circle) kNN entry point
+      "q_image_stream"    -> (Q.qImageStream _),
+      "q_knn_geo"         -> (Q.qKnnGeo _)
     )
   }
 
@@ -165,7 +167,8 @@ object SparkEntry {
       "q_windowed"        -> Q.qWindowedSql,
       "q_sessions"        -> Q.qSessionsSql,
       "q_frame_sample"    -> Q.qFrameSampleSql,
-      "q_image_stream"    -> Q.qImageStreamSql
+      "q_image_stream"    -> Q.qImageStreamSql,
+      "q_knn_geo"         -> Q.qKnnGeoSql
     )
   }
 }

@@ -61,34 +61,43 @@ object Knn {
     * brute path (their cand rows are excluded from the good set). */
   private def finishExact(queries: DataFrame, points: DataFrame, k: Int,
                           cand: DataFrame, guard2: Double): DataFrame = {
-    val wq = Window.partitionBy("q_id")
-    // STRICT < on the kth distance: a point outside the ring at distance
-    // exactly guard2 with a smaller pt_id would rank ahead under
-    // (dist2, pt_id) — boundary ties must fall through to the brute pass
-    val guarded = cand
-      .withColumn("__n", count(lit(1)).over(wq))
-      .withColumn("__kd2", max("dist2").over(wq))
-      .withColumn("__ok",
-        col("q_id").isNotNull && col("__n") === k && col("__kd2") < guard2)
-    val good = guarded.where(col("__ok"))
-      .select("q_id", "pt_id", "dist2", "rn")
-    val satisfied = guarded.where(col("__ok")).select("q_id").distinct()
-    val badQueries = queries.select(col("q_id"), col("x"), col("y"))
-      .join(satisfied, Seq("q_id"), "left_anti")
-
     val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
       (col("qy") - col("py")) * (col("qy") - col("py"))
     val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("pt_id"))
-    val brute = points
-      .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
-      .crossJoin(broadcast(badQueries
-        .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))))
-      .withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("q_id", "pt_id", "dist2", "rn")
+    finishExactGeneric(queries, k, cand, "dist2", lit(guard2),
+      Seq("x", "y"), badQ => points
+        .select(col("pt_id"), col("x").as("px"), col("y").as("py"))
+        .crossJoin(broadcast(badQ
+          .select(col("q_id"), col("x").as("qx"), col("y").as("qy"))))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("q_id", "pt_id", "dist2", "rn"))
+  }
 
-    good.unionByName(brute)
+  /** Distance-metric-agnostic tail: annotate `cand` (columns q_id,
+    * pt_id, <distCol>, rn) with the guarantee, union the brute results
+    * for the stragglers. `guard` may reference query columns carried on
+    * the cand rows (the geodesic guard depends on the query latitude). */
+  private def finishExactGeneric(queries: DataFrame, k: Int, cand: DataFrame,
+                                 distCol: String, guard: org.apache.spark.sql.Column,
+                                 queryCols: Seq[String],
+                                 brute: DataFrame => DataFrame): DataFrame = {
+    val wq = Window.partitionBy("q_id")
+    // STRICT < on the kth distance: a point outside the ring at distance
+    // exactly the guard bound with a smaller pt_id would rank ahead under
+    // (dist, pt_id) — boundary ties must fall through to the brute pass
+    val guarded = cand
+      .withColumn("__n", count(lit(1)).over(wq))
+      .withColumn("__kd", max(distCol).over(wq))
+      .withColumn("__ok",
+        col("q_id").isNotNull && col("__n") === k && col("__kd") < guard)
+    val good = guarded.where(col("__ok"))
+      .select("q_id", "pt_id", distCol, "rn")
+    val satisfied = guarded.where(col("__ok")).select("q_id").distinct()
+    val badQueries = queries.select((Seq("q_id") ++ queryCols).map(col): _*)
+      .join(satisfied, Seq("q_id"), "left_anti")
+    good.unionByName(brute(badQueries))
   }
 
   /** queries: (q_id, x, y); points: (pt_id, x, y). Returns
@@ -159,5 +168,98 @@ object Knn {
       .select("q_id", "pt_id", "dist2", "rn")
 
     finishExact(queries, points, k, cand, guard2)
+  }
+
+  /** Haversine great-circle distance in meters (spherical Earth,
+    * R = 6371 km). `least(1, sqrt(a))` clamps the fp overshoot that
+    * would make asin return NaN for antipodal points — the oracle and
+    * the naive spec replicate the identical expression tree. */
+  private val EarthR = 6371000.0
+  private def greatCircleMeters(lat1: org.apache.spark.sql.Column,
+                                lng1: org.apache.spark.sql.Column,
+                                lat2: org.apache.spark.sql.Column,
+                                lng2: org.apache.spark.sql.Column) = {
+    val dphi = radians(lat2 - lat1) / 2
+    val dlmb = radians(lng2 - lng1) / 2
+    val a = sin(dphi) * sin(dphi) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlmb) * sin(dlmb)
+    lit(2 * EarthR) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /**
+   * Exact k-nearest-neighbours by GREAT-CIRCLE distance over (lat, lng)
+   * degrees — the geodesic entry point (the planar paths implement the
+   * reference's own local-equirectangular regime; this one is exact on
+   * the sphere).
+   *
+   * Blocking: a fixed degree grid (`cellDeg` must divide 360) with the
+   * query ring WRAPPING across the antimeridian (pmod on the lng cell
+   * index). sin²(Δλ/2) is 360°-periodic, so the haversine itself needs
+   * no wrap handling.
+   *
+   * Exactness guard, derived (strict <, per query latitude φq, ring
+   * degrees g = r1*cellDeg): any point OUTSIDE the ring has either
+   *  - |Δφ| >= g  =>  central angle >= g (meridian bound), or
+   *  - wrapped |Δλ| >= g and |Δφ| < g  =>  sin(θ/2) >=
+   *    sqrt(cos φp cos φq) * sin(g/2) with |φp| <= |φq| + g, so
+   *    θ >= 2·asin(cos(min(90°, |φq|+g)) · sin(g/2)).
+   * guard = R · min(rad(g), that east-west bound). Near the poles the
+   * cos term -> 0 and the guard collapses: every polar query takes the
+   * exact brute-force pass (graceful degradation — the degree grid's
+   * cells narrow toward the poles, property-tested at |lat| up to 89°).
+   */
+  def knnJoinGreatCircle(queries: DataFrame, points: DataFrame, k: Int,
+                         cellDeg: Double, r1: Int)
+                        (implicit spark: SparkSession): DataFrame = {
+    val nxD = 360.0 / cellDeg
+    require(math.abs(nxD - math.round(nxD)) < 1e-9,
+      s"cellDeg must divide 360 (got $cellDeg)")
+    require(r1 >= 1 && (r1 + 1) * cellDeg <= 180.0,
+      s"ring too wide: (r1+1)*cellDeg must be <= 180 (got ${(r1 + 1) * cellDeg})")
+    val nx = math.round(nxD)
+    def ixOf(lng: org.apache.spark.sql.Column) =
+      pmod(floor((lng + lit(180.0)) / cellDeg).cast("long"), lit(nx))
+    def iyOf(lat: org.apache.spark.sql.Column) =
+      floor((lat + lit(90.0)) / cellDeg).cast("long")
+    // unique id; ring rows can dip to iy = -r1 -> shift keeps ids
+    // non-negative and beyond-pole rows collide with nothing real
+    def cellOf(ix: org.apache.spark.sql.Column, iy: org.apache.spark.sql.Column) =
+      (iy + lit(r1.toLong)) * lit(nx) + ix
+
+    val ring = for { dy <- -r1 to r1; dx <- -r1 to r1 } yield (dx, dy)
+    val q = queries.select(col("q_id"), col("lat").as("qlat"), col("lng").as("qlng"),
+        ixOf(col("lng")).as("__ix"), iyOf(col("lat")).as("__iy"))
+      .withColumn("__cand", explode(array(ring.map { case (dx, dy) =>
+        cellOf(pmod(col("__ix") + dx, lit(nx)), col("__iy") + dy) }: _*)))
+      .drop("__ix", "__iy")
+    val p = points.select(col("pt_id"), col("lat").as("plat"), col("lng").as("plng"))
+      .withColumn("__pcell", cellOf(ixOf(col("plng")), iyOf(col("plat"))))
+
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("pt_id"))
+    val cand = q.join(p, col("__cand") === col("__pcell"))
+      .withColumn("dist",
+        greatCircleMeters(col("qlat"), col("qlng"), col("plat"), col("plng")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "pt_id", "dist", "rn", "qlat") // qlat rides for the guard
+
+    val g = r1 * cellDeg
+    val meridian = lit(EarthR * math.toRadians(g))
+    val cmax = greatest(lit(0.0),
+      cos(radians(least(lit(90.0), abs(col("qlat")) + lit(g)))))
+    val guard = least(meridian,
+      lit(2 * EarthR) * asin(cmax * lit(math.sin(math.toRadians(g) / 2))))
+
+    val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("pt_id"))
+    finishExactGeneric(queries, k, cand, "dist", guard, Seq("lat", "lng"),
+      badQ => points
+        .select(col("pt_id"), col("lat").as("plat"), col("lng").as("plng"))
+        .crossJoin(broadcast(badQ
+          .select(col("q_id"), col("lat").as("qlat"), col("lng").as("qlng"))))
+        .withColumn("dist",
+          greatCircleMeters(col("qlat"), col("qlng"), col("plat"), col("plng")))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= k)
+        .select("q_id", "pt_id", "dist", "rn"))
   }
 }

@@ -232,6 +232,45 @@ object Queries {
 
   val qKnnHexSql: String = qKnnSql
 
+  /** Great-circle kNN (round 4 geodesic entry point): the pts cloud
+    * lifted onto the globe (lat up to ±88.6°, lng to ±178.1°), queries
+    * spread across latitude bands. Exact by guard+fallback, so the
+    * oracle is brute-force haversine — the IDENTICAL expression tree
+    * (radians/sin/cos/asin/least/sqrt) on both engines; distances round
+    * to 4 decimals (libm ulp differences sit ~1e-9 m, far below). */
+  def qKnnGeo(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val queries = customer(spark, dir).where(col("c_custkey") < 20).select(
+      col("c_custkey").as("q_id"),
+      ((col("c_custkey") * 53) % 160 - 80 + lit(0.37)).as("lat"),
+      ((col("c_custkey") * 97) % 356 - 178 + lit(0.25)).as("lng"))
+    val points = pts(spark, dir).select(col("pt_id"),
+      (col("y") * lit(1.79) - lit(89.5)).as("lat"),
+      (col("x") * lit(1.79) - lit(179.0)).as("lng"))
+    Knn.knnJoinGreatCircle(queries, points, k = 5, cellDeg = 15.0, r1 = 2)
+      .select(col("q_id"), col("pt_id"), round(col("dist"), 4).as("dist_m"), col("rn"))
+  }
+
+  val qKnnGeoSql: String = {
+    val d = """2 * 6371000 * asin(least(CAST(1.0 AS DOUBLE), sqrt(
+              |      sin(radians(p.plat - q.qlat) / 2) * sin(radians(p.plat - q.qlat) / 2)
+              |      + cos(radians(q.qlat)) * cos(radians(p.plat))
+              |        * sin(radians(p.plng - q.qlng) / 2) * sin(radians(p.plng - q.qlng) / 2))))"""
+      .stripMargin
+    s"""WITH pts AS ($ptsSql),
+       |gp AS (SELECT pt_id,
+       |         y * CAST(1.79 AS DOUBLE) - CAST(89.5 AS DOUBLE) AS plat,
+       |         x * CAST(1.79 AS DOUBLE) - CAST(179.0 AS DOUBLE) AS plng FROM pts),
+       |q AS (SELECT c_custkey AS q_id,
+       |        (c_custkey * 53) % 160 - 80 + CAST(0.37 AS DOUBLE) AS qlat,
+       |        (c_custkey * 97) % 356 - 178 + CAST(0.25 AS DOUBLE) AS qlng
+       |      FROM customer WHERE c_custkey < 20)
+       |SELECT q_id, pt_id, round(dist, 4) AS dist_m, CAST(rn AS INT) AS rn FROM (
+       |  SELECT q.q_id, p.pt_id, $d AS dist,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY $d, p.pt_id) AS rn
+       |  FROM q, gp p) WHERE rn <= 5""".stripMargin
+  }
+
   /** mask_raster_multi rules '<' / '>' with replacement (raster.py:1136-1265). */
   def qMaskRules(spark: SparkSession, dir: String): DataFrame = {
     val masked = when(col("l_quantity") < 10, lit(0.0))

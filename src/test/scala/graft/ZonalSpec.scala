@@ -186,6 +186,37 @@ class KnnSpec extends AnyFunSuite {
     for ((q, ids) <- want) assert(got(q) == ids, s"query $q")
   }
 
+  test("knnJoinGreatCircle == naive haversine kNN (high latitude + antimeridian)") {
+    // identical formula via the same JVM libm -> bit-identical doubles
+    def hav(qlat: Double, qlng: Double, plat: Double, plng: Double): Double = {
+      val dphi = math.toRadians(plat - qlat) / 2
+      val dlmb = math.toRadians(plng - qlng) / 2
+      val a = math.sin(dphi) * math.sin(dphi) +
+        math.cos(math.toRadians(qlat)) * math.cos(math.toRadians(plat)) *
+          math.sin(dlmb) * math.sin(dlmb)
+      2 * 6371000.0 * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    val pts = (0 until 800).map { i =>
+      (i.toLong, (i * 37 % 178) - 89 + (i % 7) * 0.071, (i * 97 % 358) - 179 + (i % 11) * 0.043)
+    }
+    val queries = (0 until 60).map { i =>
+      (1000L + i, (i * 53 % 178) - 89 + 0.37, (i * 41 % 358) - 179 + 0.21)
+    } ++ Seq((2000L, 89.5, 10.0), // polar: guard collapses -> brute path
+      (2001L, -89.2, -170.0), (2002L, 0.0, 179.9)) // antimeridian wrap
+    val ptDf = pts.toDF("pt_id", "lat", "lng")
+    val qDf = queries.toDF("q_id", "lat", "lng")
+    val got = Knn.knnJoinGreatCircle(qDf, ptDf, k = 5, cellDeg = 15.0, r1 = 2)
+      .select("q_id", "pt_id", "rn").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    val want = queries.map { case (qid, qlat, qlng) =>
+      qid -> pts.map(p => (p._1, hav(qlat, qlng, p._2, p._3)))
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((q, ids) <- want) assert(got(q) == ids, s"query $q")
+  }
+
   test("brute-force fallback path triggers for isolated queries") {
     // single far-away query with tiny r1: guarantee must fail -> fallback
     val pts = Synth.points(500, seed = 3L)
