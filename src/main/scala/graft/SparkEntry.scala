@@ -94,7 +94,8 @@ object SparkEntry {
       // round 4: the streamed-image ingest path (micro-batch delta fold)
       // and the geodesic (great-circle) kNN entry point
       "q_image_stream"    -> (Q.qImageStream _),
-      "q_knn_geo"         -> (Q.qKnnGeo _)
+      "q_knn_geo"         -> (Q.qKnnGeo _),
+      "q_pip_geo"         -> (Q.qPipGeo _)
     )
   }
 
@@ -168,7 +169,8 @@ object SparkEntry {
       "q_sessions"        -> Q.qSessionsSql,
       "q_frame_sample"    -> Q.qFrameSampleSql,
       "q_image_stream"    -> Q.qImageStreamSql,
-      "q_knn_geo"         -> Q.qKnnGeoSql
+      "q_knn_geo"         -> Q.qKnnGeoSql,
+      "q_pip_geo"         -> Q.qPipGeoSql
     )
   }
 }

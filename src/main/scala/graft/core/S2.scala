@@ -202,4 +202,97 @@ object S2 {
     val hex = f"$id%016x"
     hex.reverse.dropWhile(_ == '0').reverse
   }
+
+  /** The four corner lat/lngs of a cell (S2 cells are convex spherical
+    * quads, so the farthest cell point from the center is a corner —
+    * what the circumradius-bound property test measures). */
+  def cellVertexLatLngs(id: Long): Array[(Double, Double)] = {
+    val lev = level(id)
+    val (face, i, j) = toFaceIJ(id)
+    val cellBits = MaxLevel - lev
+    val size = 1 << cellBits
+    val i0 = i >> cellBits << cellBits
+    val j0 = j >> cellBits << cellBits
+    Array((i0, j0), (i0 + size, j0), (i0, j0 + size), (i0 + size, j0 + size))
+      .map { case (ii, jj) =>
+        val u = stToUv(ii.toDouble / (1 << MaxLevel))
+        val v = stToUv(jj.toDouble / (1 << MaxLevel))
+        val (x, y, z) = faceUvToXyz(face, u, v)
+        xyzToLatLng(x, y, z)
+      }
+  }
+
+  /** The four children of a cell (one level deeper). */
+  def children(id: Long): Array[Long] = {
+    val lsb = id & -id
+    val childLsb = lsb >>> 2
+    Array(id - lsb + childLsb, id - lsb + 3 * childLsb,
+      id - lsb + 5 * childLsb, id - lsb + 7 * childLsb)
+  }
+
+  /** Face cell ids (level 0). */
+  def faceCells: Array[Long] =
+    Array.tabulate(6)(f => (f.toLong << 61) | lsbForLevel(0))
+
+  /** Safe upper bound (radians) on the angular distance from a level-l
+    * cell's center to ANY point of the cell. Level 0: the exact face
+    * circumradius acos(1/sqrt(3)) ~ 0.9554. Deeper levels: cells halve
+    * in uv per level and the quadratic st->uv projection's stretch is
+    * bounded, so radius <= C * 2^-l; C = 1.6 carries a ~60% margin over
+    * the worst measured stretch (property-verified against random cells
+    * at levels 0..12 in CoreSpec — the margin absorbs the uv->angle
+    * distortion bound rather than deriving it sharply). */
+  def circumradiusBound(l: Int): Double =
+    if (l == 0) 0.9554 else 1.6 * math.pow(2.0, -l)
+
+  /** Conservative cover of a lat/lng rectangle with level-`level` cells:
+    * hierarchical descent from the 6 faces, keeping any cell whose
+    * CENTER lies within the rect expanded by the level's circumradius
+    * bound — every cell that intersects the rect has its center within
+    * that expansion, so the cover can only over-approximate (the join
+    * prefilter built on it never drops a matching point; extras are
+    * removed by the exact refine). Longitudes must satisfy lngLo <=
+    * lngHi (split antimeridian-crossing rects before calling). Near the
+    * poles the lng expansion saturates to the full circle. */
+  def coverLatLngRect(latLo: Double, latHi: Double,
+                      lngLo: Double, lngHi: Double, level: Int): Seq[Long] = {
+    require(latLo <= latHi && lngLo <= lngHi,
+      s"bad rect: [$latLo,$latHi]x[$lngLo,$lngHi]")
+    require(level >= 0 && level <= MaxLevel)
+    def hits(id: Long, l: Int): Boolean = {
+      val theta = circumradiusBound(l)
+      val slackDeg = math.toDegrees(theta)
+      val la0 = math.max(-90.0, latLo - slackDeg)
+      val la1 = math.min(90.0, latHi + slackDeg)
+      // exact lng widening from the haversine lower bound: two points
+      // within angular distance theta whose |lat| stays <= maxAbsLat
+      // satisfy sin(dLng/2) <= sin(theta/2)/cos(maxAbsLat); saturate to
+      // the full circle when that exceeds 1 (polar band)
+      val maxAbsLat = math.max(math.abs(la0), math.abs(la1))
+      val cosLat = math.cos(math.toRadians(maxAbsLat))
+      val s = math.sin(theta / 2)
+      val lngSlack =
+        if (s >= cosLat) 360.0
+        else math.toDegrees(2 * math.asin(s / cosLat))
+      val (cLat, cLng) = cellCenterLatLng(id)
+      val latOk = cLat >= la0 && cLat <= la1
+      // lng containment with wrap: distance from cLng to [lngLo, lngHi]
+      val lo = lngLo - lngSlack
+      val hi = lngHi + lngSlack
+      val lngOk = (hi - lo >= 360.0) || {
+        // normalize cLng into [lo, lo + 360)
+        val c = lo + (((cLng - lo) % 360.0) + 360.0) % 360.0
+        c <= hi
+      }
+      latOk && lngOk
+    }
+    val out = Seq.newBuilder[Long]
+    def descend(id: Long, l: Int): Unit =
+      if (hits(id, l)) {
+        if (l == level) out += id
+        else children(id).foreach(descend(_, l + 1))
+      }
+    faceCells.foreach(descend(_, 0))
+    out.result()
+  }
 }

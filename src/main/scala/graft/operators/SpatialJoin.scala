@@ -35,4 +35,45 @@ object SpatialJoin {
         col("poly_id") === col("a_poly_id") && col("part") === col("a_part"))
       .drop("__cell", "pc_cell", "rings", "a_poly_id", "a_part")
   }
+
+  /**
+   * Lat/lng (EPSG:4326) point-in-polygon join with an S2-NATIVE cell
+   * prefilter — the geodesic counterpart of `pointsInPolygons` (round 4;
+   * the north star names "H3 ... and S2 cell keys" for the join
+   * prefilter, and the planar grid degrades toward the poles).
+   *
+   * `points` must have double columns `lat`, `lng`; polygon ring
+   * vertices are (x = lng, y = lat). Edge semantics are GDAL's for a
+   * 4326 layer: edges are STRAIGHT IN LAT/LNG (equirectangular), so the
+   * exact refine is the same planar ray-cast over (lng, lat) — identical
+   * to what the reference's per-feature mask loop computes on a 4326
+   * raster — and a feature's lat/lng bbox contains it. The prefilter
+   * covers that bbox with level-`level` S2 cells (conservative
+   * center-within-expanded-rect descent, S2.coverLatLngRect): the big
+   * point side computes one batched `s2_cell_id` per row (codegen'd, no
+   * shuffle) and hash-joins the broadcast cover, exactly the planar
+   * join's shape — S2's equal-area-ish cells keep the prefilter
+   * selective at every latitude. Antimeridian-crossing features must be
+   * split at ±180 (standard 4326 hygiene; the cover requires
+   * lngLo <= lngHi).
+   */
+  def pointsInPolygonsGeo(points: DataFrame, polys: Dataset[PolyRow], level: Int)
+                         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pc = polys.flatMap { p =>
+      val lngs = p.rings.flatMap(_.map(_.x)); val lats = p.rings.flatMap(_.map(_.y))
+      graft.core.S2.coverLatLngRect(lats.min, lats.max, lngs.min, lngs.max, level)
+        .map(c => ZonalStats.PolyCell(c, p.poly_id, p.part, p.rings))
+    }.toDF("pc_cell", "poly_id", "part", "rings")
+    val attrs = polys.select(col("poly_id").as("a_poly_id"),
+      col("part").as("a_part"), col("cls"), col("name"), col("measure"))
+    val withCell = points.withColumn("__cell",
+      s2CellId(col("lat"), col("lng"), level))
+    withCell
+      .join(broadcast(pc), col("__cell") === col("pc_cell"))
+      .where(pointInPolygon(col("lng"), col("lat"), col("rings")))
+      .join(broadcast(attrs),
+        col("poly_id") === col("a_poly_id") && col("part") === col("a_part"))
+      .drop("__cell", "pc_cell", "rings", "a_poly_id", "a_part")
+  }
 }

@@ -271,6 +271,48 @@ object Queries {
        |  FROM q, gp p) WHERE rn <= 5""".stripMargin
   }
 
+  /** S2-cover spatial join (round 4 geodesic entry point): the pts
+    * cloud on the globe joined to 4326-style lat/lng boxes through
+    * `SpatialJoin.pointsInPolygonsGeo` (S2 level-6 cover prefilter +
+    * exact equirect-edge PIP refine). Boxes have fractional bounds off
+    * the mapped point lattice, so the open-interval SQL equals PIP
+    * regardless of boundary convention. */
+  val geoBoxes: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    (0L, -10.13, -20.17, 15.11, 30.19), (1L, 55.13, 120.11, 80.17, 175.13),
+    (2L, -88.77, -60.11, -72.13, 60.17), (3L, 62.13, -180.0, 88.77, -120.11),
+    (4L, -5.13, 150.11, 45.17, 179.13))
+
+  def qPipGeo(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val points = pts(spark, dir).select(col("pt_id"),
+      (col("y") * lit(1.79) - lit(89.5)).as("lat"),
+      (col("x") * lit(1.79) - lit(179.0)).as("lng"),
+      col("v"))
+    val polys = spark.createDataset(geoBoxes.map { case (id, la0, lo0, la1, lo1) =>
+      PolyRow(id, 0, Array(Array(Pt(lo0, la0), Pt(lo1, la0), Pt(lo1, la1), Pt(lo0, la1))),
+        cls = 1, name = s"geo$id", measure = 0.0)
+    })(org.apache.spark.sql.Encoders.product[PolyRow])
+    SpatialJoin.pointsInPolygonsGeo(points, polys, level = 6)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 4).as("v_sum"))
+  }
+
+  val qPipGeoSql: String = {
+    val bx = "(VALUES " + geoBoxes.map { case (id, la0, lo0, la1, lo1) =>
+      s"(CAST($id AS BIGINT), CAST($la0 AS DOUBLE), CAST($lo0 AS DOUBLE), " +
+        s"CAST($la1 AS DOUBLE), CAST($lo1 AS DOUBLE))"
+    }.mkString(", ") + ") AS bx(poly_id, la0, lo0, la1, lo1)"
+    s"""WITH pts AS ($ptsSql),
+       |gp AS (SELECT pt_id,
+       |         y * CAST(1.79 AS DOUBLE) - CAST(89.5 AS DOUBLE) AS plat,
+       |         x * CAST(1.79 AS DOUBLE) - CAST(179.0 AS DOUBLE) AS plng,
+       |         v FROM pts)
+       |SELECT poly_id, count(*) AS n, round(sum(v), 4) AS v_sum
+       |FROM gp JOIN $bx
+       |  ON plat > la0 AND plat < la1 AND plng > lo0 AND plng < lo1
+       |GROUP BY 1""".stripMargin
+  }
+
   /** mask_raster_multi rules '<' / '>' with replacement (raster.py:1136-1265). */
   def qMaskRules(spark: SparkSession, dir: String): DataFrame = {
     val masked = when(col("l_quantity") < 10, lit(0.0))

@@ -257,6 +257,45 @@ class S2Spec extends AnyFunSuite with SeededProps {
     val c = S2.cellId(47.7062, -122.3321, 20)
     assert(a == b && a != c)
   }
+
+  test("circumradiusBound dominates measured center-to-corner distances (levels 0..12)") {
+    def angle(a: (Double, Double), b: (Double, Double)): Double = {
+      val (x1, y1, z1) = S2.latLngToXyz(a._1, a._2)
+      val (x2, y2, z2) = S2.latLngToXyz(b._1, b._2)
+      math.acos(math.max(-1.0, math.min(1.0, x1 * x2 + y1 * y2 + z1 * z2)))
+    }
+    for (lev <- 0 to 12) {
+      var worst = 0.0
+      forSeeds(200) { rng =>
+        val (lat, lng) = randLatLng(rng)
+        val id = S2.cellId(lat, lng, lev)
+        val center = S2.cellCenterLatLng(id)
+        // cells are convex spherical quads: the farthest point is a corner
+        S2.cellVertexLatLngs(id).foreach(v => worst = math.max(worst, angle(center, v)))
+      }
+      assert(worst < S2.circumradiusBound(lev),
+        f"level $lev: measured $worst%.4f >= bound ${S2.circumradiusBound(lev)}%.4f")
+    }
+  }
+
+  test("coverLatLngRect never misses a contained point's cell (incl. polar/antimeridian-adjacent)") {
+    val rects = Seq(
+      (10.0, 20.0, 30.0, 55.0), (-5.0, 5.0, -1.0, 1.0),
+      (60.0, 85.0, -170.0, -100.0),   // high latitude
+      (78.0, 89.5, 0.0, 40.0),        // near-polar
+      (-89.0, -70.0, 100.0, 179.5),   // south polar band to the antimeridian
+      (-30.0, 40.0, -179.9, -140.0))  // hugging the antimeridian
+    for ((la0, la1, lo0, lo1) <- rects; lev <- Seq(4, 6, 8)) {
+      val cover = S2.coverLatLngRect(la0, la1, lo0, lo1, lev).toSet
+      assert(cover.nonEmpty)
+      forSeeds(300) { rng =>
+        val lat = la0 + rng.nextDouble() * (la1 - la0)
+        val lng = lo0 + rng.nextDouble() * (lo1 - lo0)
+        assert(cover.contains(S2.cellId(lat, lng, lev)),
+          s"point ($lat, $lng) cell missing from cover of [$la0,$la1]x[$lo0,$lo1] @ $lev")
+      }
+    }
+  }
 }
 
 class HexSpec extends AnyFunSuite with SeededProps {

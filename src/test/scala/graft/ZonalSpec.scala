@@ -158,6 +158,38 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.nonEmpty)
   }
+
+  test("pointsInPolygonsGeo (S2 cover prefilter) == naive equirect PIP incl. high latitude") {
+    // 4326-style features: boxes at equator / high north / polar band,
+    // plus a concave chevron at 70N where planar grids degrade
+    def box(id: Long, la0: Double, lo0: Double, la1: Double, lo1: Double) =
+      PolyRow(id, 0, Array(Array(Pt(lo0, la0), Pt(lo1, la0), Pt(lo1, la1), Pt(lo0, la1))),
+        cls = 1, name = s"g$id", measure = 0.0)
+    val geoPolys = Seq(
+      box(0L, -10.0, -20.0, 15.0, 30.0),
+      box(1L, 55.0, 120.0, 80.0, 175.0),
+      box(2L, -89.0, -60.0, -72.0, 60.0),
+      PolyRow(3L, 0, Array(Array(Pt(-30.0, 65.0), Pt(10.0, 78.0), Pt(40.0, 65.0),
+        Pt(40.0, 86.0), Pt(-30.0, 86.0))), cls = 1, name = "chevron", measure = 0.0))
+    val geoPts = (0 until 3000).map { i =>
+      (i.toLong, (i * 37 % 1780) / 10.0 - 89.0 + (i % 13) * 0.019,
+        (i * 97 % 3580) / 10.0 - 179.0 + (i % 17) * 0.011)
+    }
+    val got = SpatialJoin.pointsInPolygonsGeo(
+      geoPts.toDF("pt_id", "lat", "lng"),
+      spark.createDataset(geoPolys), level = 7)
+      .select("pt_id", "poly_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pid, lat, lng) <- geoPts
+      poly <- geoPolys
+      rings: Geom.Rings = poly.rings.map(_.map(q => (q.x, q.y)))
+      if Geom.pointInPolygon(lng, lat, rings)
+    } yield (pid, poly.poly_id)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // every feature must actually match something, incl. the polar band
+    assert(Seq(0L, 1L, 2L, 3L).forall(id => want.exists(_._2 == id)))
+  }
 }
 
 class KnnSpec extends AnyFunSuite {
