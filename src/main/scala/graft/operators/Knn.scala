@@ -44,7 +44,10 @@ import graft.functions.SpatialFunctions._
  *
  * Fallback cost: the brute pass always scans the point table once more
  * against a broadcast of the bad queries — usually empty, and a single
- * extra scan is far cheaper than re-running the ring join. If the
+ * extra scan is far cheaper than re-running the ring join. Under AQE
+ * even that scan disappears: the empty bad-query broadcast propagates
+ * to an `EmptyRelation` at runtime and the whole brute side is
+ * eliminated (observed in SkewBench's final adaptive plans). If the
  * r1/res choice is so wrong that MOST queries miss the guard, that
  * broadcast is the failure you want: raise r1 (documented user error —
  * the guard exists to keep the common case exact, not to rescue a
