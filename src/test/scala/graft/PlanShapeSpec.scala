@@ -86,6 +86,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial (pre-exchange) group limit:\n$p")
   }
 
+  test("geo paths keep the planar shapes: S2 join broadcasts, geo kNN prunes top-k") {
+    // S2-cover join: broadcast prefilter + codegen'd s2 cell id on the
+    // big side — a silent sort-merge fallback is the 100x regression
+    val pts = (0 until 50).map(i => (i.toLong, i * 3.1 - 70.0, i * 6.9 - 170.0))
+      .toDF("pt_id", "lat", "lng")
+    val polys = spark.createDataset(Seq(graft.PolyRow(0L, 0,
+      Array(Array(graft.Pt(-20.0, -10.0), graft.Pt(30.0, -10.0),
+        graft.Pt(30.0, 15.0), graft.Pt(-20.0, 15.0))),
+      cls = 1, name = "g", measure = 0.0)))
+    val joined = SpatialJoin.pointsInPolygonsGeo(pts, polys, level = 6)
+    val pg = plan(joined)
+    assert(pg.contains("BroadcastHashJoin"), s"S2 cover not broadcast:\n$pg")
+    assert(!pg.contains("SortMergeJoin"), "geo join must never sort-merge")
+    // the optimizer constant-folds local test data into the scan, so the
+    // batched encoder is asserted on the ANALYZED plan (dedupExact pattern)
+    assert(joined.queryExecution.analyzed.toString.contains("s2_cell_id"),
+      "point side not using the batched s2 encoder")
+    // great-circle kNN: top-k pruned below the q_id exchange, same as planar
+    val q = Queries.qKnnGeo(spark, "/root/testdata/sf0.001")
+    assert(plan(q).contains("WindowGroupLimit"), "geo kNN lost its group-limit pushdown")
+  }
+
   test("classify: zero shuffle (no Exchange anywhere in the plan)") {
     import graft.operators.{Tiler, Training}
     val images = spark.createDataset(Synth.images(4, seed = 2L, bands = 2).toSeq)
