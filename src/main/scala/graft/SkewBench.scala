@@ -67,7 +67,7 @@ object SkewBench {
     val images = spark.range(nImages).map { i =>
       val base = gen.Synth.imageAt(i, seed = 7L, bands = 1)
       if (i % 8 != 0) {
-        val slot = i - i / 8 - (if (i % 8 > 0) 1 else 0)
+        val slot = i - i / 8 - 1 // dense index over the 7-of-8 hot images
         base.copy(x_min = hotX + (slot % 16) * 64.0,
                   y_max = hotY - (slot / 16 % 16) * 64.0)
       } else
@@ -114,8 +114,6 @@ object SkewBench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
-    import spark.implicits._
-    val res = operators.Tiler.resForCellSize(64.0)
     val nPts = 400000
     val skewPts = spark.range(nPts).map { i =>
       if (i % 12 != 0) // hot cell: all inside one 64x64 world square
@@ -126,7 +124,7 @@ object SkewBench {
       (i, hotX + (i % 16) * 4 + 0.7, hotY - (i / 16 % 16) * 4 - 0.7))
       .toDF("q_id", "x", "y")
     def knnRun(): Unit = {
-      operators.Knn.knnJoin(skewQs, skewPts, k = 5, res = res, r1 = 1).count(); ()
+      operators.Knn.knnJoin(skewQs, skewPts, k = 5, res = cellRes, r1 = 1).count(); ()
     }
     def withSkewJoin(on: Boolean)(f: => Unit): Double = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)

@@ -259,7 +259,9 @@ object S2 {
     require(latLo <= latHi && lngLo <= lngHi,
       s"bad rect: [$latLo,$latHi]x[$lngLo,$lngHi]")
     require(level >= 0 && level <= MaxLevel)
-    def hits(id: Long, l: Int): Boolean = {
+    // the slack terms depend only on the level — hoisted out of the
+    // descent (hits() runs per visited cell, thousands for wide rects)
+    val slack = Array.tabulate(level + 1) { l =>
       val theta = circumradiusBound(l)
       val slackDeg = math.toDegrees(theta)
       val la0 = math.max(-90.0, latLo - slackDeg)
@@ -274,6 +276,10 @@ object S2 {
       val lngSlack =
         if (s >= cosLat) 360.0
         else math.toDegrees(2 * math.asin(s / cosLat))
+      (la0, la1, lngSlack)
+    }
+    def hits(id: Long, l: Int): Boolean = {
+      val (la0, la1, lngSlack) = slack(l)
       val (cLat, cLng) = cellCenterLatLng(id)
       val latOk = cLat >= la0 && cLat <= la1
       // lng containment with wrap: distance from cLng to [lngLo, lngHi]

@@ -60,8 +60,7 @@ object Knn {
     * guaranteed-exact rows and brute-forced stragglers. Queries with
     * ZERO candidates don't appear in `cand` at all, so the bad set must
     * be derived as NOT-satisfied (anti join), never as filter-of-found.
-    * Null-id queries can never match the anti join and always take the
-    * brute path (their cand rows are excluded from the good set). */
+    * Null-id queries are dropped (see finishExactGeneric). */
   private def finishExact(queries: DataFrame, points: DataFrame, k: Int,
                           cand: DataFrame, guard2: Double): DataFrame = {
     val dist2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
@@ -81,7 +80,11 @@ object Knn {
   /** Distance-metric-agnostic tail: annotate `cand` (columns q_id,
     * pt_id, <distCol>, rn) with the guarantee, union the brute results
     * for the stragglers. `guard` may reference query columns carried on
-    * the cand rows (the geodesic guard depends on the query latitude). */
+    * the cand rows (the geodesic guard depends on the query latitude).
+    * Null-id queries are DROPPED from the result (they are excluded
+    * from both the good set and the brute set): a null id is not
+    * addressable in the output, and brute-forcing them would conflate
+    * every null-id query into one merged window partition. */
   private def finishExactGeneric(queries: DataFrame, k: Int, cand: DataFrame,
                                  distCol: String, guard: org.apache.spark.sql.Column,
                                  queryCols: Seq[String],
@@ -99,6 +102,7 @@ object Knn {
       .select("q_id", "pt_id", distCol, "rn")
     val satisfied = guarded.where(col("__ok")).select("q_id").distinct()
     val badQueries = queries.select((Seq("q_id") ++ queryCols).map(col): _*)
+      .where(col("q_id").isNotNull)
       .join(satisfied, Seq("q_id"), "left_anti")
     good.unionByName(brute(badQueries))
   }
@@ -253,7 +257,6 @@ object Knn {
     val guard = least(meridian,
       lit(2 * EarthR) * asin(cmax * lit(math.sin(math.toRadians(g) / 2))))
 
-    val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("pt_id"))
     finishExactGeneric(queries, k, cand, "dist", guard, Seq("lat", "lng"),
       badQ => points
         .select(col("pt_id"), col("lat").as("plat"), col("lng").as("plng"))
@@ -261,8 +264,8 @@ object Knn {
           .select(col("q_id"), col("lat").as("qlat"), col("lng").as("qlng"))))
         .withColumn("dist",
           greatCircleMeters(col("qlat"), col("qlng"), col("plat"), col("plng")))
-        .withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= k)
+        .withColumn("rn", row_number().over(w)) // same spec as the ring
+        .filter(col("rn") <= k)                 // ranking — MUST stay equal
         .select("q_id", "pt_id", "dist", "rn"))
   }
 }

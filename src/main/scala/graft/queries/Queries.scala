@@ -939,11 +939,20 @@ object Queries {
     * actually oracles. */
   def qImageStream(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    import java.nio.file.Files
     val cellRes = Tiler.resForCellSize(64.0)
-    val inDir = Files.createTempDirectory("graft_qis_in_").toString
-    val outDir = Files.createTempDirectory("graft_qis_out_").toString + "/hist"
-    val ckpt = Files.createTempDirectory("graft_qis_ck_").toString
+    // FIXED per-JVM scratch root, wiped per call: repeated driver/bench
+    // invocations overwrite instead of accumulating temp dirs, and a
+    // stale checkpoint never pairs with fresh input
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_qis_scratch")
+    def rmrf(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(base)
+    val inDir = new java.io.File(base, "in").toString
+    val outDir = new java.io.File(base, "hist").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
     GridImages.images(16, 2).grouped(4).foreach { g =>
       spark.createDataset(g.toSeq)(Encoders.product[ImageRow])
         .coalesce(1).write.mode("append").parquet(inDir)

@@ -249,6 +249,17 @@ class KnnSpec extends AnyFunSuite {
     for ((q, ids) <- want) assert(got(q) == ids, s"query $q")
   }
 
+  test("null-id queries are dropped, not merged into one brute window") {
+    val pts = Synth.points(300, seed = 5L)
+    val ptDf = spark.createDataset(pts.toSeq).toDF()
+    val qDf = Seq((Some(1L), 50.0, 50.0), (None, 10.0, 10.0), (None, 90.0, 90.0))
+      .toDF("q_id", "x", "y")
+    val got = Knn.knnJoin(qDf, ptDf, k = 3, res = 12, r1 = 2)
+      .select("q_id").as[Option[Long]].collect()
+    assert(got.forall(_.contains(1L)), s"null-id rows leaked: ${got.toSeq}")
+    assert(got.length == 3)
+  }
+
   test("brute-force fallback path triggers for isolated queries") {
     // single far-away query with tiny r1: guarantee must fail -> fallback
     val pts = Synth.points(500, seed = 3L)
