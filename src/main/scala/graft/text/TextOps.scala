@@ -98,24 +98,28 @@ object TextOps {
       .select("keep_id", "n_dups")
 
   /** Word shingles (n-grams) as one row per (id, shingle-fingerprint),
-    * distinct per doc. The fingerprint is HashFamily's polynomial hash —
-    * engine-independent integer math a DuckDB oracle recomputes exactly
-    * (Spark's xxhash64 would tie correctness to one engine's
-    * implementation). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    docs.select(col(idCol).as("doc"), toks.as("__toks"), idx.as("__idx"))
-      .select(col("doc"),
-        explode(transform(col("__idx"),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
-      // fingerprint BEFORE the distinct: the dedup shuffle then carries
-      // (doc, 8-byte fp) rows, never shingle strings — and min-aggregating
-      // permutations downstream is multiset-invariant, so deduping on the
-      // fp is result-identical even if two shingles collided
-      .select(col("doc"), colOf(PolyHashExpr(exprOf(col("shingle")))).as("sh"))
+    * distinct per doc. The fingerprint is HashFamily's composed 62-bit
+    * polynomial hash — engine-independent integer math a DuckDB oracle
+    * recomputes exactly (Spark's xxhash64 would tie correctness to one
+    * engine's implementation).
+    *
+    * The fingerprints come from ONE native byte-walk per document
+    * (ShingleFpsExpr): because tokens come from single-space splitting
+    * and shingles re-join with a single space, every shingle string IS
+    * a substring of the original text (empty tokens from repeated
+    * spaces included), so the expression hashes text ranges directly —
+    * no per-shingle interpreted lambda, no shingle-string allocation
+    * (the transform/concat_ws/slice HOF chain this replaced was half
+    * the whole minhash query's cost at bench volume; parity is
+    * spec-gated incl. multi-space and >MaxChars-shingle edges). The
+    * dedup shuffle carries (doc, 8-byte fp) rows, never strings — and
+    * min-aggregating permutations downstream is multiset-invariant, so
+    * deduping on the fp is result-identical even if two shingles
+    * collided. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(colOf(ShingleFpsExpr(exprOf(col(textCol)), n))).as("sh"))
       .distinct()
-  }
 
   /**
    * MinHash signatures + LSH banding -> candidate near-dup pairs with
@@ -431,6 +435,42 @@ object HashRuntime {
       Array(v.numChars(), spaces + 1, punct, stops))
   }
 
+  /** fp62 of every n-token shingle in one pass, hashing substrings of
+    * the original text in place. Token j spans the characters between
+    * single-space separators (split-with-empties semantics), and
+    * shingle i covers [start(i), end(min(i+n-1, last))] — exactly the
+    * string `concat_ws(" ", slice(split(s, " "), i+1, n))` builds.
+    * Shingle count = max(numToks - n, 0) + 1, matching the
+    * sequence(0, greatest(size - n, 0)) index list this replaced
+    * (short docs emit one whole-text shingle). */
+  def shingleFps(v: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = v.toString
+    val len = s.length
+    // token start offsets: 0 and every position after a space
+    var numToks = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') numToks += 1; i += 1 }
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
+      i += 1
+    }
+    ends(tok) = len
+    val m = math.max(numToks - n, 0) + 1
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val last = math.min(k + n - 1, numToks - 1)
+      out(k) = HashFamily.fp62(s, starts(k), ends(last))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def rollingFp(v: UTF8String, win: Int): Long = {
     val s = v.toString
     val n = s.length
@@ -456,6 +496,19 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.HashRuntime.textStats($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "text_stats"
+}
+
+/** Array of composed 62-bit fingerprints of a document's n-token
+  * shingles in one byte-walk (HashRuntime.shingleFps). */
+case class ShingleFpsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashRuntime.shingleFps(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HashRuntime.shingleFps($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_fps"
 }
 
 /** Composed 62-bit polynomial fingerprint of a whole string

@@ -28,6 +28,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r.contains(3L))
   }
 
+  test("shingles (native shingle_fps) == split/transform/concat_ws HOF chain") {
+    // the exact pipeline the native substring-hashing expression replaced
+    def hofShingles(d: org.apache.spark.sql.DataFrame, n: Int) = {
+      import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
+      val toks = split(col("text"), " ")
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      d.select(col("doc_id").as("doc"), toks.as("__toks"), idx.as("__idx"))
+        .select(col("doc"), explode(transform(col("__idx"),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
+        .select(col("doc"),
+          colOf(graft.text.PolyHashExpr(exprOf(col("shingle")))).as("sh"))
+        .distinct()
+    }
+    val edge = Seq((10L, ""), (11L, "only two"), (12L, "a  b   c d"),
+      (13L, " leading and  trailing "), (14L, "x" * 300 + " tiny " + "y" * 280),
+      (15L, "héllo wörld ünïcode three four")).toDF("doc_id", "text")
+    for ((d, n) <- Seq((docs, 3), (edge, 3), (edge, 2), (docs, 5))) {
+      val native = graft.text.TextOps.shingles(d, "doc_id", "text", n)
+        .as[(Long, Long)].collect().toSet
+      val hof = hofShingles(d, n).as[(Long, Long)].collect().toSet
+      assert(native == hof,
+        s"n=$n\n missing=${(hof -- native).take(5)}\n extra=${(native -- hof).take(5)}")
+    }
+  }
+
   test("qualityFeatures (native text_stats) == split/filter HOF tree") {
     // the exact expression tree the native byte-walk replaced
     def hofQuality(text: org.apache.spark.sql.Column) = {
