@@ -54,14 +54,31 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
   }
 
   /** partition value -> metadata, from the latest manifest. */
-  def committed(): Map[String, PartMeta] = {
-    val v = currentVersion
-    if (v == 0) return Map.empty
-    val in = fs.open(new Path(manifestDir, s"v$v.json"))
+  def committed(): Map[String, PartMeta] = committedAt(currentVersion)
+
+  /** partition value -> metadata as of snapshot `version` (each manifest
+    * carries the FULL live-partition union at its version, so one read
+    * reconstructs any historical state). */
+  def committedAt(version: Int): Map[String, PartMeta] = {
+    if (version == 0) return Map.empty
+    val mf = new Path(manifestDir, s"v$version.json")
+    require(fs.exists(mf), s"no snapshot v$version at $root")
+    val in = fs.open(mf)
     val json =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     parseManifest(json)
+  }
+
+  /** All published snapshot versions, ascending. */
+  def snapshots(): Seq[Int] = {
+    val f = fs
+    if (!f.exists(manifestDir)) return Nil
+    f.listStatus(manifestDir).iterator
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
   }
 
   /**
@@ -121,8 +138,15 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     * that wrote it (lineage-directed scan). Partitions are grouped per
     * snapshot so each read has a consistent basePath (vN levels are not
     * key=value dirs), then unioned. */
-  def read(): DataFrame = {
-    val parts = committed()
+  def read(): DataFrame = readFrom(committed())
+
+  /** Iceberg-style TIME TRAVEL: read the table exactly as it stood at
+    * snapshot `version`. Data dirs are immutable once a later snapshot
+    * exists (commits only ever add new v-dirs), so the historical scan
+    * is the same lineage-directed read over the older manifest. */
+  def readAt(version: Int): DataFrame = readFrom(committedAt(version))
+
+  private def readFrom(parts: Map[String, PartMeta]): DataFrame = {
     require(parts.nonEmpty, s"empty snapshot table at $root")
     parts.filter(_._2.rows > 0) // declared-empty partitions have no files
       .toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>

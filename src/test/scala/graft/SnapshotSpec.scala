@@ -40,6 +40,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(back.select("shard").distinct().as[String].collect().toSet == keys.toSet)
   }
 
+  test("time travel: readAt(v) reproduces the table exactly as of snapshot v") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    t.commit(workload(Seq("a", "b")), writer = "stage1")
+    t.commit(workload(Seq("a", "b", "c", "d")), writer = "stage2") // only c,d fresh
+    assert(t.snapshots() == Seq(1, 2))
+    val v1 = t.readAt(1).select("shard").distinct().as[String].collect().toSet
+    assert(v1 == Set("a", "b"), s"snapshot 1 leaked later data: $v1")
+    assert(t.readAt(1).count() == 20)
+    // latest == readAt(current) == read()
+    val v2 = t.readAt(2).select("shard").distinct().as[String].collect().toSet
+    assert(v2 == Set("a", "b", "c", "d"))
+    assert(t.readAt(2).count() == t.read().count())
+    // lineage preserved across versions: a/b still carry snapshot 1
+    val m2 = t.committedAt(2)
+    assert(m2("a").snapshot == 1 && m2("c").snapshot == 2)
+    val err = intercept[IllegalArgumentException](t.readAt(7))
+    assert(err.getMessage.contains("no snapshot"))
+  }
+
   test("killed-job resume: second run commits ONLY pending partitions") {
     val root = freshRoot()
     val t = new SnapshotTable(spark, root, "shard")
