@@ -32,5 +32,15 @@ object GraftFunctions {
       es => graft.text.DotExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_signature",
       es => graft.text.LshSigExpr(es(0), es(1)), "scala_udf")
+    // round 4
+    reg.createOrReplaceTempFunction("poly_fingerprint",
+      es => graft.text.PolyHashExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("text_stats",
+      es => graft.text.TextStatsExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_fps", // n must be a literal
+      es => graft.text.ShingleFpsExpr(es(0),
+        es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("px_sum",
+      es => PxSumExpr(es(0)), "scala_udf")
   }
 }

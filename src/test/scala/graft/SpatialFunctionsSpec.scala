@@ -97,5 +97,17 @@ class GraftFunctionsSqlSpec extends AnyFunSuite {
     assert(r0.getAs[Boolean]("pip"))
     assert(sqlRows(1).getAs[Boolean]("pip")) // (-800, 900) inside the big box
     assert(r0.getAs[Long]("sh") != 0L && r0.getAs[Long]("fp") != 0L)
+    // round-4 registrations
+    val r4 = spark.sql(
+      """SELECT poly_fingerprint('abc') AS pf,
+        | text_stats('the cat sat.') AS ts,
+        | size(shingle_fps('a b c d', 3)) AS nsh,
+        | px_sum(array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT))) AS ps""".stripMargin)
+      .collect()(0)
+    assert(r4.getAs[Long]("pf") ==
+      graft.text.HashFamily.fp62("abc", 0, 3))
+    assert(r4.getAs[scala.collection.Seq[Int]]("ts").toSeq == Seq(12, 3, 1, 1))
+    assert(r4.getAs[Int]("nsh") == 2)
+    assert(r4.getAs[Double]("ps") == 4.0)
   }
 }
