@@ -95,7 +95,8 @@ object SparkEntry {
       // and the geodesic (great-circle) kNN entry point
       "q_image_stream"    -> (Q.qImageStream _),
       "q_knn_geo"         -> (Q.qKnnGeo _),
-      "q_pip_geo"         -> (Q.qPipGeo _)
+      "q_pip_geo"         -> (Q.qPipGeo _),
+      "q_dedup_clusters"  -> (Q.qDedupClusters _)
     )
   }
 
@@ -170,7 +171,8 @@ object SparkEntry {
       "q_frame_sample"    -> Q.qFrameSampleSql,
       "q_image_stream"    -> Q.qImageStreamSql,
       "q_knn_geo"         -> Q.qKnnGeoSql,
-      "q_pip_geo"         -> Q.qPipGeoSql
+      "q_pip_geo"         -> Q.qPipGeoSql,
+      "q_dedup_clusters"  -> Q.qDedupClustersSql
     )
   }
 }

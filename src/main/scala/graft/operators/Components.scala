@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over an undirected edge list — the
+ * final stage of every near-duplicate pipeline (reference analog:
+ * `utilities.py` dedup post-processing collapses match pairs into keep
+ * groups): MinHash/SimHash/pHash candidate PAIRS become transitive
+ * CLUSTERS, and each document keeps one canonical representative (the
+ * minimum id of its component).
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — a
+ * published MapReduce algorithm, re-expressed relationally). Each half
+ * round is a groupBy + an equi-join on the node id; the edge set only
+ * ever shrinks toward stars, so the shuffle is bounded by the CURRENT
+ * edge count — never quadratic in cluster size — and convergence takes
+ * O(log^2 n) rounds (empirically ~log n). That is what makes this the
+ * 100 TB path: naive min-label propagation needs O(diameter) rounds
+ * (a pathological duplicate chain = thousands), while this pointer-
+ * doubling variant collapses a 4096-node chain in a handful.
+ *
+ * Determinism: ids keep their NATIVE type and ordering (long ids
+ * numerically; string ids via Spark UTF8String binary order == DuckDB
+ * varchar memcmp), no nondeterministic expressions, so the result is
+ * oracle-replayable by a recursive CTE.
+ *
+ * Iteration state is `localCheckpoint`ed each round to truncate the
+ * growing lineage (same pattern a cluster job would use with a
+ * checkpoint dir); the previous round's cache is released eagerly.
+ */
+object Components {
+
+  /** Connected components of the undirected graph given by `edges`.
+    * Returns one row per DISTINCT node appearing in any edge:
+    * (id, component) where component = min node id of its component.
+    * Self-loops and duplicate/reversed edges are tolerated. Isolated
+    * nodes never appear in an edge list; callers map them to
+    * themselves (see [[graft.text.TextOps.dedupClusters]]).
+    *
+    * @param maxRounds fail-fast bound on large+small star rounds; the
+    *   O(log^2 n) guarantee makes 64 unreachable for any realistic
+    *   graph (a 4096-node chain converges in < 10). */
+  def connected(edges: DataFrame, srcCol: String, dstCol: String,
+                maxRounds: Int = 64): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+
+    var e = e0.localCheckpoint()
+    var prevSig: (Long, Long) = checksum(e)
+    var converged = prevSig._1 == 0L // empty graph: nothing to iterate
+    var rounds = 0
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"Components.connected did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val sig = checksum(next)
+      // (count, order-free xxhash sum) equality is the cheap convergence
+      // probe; on a hit, confirm exactly (runs once, at the fixpoint).
+      converged = sig == prevSig && next.exceptAll(e).isEmpty
+      e.unpersist()
+      e = next
+      prevSig = sig
+      rounds += 1
+    }
+
+    // At the fixpoint the edge set is a union of stars: every non-root
+    // node carries exactly (node -> root). min() is belt and braces.
+    val roots = e.groupBy(col("u").as("id")).agg(min("v").as("component"))
+    val nodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct()
+    nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Large-star: every node links its LARGER neighbors to the minimum
+    * of its neighborhood (incl. itself). One groupBy + one join, both
+    * keyed on the node id — AQE-splittable if a hub node skews it. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = und.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    und.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges large->small; every node links its
+    * smaller neighbors (and itself) to the minimum smaller neighbor. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val ori = e.select(greatest(col("u"), col("v")).as("u"),
+                       least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    val mins = ori.groupBy("u").agg(min("v").as("m"))
+    ori.join(mins, "u")
+      .select(col("v").as("a"), col("m"))
+      .union(mins.select(col("u").as("a"), col("m")))
+      .where(col("a") =!= col("m"))
+      .select(col("a").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Order-insensitive edge-set signature: (count, XOR of row hashes) —
+    * XOR, not sum, so ANSI overflow checking never trips. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -592,16 +592,17 @@ object Queries {
       .where(col("jaccard_est") >= 0.25)
       .select(col("d1"), col("d2"), round(col("jaccard_est"), 4).as("jaccard_est"))
 
-  /** Full MinHash+LSH oracle: shingles, HashFamily's composed 62-bit
+  /** Full MinHash+LSH oracle CTE chain (shared by q_minhash_pairs and
+    * q_dedup_clusters): shingles, HashFamily's composed 62-bit
     * fingerprints (base-131 hi half + base-137 lo half), the 64
     * permutation minima over both halves, band-bucket candidates and the
     * signature-agreement estimate are ALL recomputed relationally. */
-  val qMinhashPairsSql: String = {
+  private val minhashCtes: String = {
     import graft.text.HashFamily.{P, B}
     val aK = s"((1103515245 * (2*k + 1) + 12345) % $P)"
     val bK = s"((1103515245 * k + 54321) % $P)"
     val cK = s"((48271 * (2*k + 1) + 11213) % $P)"
-    s"""WITH ${graft.text.HashFamily.powCte(255)},
+    s"""${graft.text.HashFamily.powCte(255)},
        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |       WHERE len(string_split(text, ' ')) <= 120),
        |sh AS (SELECT DISTINCT doc_id,
@@ -627,9 +628,37 @@ object Queries {
        |         WHERE a.doc_id < c.doc_id),
        |est AS (SELECT d1, d2,
        |          sum(CASE WHEN s1[k] = s2[k] THEN 1 ELSE 0 END) / 64.0 AS je
-       |        FROM cand, generate_series(1, 64) tj(k) GROUP BY 1, 2)
-       |SELECT d1, d2, round(je, 4) AS jaccard_est FROM est WHERE je >= 0.25""".stripMargin
+       |        FROM cand, generate_series(1, 64) tj(k) GROUP BY 1, 2)""".stripMargin
   }
+
+  val qMinhashPairsSql: String =
+    s"""WITH $minhashCtes
+       |SELECT d1, d2, round(je, 4) AS jaccard_est FROM est WHERE je >= 0.25""".stripMargin
+
+  /** Keep-one near-dup clustering: the minhash LSH pairs (same chain as
+    * q_minhash_pairs) collapse into transitive connected components via
+    * the alternating-star algorithm; every filtered document maps to its
+    * component's min doc_id (docs in no pair map to themselves). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).where(size(split(col("text"), " ")) <= 120)
+    val pairs = TextOps.minHashLsh(d, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+      .where(col("jaccard_est") >= 0.25)
+    TextOps.dedupClusters(d, "doc_id", pairs)
+  }
+
+  /** Oracle: recursive transitive closure over the SAME pair list the
+    * minhash CTEs derive, min reachable id per document. */
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pe AS (SELECT d1 AS pa, d2 AS pb FROM est WHERE je >= 0.25
+       |       UNION ALL
+       |       SELECT d2, d1 FROM est WHERE je >= 0.25),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM tk
+       |  UNION
+       |  SELECT pe.pa, reach.r FROM pe JOIN reach ON reach.id = pe.pb)
+       |SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1""".stripMargin
 
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 7)

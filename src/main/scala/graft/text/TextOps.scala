@@ -97,6 +97,24 @@ object TextOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
+  /** Transitive near-dup clustering: candidate PAIRS (from minHashLsh /
+    * simHashPairs / phash matching) collapse into connected components
+    * and every document maps to its cluster's canonical representative
+    * (min doc id); docs in no pair map to themselves. This is the final
+    * keep-one stage of a web-scale dedup pipeline — A~B and B~C dedup
+    * to ONE survivor even when A and C never became a candidate pair.
+    * Shuffles only (id, id) edges, via [[graft.operators.Components]]
+    * (alternating star algorithm, O(log^2 n) rounds). Returns
+    * (idCol, rep_id). */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "d1", bCol: String = "d2"): DataFrame =
+    docs.select(col(idCol)).distinct()
+      .join(graft.operators.Components.connected(pairs, aCol, bCol)
+              .withColumnRenamed("id", idCol),
+            Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("rep_id"))
+
   /** Word shingles (n-grams) as one row per (id, shingle-fingerprint),
     * distinct per doc. The fingerprint is HashFamily's composed 62-bit
     * polynomial hash — engine-independent integer math a DuckDB oracle
