@@ -37,9 +37,19 @@ object GraftFunctions {
       es => graft.text.PolyHashExpr(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("text_stats",
       es => graft.text.TextStatsExpr(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_fps", // n must be a literal
-      es => graft.text.ShingleFpsExpr(es(0),
-        es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_fps",
+      es => {
+        // n parameterizes the expression itself, so it must be a
+        // foldable INT — fail with the contract, not a ClassCastException
+        val n = es(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType => e.eval()
+          case _ => null
+        }
+        require(n != null,
+          "shingle_fps(text, n): n must be an INT literal, got " + es(1).sql)
+        graft.text.ShingleFpsExpr(es(0), n.asInstanceOf[Int])
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("px_sum",
       es => PxSumExpr(es(0)), "scala_udf")
   }

@@ -43,15 +43,7 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
   private def manifestDir = new Path(rootPath, "manifests")
   private def dataDir(v: Int) = new Path(new Path(rootPath, "data"), s"v$v")
 
-  def currentVersion: Int = {
-    val f = fs
-    if (!f.exists(manifestDir)) return 0
-    f.listStatus(manifestDir).iterator
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
-      .foldLeft(0)(math.max)
-  }
+  def currentVersion: Int = snapshots().lastOption.getOrElse(0)
 
   /** partition value -> metadata, from the latest manifest. */
   def committed(): Map[String, PartMeta] = committedAt(currentVersion)

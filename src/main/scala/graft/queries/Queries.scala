@@ -969,11 +969,14 @@ object Queries {
   def qImageStream(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    // FIXED per-JVM scratch root, wiped per call: repeated driver/bench
-    // invocations overwrite instead of accumulating temp dirs, and a
-    // stale checkpoint never pairs with fresh input
+    // FIXED per-JVM scratch root (PID-suffixed so concurrent driver and
+    // bench processes never rmrf each other's live streaming state),
+    // wiped per call: repeated invocations in one JVM overwrite instead
+    // of accumulating temp dirs, and a stale checkpoint never pairs
+    // with fresh input
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_qis_scratch")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qis_scratch_${ProcessHandle.current().pid()}")
     def rmrf(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
       f.delete(); ()

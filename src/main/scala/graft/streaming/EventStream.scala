@@ -66,7 +66,10 @@ object EventStream {
     val tExpr = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-      case _ => unix_micros(col("ts"))
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      // string/date inputs keep the pre-NTZ-fix surface: parse in the
+      // session zone first (unix_micros itself only accepts TIMESTAMP)
+      case _ => unix_micros(col("ts").cast("timestamp"))
     }
     events.select(col("user_id"), tExpr.as("t"))
       .withColumn("__brk",

@@ -13,9 +13,11 @@ import graft.operators.{Tiler, ZonalStats}
  * rows is decoded/tiled per micro-batch with the SAME Tiler, joined to
  * the broadcast polygon cells, and the running zonal histogram is kept
  * as streaming state by the partial-aggregate update (output: histogram
- * deltas appended to a parquet sink, so the batch ZonalStats.stats can
- * fold them at read time — the streaming analog of the snapshot-manifest
- * resume model; the checkpointLocation carries exactly-once state).
+ * deltas written per batch into batch_id partitions with dynamic
+ * overwrite — a replayed batch replaces its own delta, so the
+ * at-least-once foreachBatch contract still yields exactly-once folds
+ * when ZonalStats.stats reads them — the streaming analog of the
+ * snapshot-manifest resume model).
  */
 object ImageStream {
 
@@ -37,16 +39,32 @@ object ImageStream {
     // per micro-batch: decode -> tile -> broadcast PIP join -> histogram
     val query = stream.writeStream
       .foreachBatch { (batch: Dataset[ImageRow], batchId: Long) =>
-        val tiles = Tiler.tiles(batch, tileSize, cellRes)
-        ZonalStats.histogram(tiles, polyDs, cellRes)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        ()
+        writeBatchDelta(batch, batchId, polyDs, cellRes, tileSize, outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     query
+  }
+
+  /** One micro-batch's sink write. foreachBatch is at-least-once: a
+    * batch whose write committed but whose checkpoint offset didn't is
+    * REPLAYED on restart. Writing each batch into its own batch_id
+    * partition with dynamic partition overwrite makes the retry REPLACE
+    * its own delta instead of double-appending it (idempotent sink =
+    * exactly-once end-to-end; stats() folds partitions unchanged).
+    * `private[graft]` so the replay invariance is spec-testable. */
+  private[graft] def writeBatchDelta(batch: Dataset[ImageRow], batchId: Long,
+                                         polyDs: Dataset[PolyRow], cellRes: Int,
+                                         tileSize: Int, outDir: String): Unit = {
+    implicit val s: SparkSession = batch.sparkSession
+    val tiles = Tiler.tiles(batch, tileSize, cellRes)
+    ZonalStats.histogram(tiles, polyDs, cellRes)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
   }
 
   /** Fold the streamed histogram deltas into final zonal stats. */

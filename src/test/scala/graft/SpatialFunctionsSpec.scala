@@ -109,5 +109,11 @@ class GraftFunctionsSqlSpec extends AnyFunSuite {
     assert(r4.getAs[scala.collection.Seq[Int]]("ts").toSeq == Seq(12, 3, 1, 1))
     assert(r4.getAs[Int]("nsh") == 2)
     assert(r4.getAs[Double]("ps") == 4.0)
+    // n parameterizes the expression: non-INT-literal n must fail with
+    // the contract spelled out, not a ClassCastException
+    val bad = intercept[Exception] {
+      spark.sql("SELECT shingle_fps('a b c', CAST(3 AS BIGINT))").collect()
+    }
+    assert(bad.getMessage.contains("INT literal"), bad.getMessage)
   }
 }

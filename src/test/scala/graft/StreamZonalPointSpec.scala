@@ -77,4 +77,24 @@ class ImageStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("pix_count")).toMap
     assert(streamed == batch)
   }
+
+  test("replayed micro-batch (at-least-once retry) does not double-count") {
+    val images = Synth.images(8, seed = 43L, bands = 1)
+    val polys = Synth.polygons(nExtra = 2)
+    val cellRes = Tiler.resForCellSize(64.0)
+    val out = Files.createTempDirectory("graft_stream_replay_").toString + "/hist"
+    val polyDs = spark.createDataset(polys.toSeq)
+    val b0 = spark.createDataset(images.take(4).toSeq)
+    val b1 = spark.createDataset(images.drop(4).toSeq)
+
+    ImageStream.writeBatchDelta(b0, 0L, polyDs, cellRes, 64, out)
+    ImageStream.writeBatchDelta(b1, 1L, polyDs, cellRes, 64, out)
+    val once = ImageStream.stats(spark, out).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("pix_count")).toMap
+    // crash-between-write-and-checkpoint: batch 1 replays verbatim
+    ImageStream.writeBatchDelta(b1, 1L, polyDs, cellRes, 64, out)
+    val replayed = ImageStream.stats(spark, out).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("pix_count")).toMap
+    assert(replayed == once)
+  }
 }
