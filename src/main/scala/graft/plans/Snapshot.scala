@@ -120,6 +120,92 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     counts.keySet
   }
 
+  /**
+   * Small-file COMPACTION (the Iceberg rewrite_data_files analog).
+   * Incremental per-shard commits leave each partition as the small
+   * files of its writing batch — at 10^5 shards that is the classic
+   * small-file problem. Rewrites every partition whose current file
+   * count exceeds its byte-derived target (ceil(bytes/maxFileBytes),
+   * min 1) into at most that many files under a FRESH snapshot dir and
+   * publishes v(N+1) pointing the compacted partitions there. Older
+   * data dirs are untouched, so readAt() time travel still reconstructs
+   * every prior state (use expireSnapshots to reclaim them); rows and
+   * content are unchanged — only layout moves.
+   *
+   * One Spark job for all candidates: rows are salted into
+   * per-partition buckets sized to the target file count (deterministic
+   * row-hash salt, same rule as Skew.saltedRepartition), so a single
+   * shuffled write emits <= target files per partition — no per-
+   * partition driver loop.
+   *
+   * Returns the partition values rewritten.
+   */
+  def compact(maxFileBytes: Long = 128L << 20,
+              writer: String = "compact"): Set[String] = {
+    val prior = committed()
+    val f = fs
+    // current file count + target per live partition (metadata-only scan)
+    val plans = prior.toSeq.flatMap { case (k, m) =>
+      if (m.rows == 0) None
+      else {
+        val pdir = new Path(dataDir(m.snapshot), s"$partKey=$k")
+        val nFiles = f.listStatus(pdir).iterator
+          .count(_.getPath.getName.endsWith(".parquet"))
+        val target = math.max(1L, (m.bytes + maxFileBytes - 1) / maxFileBytes).toInt
+        if (nFiles > target) Some(k -> target) else None
+      }
+    }.toMap
+    if (plans.isEmpty) return Set.empty
+    val v = currentVersion + 1
+    val outDir = dataDir(v)
+    val targets = spark.createDataFrame(
+      plans.toSeq.map { case (k, n) => (k, n) }).toDF(partKey, "__nf")
+    val src = readFrom(prior.filter(p => plans.contains(p._1)))
+    val dataCols = src.columns.filter(_ != partKey).map(col)
+    val salted = src.join(broadcast(targets), partKey)
+      .withColumn("__salt", pmod(xxhash64(dataCols: _*), col("__nf")))
+      .repartition(col(partKey), col("__salt"))
+      .drop("__nf", "__salt")
+    salted.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
+    val bytes = plans.keys.map { k =>
+      val pdir = new Path(outDir, s"$partKey=$k")
+      k -> f.listStatus(pdir).iterator
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }.toMap
+    val merged = prior ++ plans.keys.map { k =>
+      k -> PartMeta(prior(k).rows, bytes(k), v, writer)
+    }
+    publishManifest(v, merged)
+    plans.keySet
+  }
+
+  /** Snapshot EXPIRATION (the Iceberg expire_snapshots analog): drop all
+    * manifests except the newest `keepLast`, then delete every data dir
+    * no kept manifest references (compaction and overwritten commits
+    * strand old v-dirs that only time travel can see). Time travel to
+    * an expired version fails with the usual missing-snapshot error;
+    * the live read() is untouched because the newest manifest is always
+    * kept. Returns the deleted snapshot-dir versions. */
+  def expireSnapshots(keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the newest snapshot")
+    val all = snapshots()
+    if (all.isEmpty) return Nil
+    val kept = all.takeRight(keepLast)
+    val referenced = kept.flatMap(v => committedAt(v).values.map(_.snapshot)).toSet
+    val f = fs
+    all.dropRight(keepLast)
+      .foreach(v => f.delete(new Path(manifestDir, s"v$v.json"), false))
+    val dataRoot = new Path(rootPath, "data")
+    if (!f.exists(dataRoot)) return Nil
+    val deletable = f.listStatus(dataRoot).iterator
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.stripPrefix("v").toInt }
+      .filterNot(referenced)
+      .toSeq.sorted
+    deletable.foreach(v => f.delete(dataDir(v), true))
+    deletable
+  }
+
   /** Work not yet committed: anti-join of the key list vs the manifest. */
   def pending(allKeys: Seq[String]): Seq[String] = {
     val done = committed().keySet

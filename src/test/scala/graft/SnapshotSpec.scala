@@ -111,4 +111,67 @@ class SnapshotSpec extends AnyFunSuite {
     assert(w == Set("zz"))
     assert(t.read().count() == 20)
   }
+
+  private def partFiles(root: String, v: Int, key: String): Int = {
+    val d = Paths.get(root, "data", s"v$v", s"shard=$key").toFile
+    val fs = d.listFiles(); if (fs == null) 0
+    else fs.count(_.getName.endsWith(".parquet"))
+  }
+
+  test("compact rewrites small files, preserves content + time travel") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    // force many small files per partition: 4-way repartition pre-write
+    t.commit(workload(Seq("a", "b")).repartition(4), writer = "w1")
+    t.commit(workload(Seq("a", "b", "c")).repartition(4), writer = "w2")
+    assert(partFiles(root, 1, "a") > 1, "fixture must start fragmented")
+    val before = t.read().select("shard", "seq", "payload")
+      .as[(String, Long, String)].collect().toSet
+    val v1 = t.readAt(1).count()
+
+    val rewritten = t.compact(maxFileBytes = 128L << 20, writer = "compactor")
+    assert(rewritten == Set("a", "b", "c"))
+    val v = t.currentVersion
+    // tiny partitions -> byte-derived target of exactly ONE file each
+    Seq("a", "b", "c").foreach(k => assert(partFiles(root, v, k) == 1, k))
+    // content identical, rows metric preserved, lineage points at compactor
+    assert(t.read().select("shard", "seq", "payload")
+      .as[(String, Long, String)].collect().toSet == before)
+    val m = t.committed()
+    assert(m.values.forall(p => p.rows == 10 && p.snapshot == v
+      && p.writer == "compactor"))
+    // data dirs are immutable: time travel to the fragmented state works
+    assert(t.readAt(1).count() == v1)
+    // already-compacted table: second pass is a no-op, no new snapshot
+    assert(t.compact(writer = "again").isEmpty)
+    assert(t.currentVersion == v)
+  }
+
+  test("expireSnapshots reclaims unreferenced data dirs, keeps the live read") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    t.commit(workload(Seq("a", "b")).repartition(4), writer = "w1")
+    t.commit(workload(Seq("a", "b", "c")).repartition(4), writer = "w2")
+    t.compact(writer = "compactor")
+    val before = t.read().select("shard", "seq", "payload")
+      .as[(String, Long, String)].collect().toSet
+    // v1/v2 data is now referenced by no partition of the kept manifest
+    val deleted = t.expireSnapshots(keepLast = 1)
+    assert(deleted == Seq(1, 2))
+    assert(!Paths.get(root, "data", "v1").toFile.exists)
+    assert(t.snapshots() == Seq(3))
+    assert(t.read().select("shard", "seq", "payload")
+      .as[(String, Long, String)].collect().toSet == before)
+    // expired versions are gone for time travel, with the clear error
+    val err = intercept[IllegalArgumentException](t.readAt(1))
+    assert(err.getMessage.contains("no snapshot"))
+    // keeping a manifest whose partitions span older dirs KEEPS those dirs
+    val root2 = freshRoot()
+    val t2 = new SnapshotTable(spark, root2, "shard")
+    t2.commit(workload(Seq("a")), writer = "w1")
+    t2.commit(workload(Seq("b")), writer = "w2")
+    assert(t2.expireSnapshots(keepLast = 1).isEmpty,
+      "v2's manifest still references v1's data -> nothing deletable")
+    assert(t2.read().count() == 20)
+  }
 }
