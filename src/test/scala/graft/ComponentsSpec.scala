@@ -72,6 +72,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty).isEmpty)
   }
 
+  test("image keep-one: dedupClusters composes with phashPairs (i1/i2 cols)") {
+    // planted phash chain at radius 2: A~B (2 bits), B~C (2 bits) but
+    // A-C is 4 bits apart so that pair is NOT emitted -> transitive
+    // closure must still collapse {A,B,C} to one keeper.
+    val imgs = graft.gen.GridImages.images(4, bands = 1)
+    val hashes = Map(0 -> 0L, 1 -> 3L, 2 -> 15L, 3 -> 0xF0F0L) // D isolated
+    val ds = spark.createDataset(imgs.zipWithIndex.map { case (im, i) =>
+      im.copy(image_id = s"im$i", phash = hashes(i))
+    }.toSeq)(org.apache.spark.sql.Encoders.product[graft.ImageRow])
+    val pairs = graft.operators.ImageDedup.phashPairs(ds, maxHamming = 2)
+    val p = pairs.select("i1", "i2").as[(String, String)].collect().toSet
+    assert(p == Set(("im0", "im1"), ("im1", "im2"))) // no direct im0-im2
+    val got = TextOps.dedupClusters(ds.select("image_id"), "image_id",
+        pairs, aCol = "i1", bCol = "i2")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("im0" -> "im0", "im1" -> "im0",
+                      "im2" -> "im0", "im3" -> "im3"))
+  }
+
   test("dedupClusters: transitive closure + singleton identity mapping") {
     // A~B, B~C (A,C never paired) must collapse to one survivor; D is
     // in no pair and maps to itself.
