@@ -50,10 +50,14 @@ object Components {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
 
-    // the initial checkpoint stays alive through the loop: the final
-    // nodes derivation reads IT, not the un-checkpointed e0 plan (which
-    // would re-run the whole upstream edge pipeline one more time)
     val eInit = e0.localCheckpoint()
+    // checkpoint the (small) distinct node list NOW, off the edge
+    // checkpoint — the final join reads it, so the (large) initial edge
+    // set is free to unpersist after round 1 instead of pinning peak
+    // storage through all O(log n) rounds, and the un-checkpointed e0
+    // plan never re-runs
+    val nodes = eInit.select(col("u").as("id"))
+      .union(eInit.select(col("v").as("id"))).distinct().localCheckpoint()
     var e = eInit
     var prevSig: (Long, Long) = checksum(e)
     var converged = prevSig._1 == 0L // empty graph: nothing to iterate
@@ -66,7 +70,7 @@ object Components {
       // (count, order-free xxhash sum) equality is the cheap convergence
       // probe; on a hit, confirm exactly (runs once, at the fixpoint).
       converged = sig == prevSig && next.exceptAll(e).isEmpty
-      if (e ne eInit) e.unpersist()
+      e.unpersist()
       e = next
       prevSig = sig
       rounds += 1
@@ -75,8 +79,6 @@ object Components {
     // At the fixpoint the edge set is a union of stars: every non-root
     // node carries exactly (node -> root). min() is belt and braces.
     val roots = e.groupBy(col("u").as("id")).agg(min("v").as("component"))
-    val nodes = eInit.select(col("u").as("id"))
-      .union(eInit.select(col("v").as("id"))).distinct()
     nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }

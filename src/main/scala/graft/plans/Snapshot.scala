@@ -43,6 +43,25 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
   private def manifestDir = new Path(rootPath, "manifests")
   private def dataDir(v: Int) = new Path(new Path(rootPath, "data"), s"v$v")
 
+  /** Partition dir for `key` under snapshot `v` — built with Spark's own
+    * partition-path escaping, so values containing %, /, etc. resolve to
+    * the directory the partitioned write actually produced. */
+  private def partDir(v: Int, key: String): Path =
+    new Path(dataDir(v), s"$partKey=" + org.apache.spark.sql.catalyst
+      .catalog.ExternalCatalogUtils.escapePathName(key))
+
+  /** (parquet file count, total parquet bytes) in `dir`; (0, 0) when the
+    * dir is absent (declared-empty partitions write no files). */
+  private def parquetFiles(dir: Path): (Int, Long) = {
+    val f = fs
+    if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory) (0, 0L)
+    else {
+      val ps = f.listStatus(dir).iterator
+        .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      (ps.size, ps.map(_.getLen).sum)
+    }
+  }
+
   def currentVersion: Int = snapshots().lastOption.getOrElse(0)
 
   /** partition value -> metadata, from the latest manifest. */
@@ -103,16 +122,7 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     if (counted.nonEmpty)
       fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
     // byte metrics from the files just written
-    val f = fs
-    val bytes = counts.keys.map { k =>
-      val pdir = new Path(outDir, s"$partKey=$k")
-      val sz = if (f.exists(pdir) && f.getFileStatus(pdir).isDirectory)
-        f.listStatus(pdir).iterator
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(_.getLen).sum
-      else 0L
-      k -> sz
-    }.toMap
+    val bytes = counts.keys.map(k => k -> parquetFiles(partDir(v, k))._2).toMap
     val merged = prior ++ counts.map { case (k, n) =>
       k -> PartMeta(n, bytes(k), v, writer)
     }
@@ -142,38 +152,34 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
    */
   def compact(maxFileBytes: Long = 128L << 20,
               writer: String = "compact"): Set[String] = {
-    val prior = committed()
-    val f = fs
+    // pin the version the plan is built against: publish targets v0+1, so
+    // a commit racing in between lands on the SAME version and the
+    // publishManifest read-back guard fails LOUDLY instead of this
+    // compaction silently erasing the concurrent commit from the manifest
+    val v0 = currentVersion
+    val prior = committedAt(v0)
     // current file count + target per live partition (metadata-only scan)
     val plans = prior.toSeq.flatMap { case (k, m) =>
       if (m.rows == 0) None
       else {
-        val pdir = new Path(dataDir(m.snapshot), s"$partKey=$k")
-        val nFiles = f.listStatus(pdir).iterator
-          .count(_.getPath.getName.endsWith(".parquet"))
+        val (nFiles, _) = parquetFiles(partDir(m.snapshot, k))
         val target = math.max(1L, (m.bytes + maxFileBytes - 1) / maxFileBytes).toInt
         if (nFiles > target) Some(k -> target) else None
       }
     }.toMap
     if (plans.isEmpty) return Set.empty
-    val v = currentVersion + 1
-    val outDir = dataDir(v)
-    val targets = spark.createDataFrame(
-      plans.toSeq.map { case (k, n) => (k, n) }).toDF(partKey, "__nf")
+    val v = v0 + 1
+    val targets = spark.createDataFrame(plans.toSeq).toDF(partKey, "__nf")
     val src = readFrom(prior.filter(p => plans.contains(p._1)))
     val dataCols = src.columns.filter(_ != partKey).map(col)
     val salted = src.join(broadcast(targets), partKey)
       .withColumn("__salt", pmod(xxhash64(dataCols: _*), col("__nf")))
       .repartition(col(partKey), col("__salt"))
       .drop("__nf", "__salt")
-    salted.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
-    val bytes = plans.keys.map { k =>
-      val pdir = new Path(outDir, s"$partKey=$k")
-      k -> f.listStatus(pdir).iterator
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    }.toMap
+    salted.write.partitionBy(partKey).mode("overwrite")
+      .parquet(dataDir(v).toString)
     val merged = prior ++ plans.keys.map { k =>
-      k -> PartMeta(prior(k).rows, bytes(k), v, writer)
+      k -> PartMeta(prior(k).rows, parquetFiles(partDir(v, k))._2, v, writer)
     }
     publishManifest(v, merged)
     plans.keySet
@@ -197,10 +203,14 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
       .foreach(v => f.delete(new Path(manifestDir, s"v$v.json"), false))
     val dataRoot = new Path(rootPath, "data")
     if (!f.exists(dataRoot)) return Nil
+    // only dirs AT OR BELOW the newest published version are candidates:
+    // a dir above it is an IN-FLIGHT commit/compaction that has written
+    // data but not yet published its manifest — sweeping it would let the
+    // writer publish a manifest pointing at deleted files
     val deletable = f.listStatus(dataRoot).iterator
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.stripPrefix("v").toInt }
-      .filterNot(referenced)
+      .filter(v => v <= kept.last && !referenced(v))
       .toSeq.sorted
     deletable.foreach(v => f.delete(dataDir(v), true))
     deletable
@@ -230,8 +240,7 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
       .toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>
       spark.read
         .option("basePath", dataDir(v).toString)
-        .parquet(ps.map { case (k, _) =>
-          new Path(dataDir(v), s"$partKey=$k").toString }: _*)
+        .parquet(ps.map { case (k, _) => partDir(v, k).toString }: _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -253,6 +262,12 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val target = new Path(manifestDir, s"v$v.json")
+    // POSIX rename REPLACES an existing target (and the read-back below
+    // would then compare our own bytes) — refuse up front if a concurrent
+    // committer already published this version
+    if (f.exists(target))
+      throw new java.io.IOException(
+        s"manifest v$v at $root already published by a concurrent committer")
     if (!f.rename(tmp, target))
       throw new java.io.IOException(s"manifest publish failed for v$v at $root")
     // read-back guard: HDFS rename-to-existing fails (detected above),

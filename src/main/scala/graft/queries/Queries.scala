@@ -966,6 +966,19 @@ object Queries {
     * invariant and the DuckDB oracle is the same closed-form zonal SQL
     * as q_pipeline_zonal — the delta-fold resume model is what this row
     * actually oracles. */
+  private def rmrf(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
+    f.delete(); ()
+  }
+
+  /** lazy so the cleanup hook registers exactly once per JVM. */
+  private lazy val qisScratchRoot: java.io.File = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_qis_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook(rmrf(d))
+    d
+  }
+
   def qImageStream(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
@@ -973,14 +986,10 @@ object Queries {
     // bench processes never rmrf each other's live streaming state),
     // wiped per call: repeated invocations in one JVM overwrite instead
     // of accumulating temp dirs, and a stale checkpoint never pairs
-    // with fresh input
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_qis_scratch_${ProcessHandle.current().pid()}")
-    def rmrf(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
-      f.delete(); ()
-    }
+    // with fresh input. A (once-registered) shutdown hook removes the
+    // dir on JVM exit — PIDs don't repeat, so without it every process
+    // would leak its scratch permanently.
+    val base = qisScratchRoot
     rmrf(base)
     val inDir = new java.io.File(base, "in").toString
     val outDir = new java.io.File(base, "hist").toString

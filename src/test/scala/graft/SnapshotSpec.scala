@@ -165,6 +165,13 @@ class SnapshotSpec extends AnyFunSuite {
     // expired versions are gone for time travel, with the clear error
     val err = intercept[IllegalArgumentException](t.readAt(1))
     assert(err.getMessage.contains("no snapshot"))
+    // an IN-FLIGHT writer's dir (data written, manifest not yet
+    // published, version ABOVE the newest manifest) must survive expiry
+    workload(Seq("zz")).write.partitionBy("shard")
+      .parquet(Paths.get(root, "data", "v4").toString)
+    assert(t.expireSnapshots(keepLast = 1).isEmpty)
+    assert(Paths.get(root, "data", "v4").toFile.exists,
+      "expire swept an unpublished in-flight snapshot dir")
     // keeping a manifest whose partitions span older dirs KEEPS those dirs
     val root2 = freshRoot()
     val t2 = new SnapshotTable(spark, root2, "shard")
