@@ -147,6 +147,24 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.currentVersion == v)
   }
 
+  test("partition values Spark escapes in dir names round-trip (%, space, /)") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    val weird = Seq("a%b", "with space", "sl/ash", "eq=colon:")
+    t.commit(workload(weird).repartition(4), writer = "w1")
+    val meta = t.committed()
+    assert(meta.keySet == weird.toSet)
+    meta.values.foreach(m => assert(m.rows == 10 && m.bytes > 0,
+      "escaped partition dir not found -> bytes metric silently zero"))
+    assert(t.read().count() == 40)
+    // compact must list/rewrite the ESCAPED dirs without crashing
+    assert(t.compact(writer = "c") == weird.toSet)
+    assert(t.read().select("shard", "seq", "payload")
+      .as[(String, Long, String)].collect().toSet ==
+      workload(weird).as[(String, Long, String)].collect().toSet)
+    assert(t.committed().values.forall(_.bytes > 0))
+  }
+
   test("expireSnapshots reclaims unreferenced data dirs, keeps the live read") {
     val root = freshRoot()
     val t = new SnapshotTable(spark, root, "shard")
