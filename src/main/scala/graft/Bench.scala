@@ -101,7 +101,8 @@ object Bench {
       "q_zonal_box_stats", "q_zonal_frac", "q_knn", "q_knn_hex",
       "q_hist_ecdf", "q_temporal_comp", "q_dedup_exact", "q_jaccard_pairs",
       "q_minhash_pairs", "q_simhash_pairs", "q_ann_topk", "q_ann_lsh",
-      "q_ann_ivf", "q_tokens", "q_windowed", "q_sessions")
+      "q_ann_ivf", "q_tokens", "q_windowed", "q_sessions",
+      "q_dedup_clusters") // round 4: minhash pairs -> CC keep-one
 
     // ---- headline queries at full parallelism; each query warms once at
     // sf0.001 so the timed number is steady-state throughput, not the
