@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /**
  * Distributed connected components over an undirected edge list — the
- * final stage of every near-duplicate pipeline (reference analog:
- * `utilities.py` dedup post-processing collapses match pairs into keep
- * groups): MinHash/SimHash/pHash candidate PAIRS become transitive
+ * final stage of every near-duplicate pipeline (a training-data-pipeline
+ * op beyond the reference's own surface, like the rest of the dedup
+ * family): MinHash/SimHash/pHash candidate PAIRS become transitive
  * CLUSTERS, and each document keeps one canonical representative (the
  * minimum id of its component).
  *
