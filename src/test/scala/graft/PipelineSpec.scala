@@ -70,5 +70,18 @@ class PipelineSpec extends AnyFunSuite {
 
     // run 3 is a no-op (idempotent)
     assert(Pipeline.run(imagesPath, polyDs, table, nShards, 64, cellRes).isEmpty)
+
+    // maintenance composes with resume: compacting the histogram table
+    // (shard-granular commits = fragmented partitions) changes layout
+    // only — stats unchanged, and resume still sees every shard done
+    table.compact(writer = "compactor")
+    assert(Pipeline.run(imagesPath, polyDs, table, nShards, 64, cellRes).isEmpty,
+      "compaction must not reopen committed shards")
+    val got2 = Pipeline.stats(table).collect().map { r =>
+      (r.getLong(0), r.getInt(1)) -> Map(
+        "count" -> r.getAs[Long]("pix_count"), "mean" -> r.getAs[Double]("mean"),
+        "median" -> r.getAs[Double]("median"))
+    }.toMap
+    assert(got2 == got)
   }
 }
