@@ -136,6 +136,31 @@ object SkewBench {
     val toff = aqeRuns.map(_._1).min; val ton = aqeRuns.map(_._2).min
     println(f"[skew] aqe_off_best=$toff%.2f s aqe_on_best=$ton%.2f s " +
       f"speedup=${toff / ton}%.2fx (pairs: ${aqeRuns.map(p => f"${p._1}%.2f/${p._2}%.2f").mkString(", ")})")
+
+    // ---- mechanism 3: connected components on a HUB graph — the skew
+    // shape near-dup clustering actually meets (one template document
+    // matched by everything + long duplicate chains). The hub node's
+    // neighborhood min partial-aggregates map-side, and the star joins
+    // key on node ids under the same AQE skew configs; the 1000-link
+    // chains prove log-round (not diameter-round) convergence at volume.
+    val nHub = 600000
+    val hubEdges = spark.range(nHub)
+      .select(lit("hub").as("a"), concat(lit("n"), col("id")).as("b"))
+    val chainEdges = spark.range(200L * 999).select(
+      concat(lit("c"), (col("id") / 999).cast("long"), lit("_"),
+        pmod(col("id"), lit(999))).as("a"),
+      concat(lit("c"), (col("id") / 999).cast("long"), lit("_"),
+        pmod(col("id"), lit(999)) + 1).as("b"))
+    val edges = hubEdges.union(chainEdges)
+    def ccRun(): Long = operators.Components
+      .connected(edges, "a", "b").select("component").distinct().count()
+    val ccWarm = ccRun() // warm
+    val tcc = (1 to 2).map(_ => time(ccRun())).min
+    val hubSize = operators.Components.connected(edges, "a", "b")
+      .groupBy("component").count().agg(max("count")).head().getLong(0)
+    println(f"[skew] cc_hub_best=$tcc%.2f s components=$ccWarm " +
+      s"(expect 201) hub_component=$hubSize (expect ${nHub + 1}) " +
+      s"edges=${nHub + 200 * 999}")
     spark.stop()
   }
 }

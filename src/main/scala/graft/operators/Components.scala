@@ -55,9 +55,14 @@ object Components {
     // checkpoint — the final join reads it, so the (large) initial edge
     // set is free to unpersist after round 1 instead of pinning peak
     // storage through all O(log n) rounds, and the un-checkpointed e0
-    // plan never re-runs
-    val nodes = eInit.select(col("u").as("id"))
-      .union(eInit.select(col("v").as("id"))).distinct().localCheckpoint()
+    // plan never re-runs. explode, not a self-union: a union of two
+    // slim projections of one checkpointed relation trips Spark's
+    // Union.rewriteConstraints ("key not found" on the dropped
+    // attribute) because the checkpoint carries constraints over BOTH
+    // columns — and the explode scans the edges once, not twice.
+    val nodes = eInit
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct().localCheckpoint()
     var e = eInit
     var prevSig: (Long, Long) = checksum(e)
     var converged = prevSig._1 == 0L // empty graph: nothing to iterate
@@ -85,9 +90,14 @@ object Components {
 
   /** Large-star: every node links its LARGER neighbors to the minimum
     * of its neighborhood (incl. itself). One groupBy + one join, both
-    * keyed on the node id — AQE-splittable if a hub node skews it. */
+    * keyed on the node id — AQE-splittable if a hub node skews it.
+    * Undirection via explode (one scan, two rows/edge), not a
+    * self-union — see the constraint-rewrite note in connected(). */
   private def largeStar(e: DataFrame): DataFrame = {
-    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val und = e.select(explode(array(
+        struct(col("u").as("s"), col("v").as("t")),
+        struct(col("v").as("s"), col("u").as("t")))).as("e"))
+      .select(col("e.s").as("u"), col("e.t").as("v"))
     val mins = und.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     und.join(mins, "u")
@@ -98,15 +108,16 @@ object Components {
   }
 
   /** Small-star: orient edges large->small; every node links its
-    * smaller neighbors (and itself) to the minimum smaller neighbor. */
+    * smaller neighbors (and itself) to the minimum smaller neighbor.
+    * The (u, m) self-link rides the join rows via explode instead of a
+    * second union branch (dedup by the existing distinct). */
   private def smallStar(e: DataFrame): DataFrame = {
     val ori = e.select(greatest(col("u"), col("v")).as("u"),
                        least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
     val mins = ori.groupBy("u").agg(min("v").as("m"))
     ori.join(mins, "u")
-      .select(col("v").as("a"), col("m"))
-      .union(mins.select(col("u").as("a"), col("m")))
+      .select(explode(array(col("v"), col("u"))).as("a"), col("m"))
       .where(col("a") =!= col("m"))
       .select(col("a").as("u"), col("m").as("v"))
       .distinct()
