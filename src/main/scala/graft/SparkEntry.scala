@@ -96,7 +96,9 @@ object SparkEntry {
       "q_image_stream"    -> (Q.qImageStream _),
       "q_knn_geo"         -> (Q.qKnnGeo _),
       "q_pip_geo"         -> (Q.qPipGeo _),
-      "q_dedup_clusters"  -> (Q.qDedupClusters _)
+      "q_dedup_clusters"  -> (Q.qDedupClusters _),
+      // round 4b: the Hough/RANSAC/snakes segmentation family
+      "q_canny"           -> (Q.qCanny _)
     )
   }
 
@@ -172,7 +174,8 @@ object SparkEntry {
       "q_image_stream"    -> Q.qImageStreamSql,
       "q_knn_geo"         -> Q.qKnnGeoSql,
       "q_pip_geo"         -> Q.qPipGeoSql,
-      "q_dedup_clusters"  -> Q.qDedupClustersSql
+      "q_dedup_clusters"  -> Q.qDedupClustersSql,
+      "q_canny"           -> Q.qCannySql
     )
   }
 }

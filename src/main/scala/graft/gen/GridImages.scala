@@ -64,6 +64,60 @@ object GridImages {
       y_max = yMax(i.toLong), px = 1.0)
   }
 
+  // ---- step-edge fixture (Canny / Hough / RANSAC family) ----
+  // Piecewise-constant vertical strips + one horizontal value change
+  // inside the right strip. Every Canny stage is exercised non-trivially:
+  //  - the c1 step (diff 50, |sobel| 200) is a strong double-column edge
+  //  - the c2 step (diff 3, |sobel| 12 < lowT 20) never enters the weak
+  //    set — suppressed regardless of connectivity
+  //  - the c3 strip's step diff is 15 above row k and 8 below, so its
+  //    edge line mixes strong (60) and weak (32) pixels — the weak tail
+  //    is kept ONLY via hysteresis; two pixels of column c3-1 at rows
+  //    k-1/k are NMS-suppressed by the stronger column-c3 neighbor
+  //  - the internal horizontal change at row k (diff 7, |sobel| 28)
+  //    is a weak line kept only through its 8-connection to column c3.
+  // The surviving edge set is closed-form (EdgeSpec pins it; the q_canny
+  // oracle enumerates it in SQL).
+  def edgeC1(i: Long): Int = 8 + (i % 3).toInt
+  def edgeC2(i: Long): Int = 20 + (i % 5).toInt
+  def edgeC3(i: Long): Int = 40 + (i % 7).toInt
+  def edgeK(i: Long): Int = 12 + (i % 9).toInt
+
+  def edgeValue(i: Long, x: Int, y: Int): Float = {
+    var v = 10
+    if (x >= edgeC1(i)) v += 50
+    if (x >= edgeC2(i)) v += 3
+    if (x >= edgeC3(i)) v += (if (y < edgeK(i)) 15 else 8)
+    v.toFloat
+  }
+
+  def edgeImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => edgeValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"edge fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** DuckDB CTE of the closed-form Canny edge set for `edgeImages(n)`
+    * at sigma=0, lowT=20, highT=40: (i, image_id, x, y). */
+  def edgeSetSql(n: Int): String =
+    s"""ep AS (
+       |  SELECT i, 8 + (i % 3) AS c1, 40 + (i % 7) AS c3, 12 + (i % 9) AS k
+       |  FROM generate_series(0, ${n - 1}) t(i)),
+       |edges AS (
+       |  SELECT i, c1 - 1 + e AS x, y FROM ep,
+       |    generate_series(0, 1) te(e), generate_series(0, ${H - 1}) ty(y)
+       |  UNION ALL
+       |  SELECT i, c3, y FROM ep, generate_series(0, ${H - 1}) ty(y)
+       |  UNION ALL
+       |  SELECT i, c3 - 1, y FROM ep, generate_series(0, ${H - 1}) ty(y)
+       |  WHERE y <> k - 1 AND y <> k
+       |  UNION ALL
+       |  SELECT i, x, k - 1 + e FROM ep, generate_series(0, 1) te(e),
+       |    generate_series(0, ${W - 1}) tx(x) WHERE x > c3)""".stripMargin
+
   /** `nLoc` locations, two images each (i and i+nLoc share a footprint) —
     * the mosaic fixture. */
   def overlapping(nLoc: Int, bands: Int = 1): IndexedSeq[ImageRow] =

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.ImageRow
+import graft.core.PixelCodec
+
+/**
+ * Canny edge detection — the edge front-end of the reference's
+ * Hough-segmentation and RANSAC-line chains
+ * (/root/reference/geospatial_learn/utilities.py:177-205 `houghseg`
+ * edge='canny', utilities.py:1595,1621 `ransac_lines`; skimage.canny
+ * semantics re-derived from the published algorithm, not ported).
+ *
+ * Spark shape: a per-image typed map (executors decode, filter, encode;
+ * nothing leaves the row), exactly like the other whole-image kernels in
+ * [[ImageOps]] — zero shuffle, codegen-friendly surroundings. For
+ * rasters larger than one row's budget, run it per halo-tile
+ * ([[Tiler.tiles]] with halo = sobelRadius + gaussianRadius(sigma)) and
+ * reassemble; the kernel below is pure on (array, w, h).
+ *
+ * Deterministic semantics (documented, spec-pinned in EdgeSpec):
+ *  - optional separable Gaussian blur, truncate 4.0, replicate padding;
+ *    skipped when sigma <= 0
+ *  - 3x3 Sobel, replicate padding; magnitude = sqrt(gx^2+gy^2) in Double
+ *  - non-max suppression quantized to 4 sectors at the tan(22.5 deg)
+ *    boundaries; a pixel survives iff mag >= BOTH neighbors along its
+ *    sector (plateaus survive); out-of-image neighbors count 0
+ *  - double-threshold hysteresis: weak = mag >= lowT, strong =
+ *    mag >= highT, BFS over 8-connectivity from strong through weak
+ */
+object Edge {
+
+  final val Tan22p5: Double = 0.41421356237309503 // tan(pi/8), public constant
+
+  /** Gaussian kernel radius for sigma (truncate = 4.0, skimage's default
+    * window rule). */
+  def gaussianRadius(sigma: Double): Int =
+    if (sigma <= 0) 0 else math.max(1, math.ceil(4.0 * sigma).toInt)
+
+  private def gaussianKernel(sigma: Double): Array[Double] = {
+    val r = gaussianRadius(sigma)
+    val k = Array.tabulate(2 * r + 1)(i => {
+      val d = (i - r).toDouble
+      math.exp(-d * d / (2.0 * sigma * sigma))
+    })
+    val s = k.sum
+    k.map(_ / s)
+  }
+
+  /** Separable replicate-padded Gaussian blur (pure kernel). */
+  def gaussianBlur(v: Array[Float], w: Int, h: Int, sigma: Double): Array[Double] = {
+    val src = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { src(i) = v(i).toDouble; i += 1 }
+    if (sigma <= 0) return src
+    val k = gaussianKernel(sigma)
+    val r = (k.length - 1) / 2
+    val tmp = new Array[Double](v.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var acc = 0.0
+        var j = -r
+        while (j <= r) {
+          val xx = math.max(0, math.min(w - 1, x + j))
+          acc += k(j + r) * src(y * w + xx)
+          j += 1
+        }
+        tmp(y * w + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](v.length)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var acc = 0.0
+        var j = -r
+        while (j <= r) {
+          val yy = math.max(0, math.min(h - 1, y + j))
+          acc += k(j + r) * tmp(yy * w + x)
+          j += 1
+        }
+        out(y * w + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The pure Canny kernel: returns a 0/1 mask (row-major w*h). */
+  def cannyMask(v: Array[Float], w: Int, h: Int, sigma: Double,
+                lowT: Double, highT: Double): Array[Float] = {
+    val img = gaussianBlur(v, w, h, sigma)
+    @inline def at(x: Int, y: Int): Double =
+      img(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
+    val gx = new Array[Double](w * h)
+    val gy = new Array[Double](w * h)
+    val mag = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        gx(p) = (at(x + 1, y - 1) + 2 * at(x + 1, y) + at(x + 1, y + 1)) -
+                (at(x - 1, y - 1) + 2 * at(x - 1, y) + at(x - 1, y + 1))
+        gy(p) = (at(x - 1, y + 1) + 2 * at(x, y + 1) + at(x + 1, y + 1)) -
+                (at(x - 1, y - 1) + 2 * at(x, y - 1) + at(x + 1, y - 1))
+        mag(p) = math.sqrt(gx(p) * gx(p) + gy(p) * gy(p))
+        x += 1
+      }
+      y += 1
+    }
+    // non-max suppression; out-of-image neighbors are 0
+    @inline def m(x: Int, y: Int): Double =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0.0 else mag(y * w + x)
+    // 0 = not-edge, 1 = weak, 2 = strong
+    val cls = new Array[Byte](w * h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        val mg = mag(p)
+        if (mg >= lowT) {
+          val ax = math.abs(gx(p)); val ay = math.abs(gy(p))
+          val (n1, n2) =
+            if (ay <= ax * Tan22p5) (m(x - 1, y), m(x + 1, y))          // horizontal
+            else if (ax <= ay * Tan22p5) (m(x, y - 1), m(x, y + 1))     // vertical
+            else if (gx(p) * gy(p) > 0) (m(x - 1, y - 1), m(x + 1, y + 1)) // main diag
+            else (m(x + 1, y - 1), m(x - 1, y + 1))                     // anti diag
+          if (mg >= n1 && mg >= n2)
+            cls(p) = if (mg >= highT) 2 else 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // hysteresis: BFS from strong pixels through weak, 8-connectivity
+    val out = new Array[Float](w * h)
+    val stack = new java.util.ArrayDeque[Int]()
+    var p = 0
+    while (p < cls.length) {
+      if (cls(p) == 2 && out(p) == 0f) {
+        out(p) = 1f; stack.push(p)
+        while (!stack.isEmpty) {
+          val q = stack.pop()
+          val qx = q % w; val qy = q / w
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val nx = qx + dx; val ny = qy + dy
+              if ((dx != 0 || dy != 0) && nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                val n = ny * w + nx
+                if (cls(n) != 0 && out(n) == 0f) { out(n) = 1f; stack.push(n) }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+        }
+      }
+      p += 1
+    }
+    out
+  }
+
+  /** Canny over the image table: one binary-mask image row out per input
+    * row (band `band` drives the edges; caption and geo carried through;
+    * phash recomputed on the mask so the lossy invariant stays
+    * checkable). */
+  def canny(images: Dataset[ImageRow], lowT: Double, highT: Double,
+            sigma: Double = 0.0, band: Int = 0)
+           (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val mask = cannyMask(dec.bands(band), img.w, img.h, sigma, lowT, highT)
+      val enc = PixelCodec.encode(PixelCodec.FmtRle, img.w, img.h, Array(mask))
+      img.copy(bytes = enc, fmt = PixelCodec.FmtRle,
+        phash = PixelCodec.phash64(img.w, img.h, mask))
+    }
+  }
+}

@@ -2247,6 +2247,36 @@ object Queries {
   def qSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionizeBatch(events(spark, dir))
 
+  /** Canny edge detection (houghseg/ransac_lines front-end,
+    * utilities.py:177-205): the step fixture exercises every stage
+    * non-trivially (strong edge, sub-lowT suppression, hysteresis-kept
+    * weak tail, two NMS casualties, connectivity-kept weak line) and the
+    * surviving edge set is closed-form — the oracle enumerates it
+    * relationally and aggregates the same count/x-sum/y-sum
+    * fingerprints. Derivation pinned pixel-exact in EdgeSpec. */
+  def qCanny(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val ds = spark.createDataset(GridImages.edgeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    Edge.canny(ds, lowT = 20, highT = 40, sigma = 0).map { im =>
+      val m = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
+      var n = 0L; var xs = 0L; var ys = 0L
+      var p = 0
+      while (p < m.length) {
+        if (m(p) > 0) { n += 1; xs += p % im.w; ys += p / im.w }
+        p += 1
+      }
+      (im.image_id, n, xs, ys)
+    }.toDF("image_id", "n_edge", "xsum", "ysum")
+  }
+
+  val qCannySql: String =
+    s"""WITH ${GridImages.edgeSetSql(6)}
+       |SELECT printf('g%03d', i) AS image_id, count(*) AS n_edge,
+       |  CAST(sum(x) AS BIGINT) AS xsum, CAST(sum(y) AS BIGINT) AS ysum
+       |FROM edges GROUP BY 1""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
