@@ -98,7 +98,9 @@ object SparkEntry {
       "q_pip_geo"         -> (Q.qPipGeo _),
       "q_dedup_clusters"  -> (Q.qDedupClusters _),
       // round 4b: the Hough/RANSAC/snakes segmentation family
-      "q_canny"           -> (Q.qCanny _)
+      "q_canny"           -> (Q.qCanny _),
+      "q_hough"           -> (Q.qHough _),
+      "q_hough_seg"       -> (Q.qHoughSeg _)
     )
   }
 
@@ -175,7 +177,9 @@ object SparkEntry {
       "q_knn_geo"         -> Q.qKnnGeoSql,
       "q_pip_geo"         -> Q.qPipGeoSql,
       "q_dedup_clusters"  -> Q.qDedupClustersSql,
-      "q_canny"           -> Q.qCannySql
+      "q_canny"           -> Q.qCannySql,
+      "q_hough"           -> Q.qHoughSql,
+      "q_hough_seg"       -> Q.qHoughSegSql
     )
   }
 }

@@ -118,6 +118,28 @@ object GridImages {
        |  SELECT i, x, k - 1 + e FROM ep, generate_series(0, 1) te(e),
        |    generate_series(0, ${W - 1}) tx(x) WHERE x > c3)""".stripMargin
 
+  // ---- grid-line fixture (Hough segmentation / RANSAC) ----
+  // Bright 1-px lines on a dark field: vertical lines at x ≡ a(i) mod 16
+  // (5 of them), horizontal at y ≡ b(i) mod 12 (4 of them). Thresholding
+  // recovers exactly the planted lines, the Hough peaks recover exactly
+  // the line coordinates, and the inverted mask's 4-connected components
+  // are the 30 grid cells with closed-form widths — the q_hough_seg
+  // oracle enumerates them relationally.
+  def lineA(i: Long): Int = 3 + (i % 5).toInt
+  def lineB(i: Long): Int = 2 + (i % 7).toInt
+
+  def lineValue(i: Long, x: Int, y: Int): Float =
+    if (x % 16 == lineA(i) || y % 12 == lineB(i)) 90f else 10f
+
+  def lineImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => lineValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"line fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   /** `nLoc` locations, two images each (i and i+nLoc share a footprint) —
     * the mosaic fixture. */
   def overlapping(nLoc: Int, bands: Int = 1): IndexedSeq[ImageRow] =

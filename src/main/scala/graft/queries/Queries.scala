@@ -2277,6 +2277,70 @@ object Queries {
        |  CAST(sum(x) AS BIGINT) AS xsum, CAST(sum(y) AS BIGINT) AS ysum
        |FROM edges GROUP BY 1""".stripMargin
 
+  /** Hough line peaks (houghseg core, utilities.py:58-108): canny edges
+    * -> relational vote accumulator -> NMS peaks over axis-exact angles
+    * {0, pi/2}. The peak set is closed-form on the step fixture (5 peaks
+    * per image: the two strong columns, the hysteresis column, and the
+    * two weak internal rows); HoughSpec pins the derivation, the oracle
+    * enumerates the same (theta, rho, votes) rows. */
+  def qHough(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ds = spark.createDataset(GridImages.edgeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val edges = Edge.canny(ds, lowT = 20, highT = 40, sigma = 0)
+    val acc = Hough.accumulate(Hough.edgePixels(edges),
+      thetas = Seq(0.0, math.Pi / 2), rhoBin = 1.0)
+    Hough.peaks(acc, minVotes = 30, nTheta = 0, nRho = 1)
+  }
+
+  val qHoughSql: String =
+    """WITH ep AS (
+      |  SELECT i, 8 + (i % 3) AS c1, 40 + (i % 7) AS c3, 12 + (i % 9) AS k
+      |  FROM generate_series(0, 5) t(i)),
+      |pk AS (
+      |  SELECT i, 0 AS theta_idx, c1 - 1 AS rho_idx, 48 AS votes FROM ep
+      |  UNION ALL SELECT i, 0, c1, 48 FROM ep
+      |  UNION ALL SELECT i, 0, c3, 48 FROM ep
+      |  UNION ALL SELECT i, 1, k - 1, 82 - c3 FROM ep
+      |  UNION ALL SELECT i, 1, k, 82 - c3 FROM ep)
+      |SELECT printf('g%03d', i) AS image_id, CAST(theta_idx AS INT) AS theta_idx,
+      |  CAST(rho_idx AS INT) AS rho_idx, CAST(votes AS BIGINT) AS votes
+      |FROM pk""".stripMargin
+
+  /** Full houghseg chain (utilities.py:112-233): threshold mask -> Hough
+    * peaks -> burn lines -> invert -> remove_small_objects -> 4-connected
+    * components. On the planted grid-line fixture the segments are
+    * exactly the grid cells with closed-form bounding boxes; the oracle
+    * cross-joins the x/y interval tables and filters by min area. */
+  def qHoughSeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ds = spark.createDataset(GridImages.lineImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val thetas = Seq(0.0, math.Pi / 2)
+    val acc = Hough.accumulate(Hough.edgePixels(ds, thresh = 50.0), thetas, 1.0)
+    val pk = Hough.peaks(acc, minVotes = 40, nTheta = 0, nRho = 1)
+    Hough.segments(ds, pk, thetas, rhoBin = 1.0, minArea = 20)
+  }
+
+  val qHoughSegSql: String =
+    """WITH lp AS (
+      |  SELECT i, 3 + (i % 5) AS a, 2 + (i % 7) AS b
+      |  FROM generate_series(0, 5) t(i)),
+      |xs AS (SELECT i,
+      |         CASE WHEN j = 0 THEN 0 ELSE a + 16 * (j - 1) + 1 END AS x0,
+      |         CASE WHEN j = 5 THEN 79 ELSE a + 16 * j - 1 END AS x1
+      |       FROM lp, generate_series(0, 5) tj(j)),
+      |ys AS (SELECT i,
+      |         CASE WHEN kk = 0 THEN 0 ELSE b + 12 * (kk - 1) + 1 END AS y0,
+      |         CASE WHEN kk = 4 THEN 47 ELSE b + 12 * kk - 1 END AS y1
+      |       FROM lp, generate_series(0, 4) tk(kk))
+      |SELECT printf('g%03d', xs.i) AS image_id,
+      |  CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS area,
+      |  CAST(x0 AS INT) AS x0, CAST(y0 AS INT) AS y0,
+      |  CAST(x1 AS INT) AS x1, CAST(y1 AS INT) AS y1
+      |FROM xs JOIN ys ON xs.i = ys.i
+      |WHERE (x1 - x0 + 1) * (y1 - y0 + 1) >= 20""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
