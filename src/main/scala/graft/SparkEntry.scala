@@ -100,7 +100,8 @@ object SparkEntry {
       // round 4b: the Hough/RANSAC/snakes segmentation family
       "q_canny"           -> (Q.qCanny _),
       "q_hough"           -> (Q.qHough _),
-      "q_hough_seg"       -> (Q.qHoughSeg _)
+      "q_hough_seg"       -> (Q.qHoughSeg _),
+      "q_ransac"          -> (Q.qRansac _)
     )
   }
 
@@ -179,7 +180,8 @@ object SparkEntry {
       "q_dedup_clusters"  -> Q.qDedupClustersSql,
       "q_canny"           -> Q.qCannySql,
       "q_hough"           -> Q.qHoughSql,
-      "q_hough_seg"       -> Q.qHoughSegSql
+      "q_hough_seg"       -> Q.qHoughSegSql,
+      "q_ransac"          -> Q.qRansacSql
     )
   }
 }

@@ -140,6 +140,48 @@ object GridImages {
       y_max = yMax(i.toLong), px = 1.0)
   }
 
+  // ---- RANSAC fixture ----
+  // Two 40-px strips per image; each strip plants a dominant VERTICAL
+  // line (15 pixels, every 3rd row, column 40s + 8 + ((i+2s) % 5)) plus
+  // 5 noise pixels >= 13 columns away. Any non-planted pair's consensus
+  // is provably < 15 (the tilt needed to reach the far noise column
+  // sweeps the planted pixels out of the 1-px residual band), so the
+  // exhaustive argmax lands on a planted (vertical) pair and the burned
+  // line is exactly column a at the edge pixels' rows — closed-form,
+  // and the q_ransac oracle replays the whole pair enumeration in SQL.
+  def ransacA(i: Long, s: Int): Int = 40 * s + 8 + ((i + 2 * s) % 5).toInt
+
+  def ransacBright(i: Long, x: Int, y: Int): Boolean = {
+    val s = x / 40
+    val planted = x == ransacA(i, s) && y % 3 == 1 && y <= 43
+    val noise = (0 until 5).exists { j =>
+      x == 40 * s + 25 + ((i + j) % 7).toInt && y == ((5 * j + 7 * s + i) % 48).toInt
+    }
+    planted || noise
+  }
+
+  def ransacImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p =>
+      if (ransacBright(i.toLong, p % W, p / W)) 90f else 10f)
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"ransac fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** DuckDB CTE of the fixture's bright pixels: (i, s, x, y, ord). */
+  def ransacPxSql(n: Int): String =
+    s"""rpx AS (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT i, s, 40*s + 8 + ((i + 2*s) % 5) AS x, 3*j + 1 AS y
+       |    FROM generate_series(0, ${n - 1}) t(i), generate_series(0, 1) ts(s),
+       |         generate_series(0, 14) tj(j)
+       |    UNION ALL
+       |    SELECT i, s, 40*s + 25 + ((i + j) % 7), (5*j + 7*s + i) % 48
+       |    FROM generate_series(0, ${n - 1}) t(i), generate_series(0, 1) ts(s),
+       |         generate_series(0, 4) tj(j)))""".stripMargin
+
   /** `nLoc` locations, two images each (i and i+nLoc share a footprint) —
     * the mosaic fixture. */
   def overlapping(nLoc: Int, bands: Int = 1): IndexedSeq[ImageRow] =

@@ -2341,6 +2341,53 @@ object Queries {
       |FROM xs JOIN ys ON xs.i = ys.i
       |WHERE (x1 - x0 + 1) * (y1 - y0 + 1) >= 20""".stripMargin
 
+  /** RANSAC strip lines (ransac_lines/_do_ransac,
+    * utilities.py:1504-1640): threshold mask -> per-strip exhaustive
+    * 2-point consensus argmax -> burn predicted pixels. The oracle is a
+    * FULL relational replay of the exhaustive path in DuckDB: enumerate
+    * row-major-ordered pixel pairs per (image, strip), count inliers
+    * with the identical integer-exact cross^2 <= r^2*len^2 test, take
+    * the first-enumeration argmax, and burn with the same
+    * round-half-up floorDiv. The planted-vertical fixture keeps every
+    * strip under exhaustiveMax so engine and oracle walk the same
+    * search space. */
+  def qRansac(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ds = spark.createDataset(GridImages.ransacImages(8).toSeq)(
+      Encoders.product[ImageRow])
+    Ransac.lines(ds, binwidth = 40, orient = "col", thresh = 50.0)
+  }
+
+  val qRansacSql: String =
+    s"""WITH ${GridImages.ransacPxSql(8)},
+       |pts AS (
+       |  SELECT i, s, x, y,
+       |    row_number() OVER (PARTITION BY i, s ORDER BY y, x) AS ord
+       |  FROM rpx),
+       |scored AS (
+       |  SELECT a.i, a.s, a.ord AS oa, b.ord AS ob,
+       |    a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb,
+       |    (SELECT count(*) FROM pts q
+       |     WHERE q.i = a.i AND q.s = a.s
+       |       AND ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x))
+       |         * ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x))
+       |         <= (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+       |    ) AS cnt
+       |  FROM pts a JOIN pts b
+       |    ON a.i = b.i AND a.s = b.s AND a.ord < b.ord AND a.y <> b.y),
+       |best AS (
+       |  SELECT i, s, xa, ya, xb, yb,
+       |    row_number() OVER (PARTITION BY i, s
+       |      ORDER BY cnt DESC, oa, ob) AS rk
+       |  FROM scored)
+       |SELECT DISTINCT printf('g%03d', b.i) AS image_id,
+       |  CAST(b.s AS INT) AS strip,
+       |  CAST(b.xa + floor((2.0 * (b.xb - b.xa) * (q.y - b.ya)
+       |      + (b.yb - b.ya)) / (2 * (b.yb - b.ya))) AS INT) AS x,
+       |  CAST(q.y AS INT) AS y
+       |FROM best b JOIN pts q ON b.i = q.i AND b.s = q.s
+       |WHERE b.rk = 1""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
