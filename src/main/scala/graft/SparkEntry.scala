@@ -101,7 +101,10 @@ object SparkEntry {
       "q_canny"           -> (Q.qCanny _),
       "q_hough"           -> (Q.qHough _),
       "q_hough_seg"       -> (Q.qHoughSeg _),
-      "q_ransac"          -> (Q.qRansac _)
+      "q_ransac"          -> (Q.qRansac _),
+      "q_snake"           -> (Q.qSnake _),
+      "q_snake_gac"       -> (Q.qSnakeGac _),
+      "q_snake_buf"       -> (Q.qSnakeBuf _)
     )
   }
 
@@ -181,7 +184,10 @@ object SparkEntry {
       "q_canny"           -> Q.qCannySql,
       "q_hough"           -> Q.qHoughSql,
       "q_hough_seg"       -> Q.qHoughSegSql,
-      "q_ransac"          -> Q.qRansacSql
+      "q_ransac"          -> Q.qRansacSql,
+      "q_snake"           -> Q.qSnakeSql,
+      "q_snake_gac"       -> Q.qSnakeGacSql,
+      "q_snake_buf"       -> Q.qSnakeBufSql
     )
   }
 }

@@ -182,6 +182,94 @@ object GridImages {
        |    FROM generate_series(0, ${n - 1}) t(i), generate_series(0, 1) ts(s),
        |         generate_series(0, 4) tj(j)))""".stripMargin
 
+  // ---- morphological-snakes fixture ----
+  // Two planted hi=90 rectangles ("blobs") on a lo=10 background plus a
+  // flat zone. Three init polygons per image:
+  //  - A ⊃ blob1 with 3..5-px margins: ACWE shrinks ring-by-ring (the
+  //    shed ring is all-lo, c0 stays exactly lo) and converges to blob1
+  //  - B ⊂ blob2 with 2..3-px inner margins: ACWE grows (c1 stays
+  //    exactly hi) and converges to blob2
+  //  - C over the flat zone: ACWE is stationary (c1 = c0 -> aux = 0);
+  //    GAC with gimg = 1, manual threshold and balloon = -1 erodes
+  //    exactly one ring per iteration
+  // All three finals are closed-form pixel rectangles (SnakesSpec pins
+  // the derivation; the q_snake* oracles enumerate them in SQL).
+  def snakeB1(i: Long): (Int, Int, Int, Int) = {
+    val x0 = 10 + (i % 4).toInt; val y0 = 8 + (i % 3).toInt
+    (x0, y0, x0 + 13 + (i % 3).toInt, y0 + 9 + (i % 2).toInt)
+  }
+  def snakeB2(i: Long): (Int, Int, Int, Int) = {
+    val x0 = 50 + (i % 3).toInt; val y0 = 22 + (i % 4).toInt
+    (x0, y0, x0 + 15 + (i % 2).toInt, y0 + 11 + (i % 3).toInt)
+  }
+  def snakePolyA(i: Long): (Int, Int, Int, Int) = {
+    val (x0, y0, x1, y1) = snakeB1(i)
+    (x0 - 3 - (i % 3).toInt, y0 - 3, x1 + 4 - (i % 2).toInt, y1 + 5 - (i % 3).toInt)
+  }
+  def snakePolyB(i: Long): (Int, Int, Int, Int) = {
+    val (x0, y0, x1, y1) = snakeB2(i)
+    (x0 + 2 + (i % 2).toInt, y0 + 2, x1 - 2, y1 - 3 + (i % 2).toInt)
+  }
+  def snakePolyC(i: Long): (Int, Int, Int, Int) =
+    (8 + (i % 3).toInt, 33, 26, 44 - (i % 2).toInt)
+
+  def snakeValue(i: Long, x: Int, y: Int): Float = {
+    val b1 = snakeB1(i); val b2 = snakeB2(i)
+    val in1 = x >= b1._1 && x <= b1._3 && y >= b1._2 && y <= b1._4
+    val in2 = x >= b2._1 && x <= b2._3 && y >= b2._2 && y <= b2._4
+    if (in1 || in2) 90f else 10f
+  }
+
+  def snakeImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => snakeValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"snake fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** World-coordinate polygon burning EXACTLY the pixel rect
+    * [x0..x1]x[y0..y1] of image i (0.25-px margins keep every pixel
+    * center strictly inside and neighbors strictly outside). */
+  def pixelRectPoly(i: Long, polyId: Long,
+                    r: (Int, Int, Int, Int)): graft.PolyRow = {
+    val (x0, y0, x1, y1) = r
+    val wx0 = xMin(i) + x0 + 0.25; val wx1 = xMin(i) + x1 + 0.75
+    val wy0 = yMax(i) - y1 - 0.75; val wy1 = yMax(i) - y0 - 0.25
+    graft.PolyRow(polyId, 0, Array(Array(
+      graft.Pt(wx0, wy0), graft.Pt(wx1, wy0), graft.Pt(wx1, wy1),
+      graft.Pt(wx0, wy1))), 1, s"snake $polyId", 0.0)
+  }
+
+  def snakePolys(n: Int): IndexedSeq[graft.PolyRow] =
+    (0 until n).flatMap { i =>
+      Seq(pixelRectPoly(i.toLong, i * 3L, snakePolyA(i.toLong)),
+        pixelRectPoly(i.toLong, i * 3L + 1, snakePolyB(i.toLong)),
+        pixelRectPoly(i.toLong, i * 3L + 2, snakePolyC(i.toLong)))
+    }
+
+  /** DuckDB CTE of the snake fixture's per-image rectangle corners:
+    * blob1/blob2 and the three init polys. */
+  def snakeRectSql(n: Int): String =
+    s"""sr AS (
+       |  SELECT i,
+       |    10 + (i % 4) AS s_x0, 8 + (i % 3) AS s_y0,
+       |    10 + (i % 4) + 13 + (i % 3) AS s_x1,
+       |    8 + (i % 3) + 9 + (i % 2) AS s_y1,
+       |    50 + (i % 3) AS t_x0, 22 + (i % 4) AS t_y0,
+       |    50 + (i % 3) + 15 + (i % 2) AS t_x1,
+       |    22 + (i % 4) + 11 + (i % 3) AS t_y1,
+       |    10 + (i % 4) - 3 - (i % 3) AS a_x0, 8 + (i % 3) - 3 AS a_y0,
+       |    10 + (i % 4) + 13 + (i % 3) + 4 - (i % 2) AS a_x1,
+       |    8 + (i % 3) + 9 + (i % 2) + 5 - (i % 3) AS a_y1,
+       |    50 + (i % 3) + 2 + (i % 2) AS b_x0, 22 + (i % 4) + 2 AS b_y0,
+       |    50 + (i % 3) + 15 + (i % 2) - 2 AS b_x1,
+       |    22 + (i % 4) + 11 + (i % 3) - 3 + (i % 2) AS b_y1,
+       |    8 + (i % 3) AS c_x0, 33 AS c_y0, 26 AS c_x1,
+       |    44 - (i % 2) AS c_y1
+       |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
+
   /** `nLoc` locations, two images each (i and i+nLoc share a footprint) —
     * the mosaic fixture. */
   def overlapping(nLoc: Int, bands: Int = 1): IndexedSeq[ImageRow] =

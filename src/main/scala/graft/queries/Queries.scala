@@ -2388,6 +2388,98 @@ object Queries {
        |FROM best b JOIN pts q ON b.i = q.i AND b.s = q.s
        |WHERE b.rk = 1""".stripMargin
 
+  /** Morphological snakes, ACWE (ms_snake, shape.py:2016-2244): init
+    * polygon A shrinks ring-by-ring onto the planted blob, init B grows
+    * outward onto its blob — both fixpoints are exact pixel rectangles
+    * (derivation pinned in SnakesSpec; kernel is iteration-exact
+    * morphsnakes, spec-checked against an independent naive). */
+  def qSnake(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.snakeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val polys = spark.createDataset(GridImages.snakePolys(6).toSeq)(
+      Encoders.product[PolyRow])
+      .filter(col("poly_id") % 3 < 2).as[PolyRow](Encoders.product[PolyRow])
+    Snakes.msSnake(imgs, polys, algo = "ACWE", buf1 = 4.0,
+      iterations = 12, smoothing = 0)
+  }
+
+  val qSnakeSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |g AS (SELECT gx.x, gy.y
+       |      FROM generate_series(0, 79) gx(x), generate_series(0, 47) gy(y)),
+       |px AS (
+       |  SELECT i, i * 3 AS poly_id, x, y FROM sr, g
+       |  WHERE x BETWEEN s_x0 AND s_x1 AND y BETWEEN s_y0 AND s_y1
+       |  UNION ALL
+       |  SELECT i, i * 3 + 1, x, y FROM sr, g
+       |  WHERE x BETWEEN t_x0 AND t_x1 AND y BETWEEN t_y0 AND t_y1)
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST(poly_id AS BIGINT) AS poly_id,
+       |  CAST(x AS INT) AS x, CAST(y AS INT) AS y
+       |FROM px""".stripMargin
+
+  /** Morphological snakes, GAC balloon path: over the flat zone the
+    * inverse Gaussian gradient is exactly 1, the attachment term
+    * vanishes, and balloon = -1 with a manual threshold erodes one ring
+    * per iteration (full 3x3 structure) — three iterations shrink init
+    * C by exactly three pixels per side. */
+  def qSnakeGac(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.snakeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val polys = spark.createDataset(GridImages.snakePolys(6).toSeq)(
+      Encoders.product[PolyRow])
+      .filter(col("poly_id") % 3 === 2).as[PolyRow](Encoders.product[PolyRow])
+    Snakes.msSnake(imgs, polys, algo = "GAC", buf1 = 2.0,
+      iterations = 3, smoothing = 0, threshold = 0.5, balloon = -1)
+  }
+
+  val qSnakeGacSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |g AS (SELECT gx.x, gy.y
+       |      FROM generate_series(0, 79) gx(x), generate_series(0, 47) gy(y))
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST(i * 3 + 2 AS BIGINT) AS poly_id,
+       |  CAST(x AS INT) AS x, CAST(y AS INT) AS y
+       |FROM sr, g
+       |WHERE x BETWEEN c_x0 + 3 AND c_x1 - 3
+       |  AND y BETWEEN c_y0 + 3 AND c_y1 - 3""".stripMargin
+
+  /** ms_snake's buf2 init adjustment in isolation (iterations = 0):
+    * buf2 > 0 grows the rasterized polygon to every pixel within
+    * Euclidean distance buf2 (exact EDT — rounded corners: dx^2 + dy^2
+    * <= buf2^2), buf2 < 0 keeps pixels at interior depth >= |buf2|. The
+    * oracle replays both predicates relationally. */
+  def qSnakeBuf(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.snakeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val all = spark.createDataset(GridImages.snakePolys(6).toSeq)(
+      Encoders.product[PolyRow])
+    val polysA = all.filter(col("poly_id") % 3 === 0).as[PolyRow](Encoders.product[PolyRow])
+    val polysB = all.filter(col("poly_id") % 3 === 1).as[PolyRow](Encoders.product[PolyRow])
+    Snakes.msSnake(imgs, polysA, buf1 = 4.0, buf2 = 2.5, iterations = 0)
+      .union(Snakes.msSnake(imgs, polysB, buf1 = 4.0, buf2 = -1.5, iterations = 0))
+  }
+
+  val qSnakeBufSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |g AS (SELECT gx.x, gy.y
+       |      FROM generate_series(0, 79) gx(x), generate_series(0, 47) gy(y)),
+       |px AS (
+       |  SELECT i, i * 3 AS poly_id, x, y FROM sr, g
+       |  WHERE power(greatest(a_x0 - x, x - a_x1, 0), 2)
+       |      + power(greatest(a_y0 - y, y - a_y1, 0), 2) <= 6.25
+       |  UNION ALL
+       |  SELECT i, i * 3 + 1, x, y FROM sr, g
+       |  WHERE x BETWEEN b_x0 + 1 AND b_x1 - 1
+       |    AND y BETWEEN b_y0 + 1 AND b_y1 - 1)
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST(poly_id AS BIGINT) AS poly_id,
+       |  CAST(x AS INT) AS x, CAST(y AS INT) AS y
+       |FROM px""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
