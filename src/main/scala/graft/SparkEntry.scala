@@ -104,7 +104,8 @@ object SparkEntry {
       "q_ransac"          -> (Q.qRansac _),
       "q_snake"           -> (Q.qSnake _),
       "q_snake_gac"       -> (Q.qSnakeGac _),
-      "q_snake_buf"       -> (Q.qSnakeBuf _)
+      "q_snake_buf"       -> (Q.qSnakeBuf _),
+      "q_kass"            -> (Q.qKass _)
     )
   }
 
@@ -187,7 +188,8 @@ object SparkEntry {
       "q_ransac"          -> Q.qRansacSql,
       "q_snake"           -> Q.qSnakeSql,
       "q_snake_gac"       -> Q.qSnakeGacSql,
-      "q_snake_buf"       -> Q.qSnakeBufSql
+      "q_snake_buf"       -> Q.qSnakeBufSql,
+      "q_kass"            -> Q.qKassSql
     )
   }
 }

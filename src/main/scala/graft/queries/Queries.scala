@@ -2480,6 +2480,57 @@ object Queries {
        |  CAST(x AS INT) AS x, CAST(y AS INT) AS y
        |FROM px""".stripMargin
 
+  /** Kass parametric active contour (snake, shape.py:1734-1990): with
+    * w_line = w_edge = 0 the image force vanishes and the whole
+    * evolution is the implicit-spline recurrence
+    * x += tanh(inv(M + gamma I) (gamma x) - x). For a 4-point periodic
+    * snake the inverse is a circulant whose entries follow from the
+    * 4-point DFT (eigenvalues gamma, 2a+4b+gamma, 4a+16b+gamma), so the
+    * oracle replays ALL six iterations in SQL with tanh(). */
+  def qKass(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.snakeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val polys = spark.createDataset(GridImages.snakePolys(6).toSeq)(
+      Encoders.product[PolyRow])
+      .filter(col("poly_id") % 3 === 0).as[PolyRow](Encoders.product[PolyRow])
+    Kass.snake(imgs, polys, buf1 = 4.0, nPoints = 0, alpha = 2.0,
+      beta = 0.5, wLine = 0.0, wEdge = 0.0, gamma = 1.0, maxPxMove = 1.0,
+      iterations = 6, convergence = 0.1, bc = "periodic")
+  }
+
+  val qKassSql: String = {
+    // circulant inverse entries for alpha=2, beta=0.5, gamma=1:
+    // eigenvalues 1, 7, 17, 7 -> d0/d1/d2 literal fractions
+    val d = "(CASE (a.p - b.p + 4) % 4" +
+      " WHEN 0 THEN (1.0/1 + 2.0/7 + 1.0/17)/4" +
+      " WHEN 2 THEN (1.0/1 - 2.0/7 + 1.0/17)/4" +
+      " ELSE (1.0/1 - 1.0/17)/4 END)"
+    // this DuckDB build has no tanh(); (exp(2x)-1)/(exp(2x)+1) is
+    // within an ulp at these argument magnitudes (|x| << 350)
+    def tanh(x: String) = s"((exp(2*($x)) - 1) / (exp(2*($x)) + 1))"
+    val iters = (1 to 6).map { k =>
+      s"""it$k AS (
+         |  SELECT a.i, a.p,
+         |    a.r + ${tanh(s"sum($d * b.r) - a.r")} AS r,
+         |    a.c + ${tanh(s"sum($d * b.c) - a.c")} AS c
+         |  FROM it${k - 1} a JOIN it${k - 1} b ON a.i = b.i
+         |  GROUP BY a.i, a.p, a.r, a.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |it0 AS (
+       |  SELECT i, p,
+       |    CASE WHEN p < 2 THEN a_y1 + 0.25 ELSE a_y0 - 0.25 END AS r,
+       |    CASE WHEN p = 0 OR p = 3 THEN a_x0 - 0.25
+       |         ELSE a_x1 + 0.25 END AS c
+       |  FROM sr, generate_series(0, 3) tp(p)),
+       |$iters
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST(i * 3 AS BIGINT) AS poly_id, CAST(p AS INT) AS idx,
+       |  r AS row, c AS col
+       |FROM it6""".stripMargin
+  }
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
