@@ -105,7 +105,12 @@ object SparkEntry {
       "q_snake"           -> (Q.qSnake _),
       "q_snake_gac"       -> (Q.qSnakeGac _),
       "q_snake_buf"       -> (Q.qSnakeBuf _),
-      "q_kass"            -> (Q.qKass _)
+      "q_kass"            -> (Q.qKass _),
+      // round 4c: the CNN inference + chip-collection family
+      "q_cnn_seg"         -> (Q.qCnnSeg _),
+      "q_cnn_chip"        -> (Q.qCnnChip _),
+      "q_chips"           -> (Q.qChips _),
+      "q_maskblock"       -> (Q.qMaskBlock _)
     )
   }
 
@@ -189,7 +194,11 @@ object SparkEntry {
       "q_snake"           -> Q.qSnakeSql,
       "q_snake_gac"       -> Q.qSnakeGacSql,
       "q_snake_buf"       -> Q.qSnakeBufSql,
-      "q_kass"            -> Q.qKassSql
+      "q_kass"            -> Q.qKassSql,
+      "q_cnn_seg"         -> Q.qCnnSegSql,
+      "q_cnn_chip"        -> Q.qCnnChipSql,
+      "q_chips"           -> Q.qChipsSql,
+      "q_maskblock"       -> Q.qMaskBlockSql
     )
   }
 }

@@ -270,6 +270,36 @@ object GridImages {
        |    44 - (i % 2) AS c_y1
        |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
 
+  // ---- training-mask fixture (CNN chip collection / maskblock) ----
+  // Zero background with labeled patches: pixel (x, y) of mask i is
+  // class (x/8 + y/6 + i) % 3 + 1 on the 16x12-granular patch lattice
+  // where (x/16 + y/12 + i) % 4 == 0, else 0 — so chips mix all-zero,
+  // single-class and multi-class windows and every chip's max label is
+  // closed-form.
+  def maskValue(i: Long, x: Int, y: Int): Float =
+    if ((x / 16 + y / 12 + i) % 4 == 0) ((x / 8 + y / 6 + i) % 3 + 1).toFloat
+    else 0f
+
+  def maskImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => maskValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"mask $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** DuckDB CTE of the mask-fixture pixels: (i, x, y, mv). */
+  def maskSql(n: Int): String =
+    s"""mpx AS (
+       |  SELECT i, x, y,
+       |    CASE WHEN (x // 16 + y // 12 + i) % 4 = 0
+       |         THEN CAST((x // 8 + y // 6 + i) % 3 + 1 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END AS mv
+       |  FROM generate_series(0, ${n - 1}) t(i),
+       |       generate_series(0, ${W - 1}) tx(x),
+       |       generate_series(0, ${H - 1}) ty(y))""".stripMargin
+
   /** `nLoc` locations, two images each (i and i+nLoc share a footprint) —
     * the mosaic fixture. */
   def overlapping(nLoc: Int, bands: Int = 1): IndexedSeq[ImageRow] =

@@ -1,0 +1,355 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.{ImageRow, TileRow}
+import graft.core.PixelCodec
+
+/** One 2-D convolution layer: `same`-size output with edge-replicated
+  * padding (the engine's kernel convention, ImageOps.convolve3x3),
+  * optional ReLU. Weights are [outC][inC][k][k] flattened row-major. */
+final case class ConvLayer(
+    outC: Int,
+    inC: Int,
+    k: Int,
+    weights: Array[Float],
+    bias: Array[Float],
+    relu: Boolean) {
+  require(k % 2 == 1, s"kernel size must be odd, got $k")
+  require(weights.length == outC * inC * k * k,
+    s"weights length ${weights.length} != $outC*$inC*$k*$k")
+  require(bias.length == outC)
+  def radius: Int = k / 2
+}
+
+/** A stack of conv layers — the engine's broadcastable stand-in for the
+  * reference's torch segmentation models (convnet.py:431-547 semseg_pred
+  * / chip_pred run an opaque `model` per block; here the model is a
+  * concrete weight set the engine executes natively, so inference is a
+  * deterministic distributed operator instead of a GPU round-trip). */
+final case class SegNet(layers: Seq[ConvLayer], classes: Array[Int]) {
+  require(layers.nonEmpty)
+  layers.sliding(2).foreach {
+    case Seq(a, b) => require(a.outC == b.inC,
+      s"channel mismatch: ${a.outC} -> ${b.inC}")
+    case _ =>
+  }
+  require(classes.length == layers.last.outC || layers.last.outC == 1,
+    "classes must map final channels (or the net is single-logit binary)")
+  /** Total receptive-field radius: the halo a tiled forward pass needs
+    * so core outputs equal the whole-image pass. */
+  def halo: Int = layers.map(_.radius).sum
+}
+
+/**
+ * Spark-native CNN inference + chip generation — the distributed
+ * re-expression of the reference's convnet block-prediction loops
+ * (convnet.py:431-547, convutils.py:559-759) and chip collectors
+ * (convnet.py:549-762). Training the weights is delegated to the model
+ * provider (the reference trains via torch on a GPU,
+ * convnet.py:50-428 — model FITTING is not a data-parallel relational
+ * operator); everything downstream of a weight set — chip extraction,
+ * whole-raster per-pixel prediction, per-chip labeling, mask blocking —
+ * is the engine's job and runs as broadcast-weights map work with zero
+ * shuffle.
+ */
+object ConvNet {
+
+  /** Deterministic 2-layer fixture net: conv3x3(2->3, relu) ->
+    * conv1x1(3->2), classes (1,2). Every weight/bias is a multiple of
+    * 1/8 — exact in binary floating point — so with integer pixel
+    * inputs the whole forward pass is EXACT in Float and Double alike
+    * and a SQL oracle replays the scores bit-for-bit. */
+  def fixtureNet: SegNet = {
+    val w1 = Array.tabulate(3 * 2 * 9)(i => ((i * 5) % 7 - 3) / 8f)
+    val b1 = Array.tabulate(3)(oc => oc / 8f)
+    val w2 = Array.tabulate(2 * 3)(i => ((i * 3) % 5 - 2) / 8f)
+    val b2 = Array.tabulate(2)(oc => (oc - 1) / 8f)
+    SegNet(Seq(ConvLayer(3, 2, 3, w1, b1, relu = true),
+      ConvLayer(2, 3, 1, w2, b2, relu = false)), Array(1, 2))
+  }
+
+  /** Edge-replicated `same` convolution forward pass over one window.
+    * Accumulates in Double, stores layer outputs as Float (one rounding
+    * per layer — the contract the SQL oracle mirrors by using weights
+    * and inputs exact in binary). Returns [outC] planes of w*h. */
+  def forward(bands: Array[Array[Float]], w: Int, h: Int,
+              net: SegNet): Array[Array[Float]] = {
+    var cur = bands
+    net.layers.foreach { l =>
+      require(cur.length == l.inC, s"input has ${cur.length} bands, layer wants ${l.inC}")
+      val out = Array.fill(l.outC)(new Array[Float](w * h))
+      val r = l.radius
+      var oc = 0
+      while (oc < l.outC) {
+        val plane = out(oc)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s: Double = l.bias(oc)
+            var ic = 0
+            while (ic < l.inC) {
+              val src = cur(ic)
+              val wBase = ((oc * l.inC + ic) * l.k) * l.k
+              var dy = -r
+              while (dy <= r) {
+                val yy = math.min(h - 1, math.max(0, y + dy))
+                var dx = -r
+                while (dx <= r) {
+                  val xx = math.min(w - 1, math.max(0, x + dx))
+                  s += src(yy * w + xx) * l.weights(wBase + (dy + r) * l.k + (dx + r))
+                  dx += 1
+                }
+                dy += 1
+              }
+              ic += 1
+            }
+            plane(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
+            x += 1
+          }
+          y += 1
+        }
+        oc += 1
+      }
+      cur = out
+    }
+    cur
+  }
+
+  /** Per-pixel class decision from the final planes — the reference's
+    * convert_pred (convutils.py:821-832): channel i's one-hot burn is
+    * applied in ASCENDING order, each overwriting the last, so the
+    * HIGHEST-scoring channel wins and ties go to the HIGHEST index;
+    * label = classes(i). Single-logit nets use the binary path
+    * (convutils.py:850-858): score > 0 -> 1 else 0. */
+  def decide(planes: Array[Array[Float]], idx: Int, classes: Array[Int]): Float =
+    if (planes.length == 1) { if (planes(0)(idx) > 0) 1f else 0f }
+    else {
+      var best = 0
+      var c = 1
+      while (c < planes.length) {
+        if (planes(c)(idx) >= planes(best)(idx)) best = c
+        c += 1
+      }
+      classes(best).toFloat
+    }
+
+  /** semseg_pred / pad_predict (convnet.py:431-485, convutils.py:559-644):
+    * whole-raster per-pixel class map, model broadcast, one map pass per
+    * image — no shuffle, no per-block GPU round-trips. */
+  def segPredict(images: Dataset[ImageRow], net: SegNet)
+                (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    images.map { img =>
+      val n = bc.value
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val planes = forward(dec.bands, img.w, img.h, n)
+      val cls = Array.tabulate(img.w * img.h)(i => decide(planes, i, n.classes))
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(cls)),
+        phash = PixelCodec.phash64(img.w, img.h, cls))
+    }
+  }
+
+  /** The SCALE path: forward pass over HALOED multi-band tiles
+    * (`Tiler.multiTiles(halo = net.halo)`), each tile computing the full
+    * stack on its expanded window and emitting only its core region.
+    * Core outputs are EXACT (equal the whole-image pass): a core pixel's
+    * total receptive field (sum of layer radii) lies inside the expanded
+    * window, and at true image edges the window edge IS the image edge
+    * so replicate clamping agrees — the same halo argument Glcm uses for
+    * cross-tile pairs. 100 TB shape: rasters of any size stream through
+    * as bounded tile rows; weights ride a broadcast; zero shuffle (tiles
+    * spanning several grid cells are emitted consecutively by the tiler
+    * flatMap and deduped per-partition, not via a distinct exchange). */
+  def segPredictTiles(tiles: Dataset[graft.MultiTileRow], net: SegNet,
+                      tileSize: Int)
+                     (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    tiles.mapPartitions { it =>
+      val n = bc.value
+      val h = n.halo
+      var lastKey: (String, Int, Int) = null
+      it.flatMap { t =>
+        val key = (t.image_id, t.tx, t.ty)
+        if (key == lastKey) None // same tile, another overlapped cell
+        else {
+          lastKey = key
+          require(t.bands.length == n.layers.head.inC,
+            s"tile ${t.image_id}(${t.tx},${t.ty}) has ${t.bands.length} bands, net wants ${n.layers.head.inC}")
+          val planes = forward(t.bands, t.tw, t.th, n)
+          // core offset inside the expanded window = the part of `h`
+          // actually available on the low side (halo is image-clipped)
+          val offX = math.min(h, t.tx * tileSize)
+          val offY = math.min(h, t.ty * tileSize)
+          val coreW = math.min(t.tw - offX, tileSize)
+          val coreH = math.min(t.th - offY, tileSize)
+          val cls = new Array[Float](coreW * coreH)
+          var r = 0
+          while (r < coreH) {
+            var c = 0
+            while (c < coreW) {
+              cls(r * coreW + c) =
+                decide(planes, (offY + r) * t.tw + offX + c, n.classes)
+              c += 1
+            }
+            r += 1
+          }
+          Some(TileRow(t.image_id, t.cell_id, t.tx, t.ty,
+            t.x_min + offX * t.px, t.y_max - offY * t.px, t.px,
+            band = 0, pixels = cls, tw = coreW, th = coreH, nodata = t.nodata))
+        }
+      }
+    }
+  }
+
+  /** chip_pad_predict (convutils.py:647-731): per-block SINGLE-class
+    * prediction — global-mean-pool the final planes over the chip, then
+    * the same decide rule. Input rows are chips (one row per chip). */
+  def chipPredict(chips: Dataset[ChipRow], net: SegNet)
+                 (implicit spark: SparkSession): Dataset[(String, Int, Int, Int)] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    chips.map { ch =>
+      val n = bc.value
+      val planes = forward(ch.bands, ch.w, ch.h, n)
+      val npx = ch.w * ch.h
+      // pooled SUMS, not means: argmax is invariant under the positive
+      // 1/npx factor, and the double sums stay exact where a float mean
+      // would round — the SQL oracle compares the identical sums.
+      val pooled = planes.map { p =>
+        var s = 0.0; var i = 0
+        while (i < npx) { s += p(i); i += 1 }
+        s
+      }
+      val lab =
+        if (pooled.length == 1) { if (pooled(0) > 0) 1 else 0 }
+        else {
+          var best = 0; var c = 1
+          while (c < pooled.length) {
+            if (pooled(c) >= pooled(best)) best = c
+            c += 1
+          }
+          n.classes(best)
+        }
+      (ch.image_id, ch.cx, ch.cy, lab)
+    }
+  }
+
+  /** collect_train (convnet.py:549-650): chip the (image, mask) pair
+    * into chipSize blocks (partial edge blocks KEPT at reduced size,
+    * convnet.py:616-627), drop chips whose mask is all zero
+    * (convnet.py:632-634). Equi join on image_id — masks are the
+    * parallel list of the reference, keyed here by id. */
+  def collectChips(images: Dataset[ImageRow], masks: Dataset[ImageRow],
+                   chipSize: Int)
+                  (implicit spark: SparkSession): Dataset[ChipRow] = {
+    import spark.implicits._
+    images.joinWith(masks, images("image_id") === masks("image_id"))
+      .flatMap { case (img, msk) =>
+        chipPairs(img, msk, chipSize).collect {
+          case (cx, cy, cw, chh, bands, mask) if mask.exists(_ > 0) =>
+            ChipRow(img.image_id, cx, cy, cw, chh, bands, mask,
+              label = mask.max.toInt)
+        }
+      }
+  }
+
+  /** collect_train_chip (convnet.py:653-762): label = int(max(mask))
+    * per chip; include_zero keeps all-zero chips as class 0. */
+  def collectChipsLabeled(images: Dataset[ImageRow], masks: Dataset[ImageRow],
+                          chipSize: Int, includeZero: Boolean)
+                         (implicit spark: SparkSession): Dataset[ChipRow] = {
+    import spark.implicits._
+    images.joinWith(masks, images("image_id") === masks("image_id"))
+      .flatMap { case (img, msk) =>
+        chipPairs(img, msk, chipSize).collect {
+          case (cx, cy, cw, chh, bands, mask) if includeZero || mask.exists(_ > 0) =>
+            ChipRow(img.image_id, cx, cy, cw, chh, bands, mask,
+              label = mask.max.toInt)
+        }
+      }
+  }
+
+  private def chipPairs(img: ImageRow, msk: ImageRow, chipSize: Int)
+      : Seq[(Int, Int, Int, Int, Array[Array[Float]], Array[Float])] = {
+    require(msk.w == img.w && msk.h == img.h,
+      s"mask ${msk.image_id} is ${msk.w}x${msk.h}, image is ${img.w}x${img.h}")
+    val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+    val mdec = PixelCodec.decode(msk.bytes, msk.fmt, msk.w, msk.h).bands(0)
+    for {
+      cy <- 0 until img.h by chipSize
+      cx <- 0 until img.w by chipSize
+    } yield {
+      val cw = math.min(chipSize, img.w - cx)
+      val chh = math.min(chipSize, img.h - cy)
+      def cut(src: Array[Float]): Array[Float] = {
+        val out = new Array[Float](cw * chh)
+        var r = 0
+        while (r < chh) {
+          System.arraycopy(src, (cy + r) * img.w + cx, out, r * cw, cw)
+          r += 1
+        }
+        out
+      }
+      (cx, cy, cw, chh, dec.bands.map(cut), cut(mdec))
+    }
+  }
+
+  /** maskblock (convutils.py:731-799): every chipSize block whose mask
+    * has any nonzero pixel becomes ALL ones (np.ones_like); all-zero
+    * blocks stay zero (the reference skips the write — output starts
+    * zeroed via _copy_dataset_config). */
+  def maskBlock(masks: Dataset[ImageRow], blockSize: Int)
+               (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    masks.map { img =>
+      val b = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h).bands(0)
+      val out = new Array[Float](img.w * img.h)
+      var cy = 0
+      while (cy < img.h) {
+        var cx = 0
+        val chh = math.min(blockSize, img.h - cy)
+        while (cx < img.w) {
+          val cw = math.min(blockSize, img.w - cx)
+          var any = false
+          var r = 0
+          while (r < chh && !any) {
+            var c = 0
+            while (c < cw && !any) {
+              if (b((cy + r) * img.w + cx + c) > 0) any = true
+              c += 1
+            }
+            r += 1
+          }
+          if (any) {
+            r = 0
+            while (r < chh) {
+              java.util.Arrays.fill(out, (cy + r) * img.w + cx,
+                (cy + r) * img.w + cx + cw, 1f)
+              r += 1
+            }
+          }
+          cx += blockSize
+        }
+        cy += blockSize
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(out)),
+        phash = PixelCodec.phash64(img.w, img.h, out))
+    }
+  }
+}
+
+/** One training chip: the reference writes these as GTiff pairs
+  * (convnet.py:644-648); the engine keeps them relational — a chips
+  * TABLE is what a 100 TB training pipeline feeds a data loader from. */
+final case class ChipRow(
+    image_id: String,
+    cx: Int,
+    cy: Int,
+    w: Int,
+    h: Int,
+    bands: Array[Array[Float]],
+    mask: Array[Float],
+    label: Int)

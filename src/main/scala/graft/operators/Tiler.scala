@@ -109,7 +109,7 @@ object Tiler {
     * force a groupByKey on the tile key (a full pixel-payload shuffle)
     * just to re-zip what the decoder already had together. */
   def multiTiles(images: Dataset[ImageRow], tileSize: Int, cellRes: Int,
-                 nodata: Float = Float.NaN)
+                 nodata: Float = Float.NaN, halo: Int = 0)
                 (implicit spark: SparkSession): Dataset[MultiTileRow] = {
     import spark.implicits._
     val eps = 1e-9
@@ -132,18 +132,25 @@ object Tiler {
           val wx1 = wx0 + tw * img.px
           val cells = GridIndex.coverBBox(
             Geom.BBox(wx0 + eps, wy0 + eps, wx1 - eps, wy1 - eps), cellRes)
+          // expanded pixel window (image-clipped), as in `tiles`
+          val hx0 = math.max(0, x0 - halo)
+          val hy0 = math.max(0, y0 - halo)
+          val htw = math.min(img.w, x0 + tw + halo) - hx0
+          val hth = math.min(img.h, y0 + th + halo) - hy0
+          val hwx0 = img.x_min + hx0 * img.px
+          val hwy1 = img.y_max - hy0 * img.px
           val bands = dec.bands.map { src =>
-            val px = new Array[Float](tw * th)
+            val px = new Array[Float](htw * hth)
             var r = 0
-            while (r < th) {
-              System.arraycopy(src, (y0 + r) * img.w + x0, px, r * tw, tw)
+            while (r < hth) {
+              System.arraycopy(src, (hy0 + r) * img.w + hx0, px, r * htw, htw)
               r += 1
             }
             px
           }
           cells.foreach { c =>
-            out += MultiTileRow(img.image_id, c, tx, ty, wx0, wy1, img.px,
-              bands, tw, th, nodata)
+            out += MultiTileRow(img.image_id, c, tx, ty, hwx0, hwy1, img.px,
+              bands, htw, hth, nodata)
           }
           tx += 1
         }

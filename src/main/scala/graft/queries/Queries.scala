@@ -2531,6 +2531,185 @@ object Queries {
        |FROM it6""".stripMargin
   }
 
+  // ---- CNN inference + chip pipeline (convnet.py / convutils.py) ----
+
+  /** Weight/score CTEs shared by the CNN oracles: the fixture net's
+    * weights are EXACT eighths and grid pixels are integers, so every
+    * product/sum in the forward pass is exact in Float, Double and SQL
+    * DOUBLE alike — the oracle equality is bit-for-bit, not approximate.
+    * `clampX`/`clampY` parameterize the edge-replicate bounds (whole
+    * image vs chip-local). */
+  private def cnnWeightSql: String =
+    s"""w1 AS (
+       |  SELECT oc, ic, dy, dx,
+       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/8 AS wt
+       |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
+       |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
+       |w2 AS (
+       |  SELECT oc2, ic,
+       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
+       |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic))""".stripMargin
+
+  /** q_cnn_seg — the distributed semantic-segmentation inference path
+    * (semseg_pred / pad_predict, convnet.py:431-485): HALOED multi-band
+    * tiles -> broadcast-weights forward pass -> per-pixel convert_pred
+    * labels -> reassembled class raster. Per-image per-class pixel
+    * counts plus a position-weighted checksum pin every pixel's label;
+    * the oracle replays both conv layers, the relu, and the
+    * highest-channel-wins argmax relationally. */
+  def qCnnSeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val net = ConvNet.fixtureNet
+    val tiles = Tiler.multiTiles(gridImages(spark, 6, 2), tileSize = 24,
+      cellRes = 16, halo = net.halo)
+    val pred = ConvNet.segPredictTiles(tiles, net, tileSize = 24)
+    ImageOps.assemble(pred, GridImages.W, GridImages.H,
+      graft.core.PixelCodec.FmtRawLe)
+      .flatMap { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        dec.bands(0).iterator.zipWithIndex.map { case (v, idx) =>
+          (im.image_id, v.toInt, (idx % im.w) * 31 + (idx / im.w) * 7)
+        }
+      }.toDF("image_id", "cls", "pw")
+      .groupBy("image_id", "cls")
+      .agg(count(lit(1)).as("n"), sum("pw").as("sx"))
+  }
+
+  val qCnnSegSql: String =
+    s"""WITH ${GridImages.pxSql(6, 2)},
+       |$cnnWeightSql,
+       |h1 AS (
+       |  SELECT p.i, p.x, p.y, w.oc,
+       |    greatest(0.0, sum(w.wt * q.v) + CAST(w.oc AS DOUBLE)/8) AS hv
+       |  FROM (SELECT DISTINCT i, x, y FROM px) p, w1 w, px q
+       |  WHERE q.i = p.i AND q.b = w.ic
+       |    AND q.x = greatest(0, least(79, p.x + w.dx))
+       |    AND q.y = greatest(0, least(47, p.y + w.dy))
+       |  GROUP BY p.i, p.x, p.y, w.oc),
+       |s2 AS (
+       |  SELECT h.i, h.x, h.y, w.oc2,
+       |    sum(w.wt * h.hv) + CAST(w.oc2 - 1 AS DOUBLE)/8 AS sv
+       |  FROM h1 h JOIN w2 w ON w.ic = h.oc
+       |  GROUP BY h.i, h.x, h.y, w.oc2),
+       |cls AS (
+       |  SELECT i, x, y,
+       |    CASE WHEN max(CASE WHEN oc2 = 1 THEN sv END)
+       |          >= max(CASE WHEN oc2 = 0 THEN sv END)
+       |         THEN 2 ELSE 1 END AS cls
+       |  FROM s2 GROUP BY i, x, y)
+       |SELECT printf('g%03d', i) AS image_id, CAST(cls AS INT) AS cls,
+       |  count(*) AS n, CAST(sum(x*31 + y*7) AS BIGINT) AS sx
+       |FROM cls GROUP BY 1, 2""".stripMargin
+
+  /** q_cnn_chip — chip-level classification (chip_pad_predict,
+    * convutils.py:647-731): 16x16 chips, forward pass with CHIP-LOCAL
+    * edge replication, pooled-sum argmax label per chip. */
+  def qCnnChip(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 6, 2), masks,
+      chipSize = 16, includeZero = true)
+    ConvNet.chipPredict(chips, ConvNet.fixtureNet)
+      .toDF("image_id", "cx", "cy", "pred")
+      .groupBy("image_id", "pred")
+      .agg(count(lit(1)).as("n_chips"), sum(col("cx") * 3 + col("cy")).as("cpos"))
+  }
+
+  val qCnnChipSql: String =
+    s"""WITH $cnnWeightSql,
+       |chp AS (
+       |  SELECT i, bx*16 AS cx, by*16 AS cy, lx, ly
+       |  FROM generate_series(0, 5) t(i), generate_series(0, 4) a(bx),
+       |       generate_series(0, 2) b(by), generate_series(0, 15) c(lx),
+       |       generate_series(0, 15) e(ly)),
+       |h1 AS (
+       |  SELECT p.i, p.cx, p.cy, p.lx, p.ly, w.oc,
+       |    greatest(0.0, sum(w.wt *
+       |      CAST(((p.cx + greatest(0, least(15, p.lx + w.dx)))*7
+       |          + (p.cy + greatest(0, least(15, p.ly + w.dy)))*13
+       |          + w.ic*31 + p.i*17) % 97 AS DOUBLE))
+       |      + CAST(w.oc AS DOUBLE)/8) AS hv
+       |  FROM chp p, w1 w
+       |  GROUP BY p.i, p.cx, p.cy, p.lx, p.ly, w.oc),
+       |s2 AS (
+       |  SELECT h.i, h.cx, h.cy, h.lx, h.ly, w.oc2,
+       |    sum(w.wt * h.hv) + CAST(w.oc2 - 1 AS DOUBLE)/8 AS sv
+       |  FROM h1 h JOIN w2 w ON w.ic = h.oc
+       |  GROUP BY h.i, h.cx, h.cy, h.lx, h.ly, w.oc2),
+       |pool AS (
+       |  SELECT i, cx, cy, oc2, sum(sv) AS ps
+       |  FROM s2 GROUP BY i, cx, cy, oc2),
+       |pred AS (
+       |  SELECT i, cx, cy,
+       |    CASE WHEN max(CASE WHEN oc2 = 1 THEN ps END)
+       |          >= max(CASE WHEN oc2 = 0 THEN ps END)
+       |         THEN 2 ELSE 1 END AS pred
+       |  FROM pool GROUP BY i, cx, cy)
+       |SELECT printf('g%03d', i) AS image_id, CAST(pred AS INT) AS pred,
+       |  count(*) AS n_chips, CAST(sum(cx*3 + cy) AS BIGINT) AS cpos
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
+  /** q_chips — training-chip collection (collect_train /
+    * collect_train_chip, convnet.py:549-762): 16x16 chips over the
+    * (image, mask) join, all-zero-mask chips DROPPED, label =
+    * max(mask); per image the kept-chip count, label sum and band-0
+    * pixel mass pin the selection AND the cut windows. */
+  def qChips(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    ConvNet.collectChipsLabeled(gridImages(spark, 6, 2), masks,
+      chipSize = 16, includeZero = false)
+      .map(ch => (ch.image_id, ch.label.toLong,
+        ch.bands(0).map(_.toDouble).sum))
+      .toDF("image_id", "label", "pxs")
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_chips"), sum("label").as("sum_label"),
+        round(sum("pxs"), 2).as("px_sum"))
+  }
+
+  val qChipsSql: String =
+    s"""WITH ${GridImages.pxSql(6, 2)}, ${GridImages.maskSql(6)},
+       |chip AS (
+       |  SELECT i, x // 16 AS bx, y // 16 AS by, max(mv) AS lab
+       |  FROM mpx GROUP BY 1, 2, 3),
+       |psum AS (
+       |  SELECT i, x // 16 AS bx, y // 16 AS by, sum(v) AS ps
+       |  FROM px WHERE b = 0 GROUP BY 1, 2, 3)
+       |SELECT printf('g%03d', i) AS image_id, count(*) AS n_chips,
+       |  CAST(sum(lab) AS BIGINT) AS sum_label,
+       |  round(sum(ps), 2) AS px_sum
+       |FROM chip JOIN psum USING (i, bx, by)
+       |WHERE lab > 0 GROUP BY 1""".stripMargin
+
+  /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
+    * with any nonzero mask pixel becomes all ones; per-image one-count
+    * and hit-block count. */
+  def qMaskBlock(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(8).toSeq)(
+      Encoders.product[ImageRow])
+    ConvNet.maskBlock(masks, blockSize = 16).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      (im.image_id, dec.bands(0).count(_ == 1f).toLong)
+    }.toDF("image_id", "ones")
+  }
+
+  val qMaskBlockSql: String =
+    s"""WITH ${GridImages.maskSql(8)},
+       |blk AS (
+       |  SELECT i, x // 16 AS bx, y // 16 AS by,
+       |    max(mv) AS mx, count(*) AS npx
+       |  FROM mpx GROUP BY 1, 2, 3)
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST(coalesce(sum(CASE WHEN mx > 0 THEN npx END), 0) AS BIGINT) AS ones
+       |FROM blk GROUP BY 1""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

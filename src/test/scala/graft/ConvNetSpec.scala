@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core.PixelCodec
+import graft.gen.GridImages
+import graft.operators.{ConvNet, ConvLayer, SegNet, Tiler, ImageOps}
+
+class ConvNetSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // The deterministic 2-layer fixture net (weights are multiples of 1/8,
+  // so every product/sum is exact in Float AND Double — the SQL oracle
+  // recomputes bit-identical scores).
+  val net: SegNet = ConvNet.fixtureNet
+
+  def naivePad(b: Array[Float], w: Int, h: Int, r: Int): (Array[Float], Int, Int) = {
+    // independent route: materialize an edge-replicated padded plane
+    val pw = w + 2 * r; val ph = h + 2 * r
+    val out = new Array[Float](pw * ph)
+    for (y <- 0 until ph; x <- 0 until pw) {
+      val yy = math.min(h - 1, math.max(0, y - r))
+      val xx = math.min(w - 1, math.max(0, x - r))
+      out(y * pw + x) = b(yy * w + xx)
+    }
+    (out, pw, ph)
+  }
+
+  def naiveForward(bands: Array[Array[Float]], w: Int, h: Int): Array[Array[Float]] = {
+    var cur = bands
+    net.layers.foreach { l =>
+      val r = l.radius
+      val padded = cur.map(naivePad(_, w, h, r))
+      val out = Array.fill(l.outC)(new Array[Float](w * h))
+      for (oc <- 0 until l.outC; y <- 0 until h; x <- 0 until w) {
+        var s: Double = l.bias(oc)
+        for (ic <- 0 until l.inC; dy <- 0 until l.k; dx <- 0 until l.k) {
+          val (p, pw, _) = padded(ic)
+          s += p((y + dy) * pw + x + dx) *
+            l.weights(((oc * l.inC + ic) * l.k + dy) * l.k + dx)
+        }
+        out(oc)(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
+      }
+      cur = out
+    }
+    cur
+  }
+
+  lazy val imgs = GridImages.images(6, bands = 2)
+  lazy val ds = spark.createDataset(imgs.toSeq)
+
+  test("forward pass equals independent padded-plane conv, bit-exact") {
+    imgs.take(2).foreach { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val got = ConvNet.forward(dec.bands, img.w, img.h, net)
+      val want = naiveForward(dec.bands, img.w, img.h)
+      got.zip(want).foreach { case (g, w) => assert(g.sameElements(w)) }
+    }
+  }
+
+  test("segPredict burns convert_pred labels (highest channel wins ties)") {
+    val pred = ConvNet.segPredict(ds, net).collect().map(i => i.image_id -> i).toMap
+    imgs.foreach { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val planes = naiveForward(dec.bands, img.w, img.h)
+      val p = pred(img.image_id)
+      val cls = PixelCodec.decode(p.bytes, p.fmt, p.w, p.h).bands(0)
+      for (i <- 0 until img.w * img.h) {
+        val exp = if (planes(1)(i) >= planes(0)(i)) 2f else 1f
+        assert(cls(i) == exp, s"pixel $i of ${img.image_id}")
+      }
+    }
+  }
+
+  test("haloed-tile prediction equals the whole-image pass (multi-cell tiles)") {
+    // tileSize 24 with cellRes 16: tiles span several grid cells, so the
+    // consecutive-dedupe path is exercised; halo = net.halo (=1+0).
+    val whole = ConvNet.segPredict(ds, net).collect()
+      .map(i => i.image_id -> PixelCodec.decode(i.bytes, i.fmt, i.w, i.h).bands(0)).toMap
+    val tiled = ConvNet.segPredictTiles(
+      Tiler.multiTiles(ds, tileSize = 24, cellRes = 16, halo = net.halo),
+      net, tileSize = 24)
+    val back = ImageOps.assemble(tiled, GridImages.W, GridImages.H,
+      PixelCodec.FmtRawLe).collect()
+    assert(back.length == imgs.length)
+    back.foreach { im =>
+      val got = PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
+      assert(got.sameElements(whole(im.image_id)), im.image_id)
+    }
+  }
+
+  test("single-logit net takes the binary path (score>0 -> 1)") {
+    val bin = SegNet(Seq(ConvLayer(1, 2, 1,
+      Array(0.125f, -0.125f), Array(-1f), relu = false)), Array(1))
+    val pred = ConvNet.segPredict(ds, bin).collect().head
+    val dec = PixelCodec.decode(pred.bytes, pred.fmt, pred.w, pred.h).bands(0)
+    val src = imgs.find(_.image_id == pred.image_id).get
+    val sd = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h)
+    for (i <- 0 until pred.w * pred.h) {
+      val s = 0.125f * sd.bands(0)(i) - 0.125f * sd.bands(1)(i) - 1f
+      assert(dec(i) == (if (s > 0) 1f else 0f))
+    }
+  }
+
+  lazy val masks = GridImages.maskImages(6)
+  lazy val maskDs = spark.createDataset(masks.toSeq)
+
+  test("collectChips drops all-zero-mask chips, keeps partial edge chips") {
+    val chips = ConvNet.collectChips(ds, maskDs, chipSize = 16)(spark).collect()
+    // naive
+    var want = 0
+    imgs.zip(masks).foreach { case (img, msk) =>
+      val m = PixelCodec.decode(msk.bytes, msk.fmt, msk.w, msk.h).bands(0)
+      for (cy <- 0 until img.h by 16; cx <- 0 until img.w by 16) {
+        val cw = math.min(16, img.w - cx); val ch = math.min(16, img.h - cy)
+        val vals = for (r <- 0 until ch; c <- 0 until cw)
+          yield m((cy + r) * img.w + cx + c)
+        if (vals.max > 0) want += 1
+      }
+    }
+    assert(chips.length == want)
+    chips.foreach { ch =>
+      assert(ch.mask.max > 0)
+      assert(ch.label == ch.mask.max.toInt)
+      assert(ch.bands.length == 2 && ch.bands(0).length == ch.w * ch.h)
+      // chip pixels equal the image window
+      val src = imgs.find(_.image_id == ch.image_id).get
+      val dec = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h)
+      for (r <- 0 until ch.h; c <- 0 until ch.w)
+        assert(ch.bands(0)(r * ch.w + c) == dec.bands(0)((ch.cy + r) * src.w + ch.cx + c))
+    }
+    // edge chips exist (80 % 16 == 0 but 48 % 16 == 0 too; use 24 for partials)
+    val chips24 = ConvNet.collectChips(ds, maskDs, chipSize = 24)(spark).collect()
+    assert(chips24.exists(c => c.w == 8) && chips24.exists(c => c.h == 24))
+  }
+
+  test("collectChipsLabeled include_zero keeps class-0 chips") {
+    val withZero = ConvNet.collectChipsLabeled(ds, maskDs, 16, includeZero = true)(spark).collect()
+    val noZero = ConvNet.collectChipsLabeled(ds, maskDs, 16, includeZero = false)(spark).collect()
+    assert(withZero.length == imgs.length * 5 * 3) // all 15 chips per image
+    assert(noZero.forall(_.label > 0))
+    assert(withZero.count(_.label == 0) == withZero.length - noZero.length)
+  }
+
+  test("chipPredict pools scores then labels the whole chip") {
+    val chips = ConvNet.collectChipsLabeled(ds, maskDs, 16, includeZero = true)(spark)
+    val got = ConvNet.chipPredict(chips, net)(spark).collect()
+      .map { case (id, cx, cy, l) => (id, cx, cy) -> l }.toMap
+    // naive: mean-pool the naive forward planes per chip
+    imgs.foreach { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      for (cy <- 0 until img.h by 16; cx <- 0 until img.w by 16) {
+        val cw = math.min(16, img.w - cx); val ch = math.min(16, img.h - cy)
+        val sub = dec.bands.map { b =>
+          val out = new Array[Float](cw * ch)
+          for (r <- 0 until ch; c <- 0 until cw)
+            out(r * cw + c) = b((cy + r) * img.w + cx + c)
+          out
+        }
+        val planes = naiveForward(sub, cw, ch)
+        val pooled = planes.map(p => p.map(_.toDouble).sum / (cw * ch))
+        val exp = if (pooled(1) >= pooled(0)) 2 else 1
+        assert(got((img.image_id, cx, cy)) == exp, s"${img.image_id} ($cx,$cy)")
+      }
+    }
+  }
+
+  test("maskBlock fills any-hit blocks with ones, leaves zero blocks") {
+    val blocked = ConvNet.maskBlock(maskDs, blockSize = 16)(spark).collect()
+    blocked.foreach { bm =>
+      val got = PixelCodec.decode(bm.bytes, bm.fmt, bm.w, bm.h).bands(0)
+      val src = masks.find(_.image_id == bm.image_id).get
+      val m = PixelCodec.decode(src.bytes, src.fmt, src.w, src.h).bands(0)
+      for (cy <- 0 until bm.h by 16; cx <- 0 until bm.w by 16) {
+        val cw = math.min(16, bm.w - cx); val ch = math.min(16, bm.h - cy)
+        val vals = for (r <- 0 until ch; c <- 0 until cw)
+          yield m((cy + r) * bm.w + cx + c)
+        val exp = if (vals.max > 0) 1f else 0f
+        for (r <- 0 until ch; c <- 0 until cw)
+          assert(got((cy + r) * bm.w + cx + c) == exp)
+      }
+    }
+  }
+}
