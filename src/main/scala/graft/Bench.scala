@@ -146,6 +146,25 @@ object Bench {
       val tb = time(pipeline(spark, path, scaleCores))._1
       (ts, tb)
     }
+    // ---- CNN inference throughput over the SAME image table: haloed
+    // multiTiles -> broadcast-weights forward -> per-pixel labels (the
+    // distributed semseg_pred path). One warm pass, then timed at the
+    // big width.
+    val cnnNet = operators.ConvNet.fixtureNet3
+    def cnnRun(limit: Int): Unit = {
+      import org.apache.spark.sql.Encoders
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      val im0 = spark.read.parquet(path)
+      val im = (if (limit > 0) im0.limit(limit) else im0)
+        .as[ImageRow](Encoders.product[ImageRow])
+      val cellRes = operators.Tiler.resForCellSize(64.0)
+      val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = cnnNet.halo)
+      operators.ConvNet.segPredictTiles(tiles, cnnNet, 64).count()
+      ()
+    }
+    cnnRun(512) // warm
+    val tCnn = time(cnnRun(0))._1
     spark.stop()
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val tSmall = median(pairs.map(_._1))
@@ -162,8 +181,9 @@ object Bench {
       f""""t_small_sec":$tSmall%.3f,"t_big_sec":$tBig%.3f,""" +
       f""""pixels":$pixels,"rows_per_sec_small":$thrSmall%.0f,""" +
       f""""rows_per_sec_big":$thrBig%.0f,"efficiency":$eff%.3f}"""
+    val thrCnn = pixels / tCnn
     val jsonLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"scaling":$scaling%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"cnn_seg_sec":$tCnn%.3f,"cnn_px_per_sec":$thrCnn%.0f,"scaling":$scaling%s,"sf":"$sfDir%s"}"""
     println(jsonLine)
     // the stdout line drowns in sbt [info] noise (round-1 BENCH_r01.json
     // came back "parsed": null) — ALSO write the machine-readable copy

@@ -110,7 +110,8 @@ object SparkEntry {
       "q_cnn_seg"         -> (Q.qCnnSeg _),
       "q_cnn_chip"        -> (Q.qCnnChip _),
       "q_chips"           -> (Q.qChips _),
-      "q_maskblock"       -> (Q.qMaskBlock _)
+      "q_maskblock"       -> (Q.qMaskBlock _),
+      "q_seg_fit"         -> (Q.qSegFit _)
     )
   }
 
@@ -198,7 +199,8 @@ object SparkEntry {
       "q_cnn_seg"         -> Q.qCnnSegSql,
       "q_cnn_chip"        -> Q.qCnnChipSql,
       "q_chips"           -> Q.qChipsSql,
-      "q_maskblock"       -> Q.qMaskBlockSql
+      "q_maskblock"       -> Q.qMaskBlockSql,
+      "q_seg_fit"         -> Q.qSegFitSql
     )
   }
 }

@@ -68,6 +68,17 @@ object ConvNet {
       ConvLayer(2, 3, 1, w2, b2, relu = false)), Array(1, 2))
   }
 
+  /** 3-band bench variant: conv3x3(3->4, relu) -> conv1x1(4->3) — the
+    * throughput-measurement net for the north-rule image table. */
+  def fixtureNet3: SegNet = {
+    val w1 = Array.tabulate(4 * 3 * 9)(i => ((i * 5) % 7 - 3) / 8f)
+    val b1 = Array.tabulate(4)(oc => oc / 8f)
+    val w2 = Array.tabulate(3 * 4)(i => ((i * 3) % 5 - 2) / 8f)
+    val b2 = Array.tabulate(3)(oc => (oc - 1) / 8f)
+    SegNet(Seq(ConvLayer(4, 3, 3, w1, b1, relu = true),
+      ConvLayer(3, 4, 1, w2, b2, relu = false)), Array(1, 2, 3))
+  }
+
   /** Edge-replicated `same` convolution forward pass over one window.
     * Accumulates in Double, stores layer outputs as Float (one rounding
     * per layer — the contract the SQL oracle mirrors by using weights
@@ -295,6 +306,102 @@ object ConvNet {
       }
       (cx, cy, cw, chh, dec.bands.map(cut), cut(mdec))
     }
+  }
+
+  /** Per-chip partial normal-equation sums for fitting a 1x1 conv head
+    * on FROZEN backbone features — the engine-side half of the
+    * reference's train step (convnet.py:50-428 trains the whole net in
+    * torch; at 100 TB the data-parallel part is exactly this: per-chip
+    * feature extraction + Gram/moment aggregation, a shuffle of d^2+d*C
+    * doubles per chip instead of pixels). Features are the backbone's
+    * output channels plus a bias-1 term (d = outC + 1); targets are the
+    * one-hot mask classes 0..nClasses-1. Output rows:
+    * (kind='g', ra, rb, v) for XtX and (kind='y', ra, rb=class, v) for
+    * XtY — exact doubles (backbone scores are exact eighths). */
+  def gramForHead(chips: Dataset[ChipRow], backbone: SegNet, nClasses: Int)
+                 (implicit spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(backbone)
+    val d = backbone.layers.last.outC + 1
+    chips.flatMap { ch =>
+      val planes = forward(ch.bands, ch.w, ch.h, bc.value)
+      val npx = ch.w * ch.h
+      val g = new Array[Double](d * d)
+      val xy = new Array[Double](d * nClasses)
+      val f = new Array[Double](d)
+      var i = 0
+      while (i < npx) {
+        var a = 0
+        while (a < d - 1) { f(a) = planes(a)(i); a += 1 }
+        f(d - 1) = 1.0
+        val cls = ch.mask(i).toInt
+        a = 0
+        while (a < d) {
+          var b = 0
+          while (b < d) { g(a * d + b) += f(a) * f(b); b += 1 }
+          if (cls >= 0 && cls < nClasses) xy(a * nClasses + cls) += f(a)
+          a += 1
+        }
+        i += 1
+      }
+      (for (a <- 0 until d; b <- 0 until d)
+        yield ("g", a, b, g(a * d + b))) ++
+        (for (a <- 0 until d; c <- 0 until nClasses)
+          yield ("y", a, c, xy(a * nClasses + c)))
+    }.toDF("kind", "ra", "rb", "v")
+      .groupBy("kind", "ra", "rb")
+      .agg(org.apache.spark.sql.functions.sum("v").as("v"))
+  }
+
+  /** Solve the ridge normal equations (XtX + lambda*I) W = XtY from the
+    * aggregated Gram rows and return the fitted 1x1 conv head (weights
+    * per class channel, bias from the bias-feature row) — composable:
+    * SegNet(backbone.layers :+ head) is a ready segPredict net. The
+    * collect is d^2 + d*C rows by construction (d, C <= a few dozen). */
+  def fitSegHead(chips: Dataset[ChipRow], backbone: SegNet, nClasses: Int,
+                 lambda: Double = 1e-3)
+                (implicit spark: SparkSession): ConvLayer = {
+    val d = backbone.layers.last.outC + 1
+    val rows = gramForHead(chips, backbone, nClasses).collect()
+    val g = Array.ofDim[Double](d, d)
+    val xy = Array.ofDim[Double](d, nClasses)
+    rows.foreach { r =>
+      val (k, a, b, v) = (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+      if (k == "g") g(a)(b) = v else xy(a)(b) = v
+    }
+    var i = 0
+    while (i < d) { g(i)(i) += lambda; i += 1 }
+    // Gaussian elimination with partial pivoting on the d x (d+C) tableau
+    val m = Array.tabulate(d)(r => g(r) ++ xy(r))
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) { if (math.abs(m(r)(col)) > math.abs(m(piv)(col))) piv = r; r += 1 }
+      val t = m(col); m(col) = m(piv); m(piv) = t
+      require(math.abs(m(col)(col)) > 1e-12, "singular Gram matrix — raise lambda")
+      val inv = 1.0 / m(col)(col)
+      var c = col
+      while (c < d + nClasses) { m(col)(c) *= inv; c += 1 }
+      r = 0
+      while (r < d) {
+        if (r != col && m(r)(col) != 0.0) {
+          val f = m(r)(col)
+          c = col
+          while (c < d + nClasses) { m(r)(c) -= f * m(col)(c); c += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    // W(feature a, class c) = m(a)(d + c); bias row is feature d-1
+    val w = Array.tabulate(nClasses * (d - 1)) { i =>
+      val oc = i / (d - 1); val ic = i % (d - 1)
+      m(ic)(d + oc).toFloat
+    }
+    val bias = Array.tabulate(nClasses)(oc => m(d - 1)(d + oc).toFloat)
+    ConvLayer(nClasses, d - 1, 1, w, bias, relu = false)
   }
 
   /** maskblock (convutils.py:731-799): every chipSize block whose mask

@@ -2618,9 +2618,10 @@ object Queries {
       .agg(count(lit(1)).as("n_chips"), sum(col("cx") * 3 + col("cy")).as("cpos"))
   }
 
-  val qCnnChipSql: String =
-    s"""WITH $cnnWeightSql,
-       |chp AS (
+  /** Chip grid + chip-locally-clamped layer-1 activations (shared by
+    * q_cnn_chip and q_seg_fit): 16x16 chips over gridImages(6, 2). */
+  private def cnnChipH1Sql: String =
+    s"""chp AS (
        |  SELECT i, bx*16 AS cx, by*16 AS cy, lx, ly
        |  FROM generate_series(0, 5) t(i), generate_series(0, 4) a(bx),
        |       generate_series(0, 2) b(by), generate_series(0, 15) c(lx),
@@ -2633,7 +2634,11 @@ object Queries {
        |          + w.ic*31 + p.i*17) % 97 AS DOUBLE))
        |      + CAST(w.oc AS DOUBLE)/8) AS hv
        |  FROM chp p, w1 w
-       |  GROUP BY p.i, p.cx, p.cy, p.lx, p.ly, w.oc),
+       |  GROUP BY p.i, p.cx, p.cy, p.lx, p.ly, w.oc)""".stripMargin
+
+  val qCnnChipSql: String =
+    s"""WITH $cnnWeightSql,
+       |$cnnChipH1Sql,
        |s2 AS (
        |  SELECT h.i, h.cx, h.cy, h.lx, h.ly, w.oc2,
        |    sum(w.wt * h.hv) + CAST(w.oc2 - 1 AS DOUBLE)/8 AS sv
@@ -2685,6 +2690,50 @@ object Queries {
        |  round(sum(ps), 2) AS px_sum
        |FROM chip JOIN psum USING (i, bx, by)
        |WHERE lab > 0 GROUP BY 1""".stripMargin
+
+  /** q_seg_fit — the distributed half of head training: per-chip
+    * Gram/moment partial sums for the ridge normal equations over
+    * FROZEN layer-1 features (+bias) and one-hot mask classes. The
+    * shuffle carries d^2 + d*C doubles per chip, never pixels; the
+    * oracle recomputes every XtX / XtY entry from the replayed
+    * activations (exact eighths, so sums are exact). The tiny d x d
+    * SOLVE is driver-side by construction and spec-checked
+    * (ConvNetSpec: residual ~ 0, composed net predicts). */
+  def qSegFit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val full = ConvNet.fixtureNet
+    val backbone = SegNet(full.layers.take(1), Array(1, 2, 3))
+    val masks = spark.createDataset(GridImages.maskImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 6, 2), masks,
+      chipSize = 16, includeZero = true)
+    ConvNet.gramForHead(chips, backbone, nClasses = 4)
+      .select(col("kind"), col("ra"), col("rb"), round(col("v"), 2).as("v"))
+  }
+
+  val qSegFitSql: String =
+    s"""WITH $cnnWeightSql,
+       |$cnnChipH1Sql,
+       |${GridImages.maskSql(6)},
+       |feat AS (
+       |  SELECT i, cx, cy, lx, ly, oc, hv FROM h1
+       |  UNION ALL
+       |  SELECT i, cx, cy, lx, ly, 3 AS oc, CAST(1 AS DOUBLE) AS hv FROM chp),
+       |gm AS (
+       |  SELECT 'g' AS kind, a.oc AS ra, b.oc AS rb,
+       |    round(sum(a.hv * b.hv), 2) AS v
+       |  FROM feat a JOIN feat b
+       |    ON a.i = b.i AND a.cx = b.cx AND a.cy = b.cy
+       |    AND a.lx = b.lx AND a.ly = b.ly
+       |  GROUP BY 1, 2, 3),
+       |ym AS (
+       |  SELECT 'y' AS kind, f.oc AS ra, CAST(m.mv AS INT) AS rb,
+       |    round(sum(f.hv), 2) AS v
+       |  FROM feat f JOIN mpx m
+       |    ON m.i = f.i AND m.x = f.cx + f.lx AND m.y = f.cy + f.ly
+       |  GROUP BY 1, 2, 3)
+       |SELECT kind, CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb, v
+       |FROM (SELECT * FROM gm UNION ALL SELECT * FROM ym)""".stripMargin
 
   /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
     * with any nonzero mask pixel becomes all ones; per-image one-count

@@ -27,25 +27,8 @@ class ConvNetSpec extends AnyFunSuite {
     (out, pw, ph)
   }
 
-  def naiveForward(bands: Array[Array[Float]], w: Int, h: Int): Array[Array[Float]] = {
-    var cur = bands
-    net.layers.foreach { l =>
-      val r = l.radius
-      val padded = cur.map(naivePad(_, w, h, r))
-      val out = Array.fill(l.outC)(new Array[Float](w * h))
-      for (oc <- 0 until l.outC; y <- 0 until h; x <- 0 until w) {
-        var s: Double = l.bias(oc)
-        for (ic <- 0 until l.inC; dy <- 0 until l.k; dx <- 0 until l.k) {
-          val (p, pw, _) = padded(ic)
-          s += p((y + dy) * pw + x + dx) *
-            l.weights(((oc * l.inC + ic) * l.k + dy) * l.k + dx)
-        }
-        out(oc)(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
-      }
-      cur = out
-    }
-    cur
-  }
+  def naiveForward(bands: Array[Array[Float]], w: Int, h: Int): Array[Array[Float]] =
+    naiveForward2(bands, w, h, net)
 
   lazy val imgs = GridImages.images(6, bands = 2)
   lazy val ds = spark.createDataset(imgs.toSeq)
@@ -164,6 +147,63 @@ class ConvNetSpec extends AnyFunSuite {
         assert(got((img.image_id, cx, cy)) == exp, s"${img.image_id} ($cx,$cy)")
       }
     }
+  }
+
+  test("fitSegHead solves the ridge normal equations distributed") {
+    import graft.operators.{SegNet => SN}
+    val backbone = SN(net.layers.take(1), Array(1, 2, 3))
+    val chips = ConvNet.collectChipsLabeled(ds, maskDs, 16, includeZero = true)(spark)
+    val lambda = 1e-3
+    val head = ConvNet.fitSegHead(chips, backbone, nClasses = 4, lambda)(spark)
+    assert(head.outC == 4 && head.inC == 3 && head.k == 1)
+
+    // independent check: accumulate X'X / X'Y naively over every chip
+    // pixel, then verify the fitted W satisfies (X'X + lambda I) W = X'Y
+    val d = 4; val C = 4
+    val g = Array.ofDim[Double](d, d)
+    val xy = Array.ofDim[Double](d, C)
+    chips.collect().foreach { ch =>
+      val planes = naiveForward2(ch.bands, ch.w, ch.h, backbone)
+      for (i <- 0 until ch.w * ch.h) {
+        val f = Array(planes(0)(i).toDouble, planes(1)(i), planes(2)(i), 1.0)
+        val cls = ch.mask(i).toInt
+        for (a <- 0 until d; b <- 0 until d) g(a)(b) += f(a) * f(b)
+        for (a <- 0 until d) xy(a)(cls) += f(a)
+      }
+    }
+    def w(oc: Int, ic: Int): Double =
+      if (ic < 3) head.weights(oc * 3 + ic).toDouble else head.bias(oc).toDouble
+    for (a <- 0 until d; oc <- 0 until C) {
+      val lhs = (0 until d).map(b => (g(a)(b) + (if (a == b) lambda else 0)) * w(oc, b)).sum
+      assert(math.abs(lhs - xy(a)(oc)) < 1e-6 * (1 + math.abs(xy(a)(oc))),
+        s"normal-equation residual at ($a,$oc)")
+    }
+
+    // the composed net is a runnable segPredict net
+    val composed = SN(backbone.layers :+ head, Array(0, 1, 2, 3))
+    val pred = ConvNet.segPredict(ds, composed)(spark).collect()
+    assert(pred.length == imgs.length)
+  }
+
+  private def naiveForward2(bands: Array[Array[Float]], w: Int, h: Int,
+                            n: graft.operators.SegNet): Array[Array[Float]] = {
+    var cur = bands
+    n.layers.foreach { l =>
+      val r = l.radius
+      val padded = cur.map(naivePad(_, w, h, r))
+      val out = Array.fill(l.outC)(new Array[Float](w * h))
+      for (oc <- 0 until l.outC; y <- 0 until h; x <- 0 until w) {
+        var s: Double = l.bias(oc)
+        for (ic <- 0 until l.inC; dy <- 0 until l.k; dx <- 0 until l.k) {
+          val (p, pw, _) = padded(ic)
+          s += p((y + dy) * pw + x + dx) *
+            l.weights(((oc * l.inC + ic) * l.k + dy) * l.k + dx)
+        }
+        out(oc)(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
+      }
+      cur = out
+    }
+    cur
   }
 
   test("maskBlock fills any-hit blocks with ones, leaves zero blocks") {
