@@ -111,7 +111,8 @@ object SparkEntry {
       "q_cnn_chip"        -> (Q.qCnnChip _),
       "q_chips"           -> (Q.qChips _),
       "q_maskblock"       -> (Q.qMaskBlock _),
-      "q_seg_fit"         -> (Q.qSegFit _)
+      "q_seg_fit"         -> (Q.qSegFit _),
+      "q_prob"            -> (Q.qProb _)
     )
   }
 
@@ -200,7 +201,8 @@ object SparkEntry {
       "q_cnn_chip"        -> Q.qCnnChipSql,
       "q_chips"           -> Q.qChipsSql,
       "q_maskblock"       -> Q.qMaskBlockSql,
-      "q_seg_fit"         -> Q.qSegFitSql
+      "q_seg_fit"         -> Q.qSegFitSql,
+      "q_prob"            -> Q.qProbSql
     )
   }
 }

@@ -121,6 +121,53 @@ object Training {
     df.withColumn(predCol, pred)
   }
 
+  /** prob_pixel_bloc (learning.py:1401-1539): per-pixel per-CLASS
+    * probability bands. sklearn's predict_proba is estimator-specific;
+    * the centroid model's analog is inverse-squared-distance weighting
+    * p_c = (1/(d_c^2 + eps)) / sum_k (1/(d_k^2 + eps)) — deterministic,
+    * rational (no libm), so the SQL oracle replays it bit-for-bit (the
+    * only rounding is the Float store, which the oracle mirrors with a
+    * FLOAT cast). One TileRow per class, band = class label; broadcast
+    * model, zero shuffle, same plan shape as classify. */
+  def classifyProb(tiles: Dataset[MultiTileRow], model: CentroidModel,
+                   eps: Double = 1e-12)
+                  (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    val mB = spark.sparkContext.broadcast(model)
+    tiles.flatMap { t =>
+      val m = mB.value
+      val nb = t.bands.length
+      val nc = m.centroids.length
+      val feat = new Array[Float](nb)
+      val inv = new Array[Double](nc)
+      val out = Array.fill(nc)(new Array[Float](t.tw * t.th))
+      var i = 0
+      while (i < t.tw * t.th) {
+        var b = 0
+        while (b < nb) { feat(b) = t.bands(b)(i); b += 1 }
+        var denom = 0.0
+        var k = 0
+        while (k < nc) {
+          var d = 0.0
+          val c = m.centroids(k)
+          var j = 0
+          while (j < nb) { val e = feat(j) - c(j); d += e * e; j += 1 }
+          inv(k) = 1.0 / (d + eps)
+          denom += inv(k)
+          k += 1
+        }
+        k = 0
+        while (k < nc) { out(k)(i) = (inv(k) / denom).toFloat; k += 1 }
+        i += 1
+      }
+      (0 until nc).map { k =>
+        TileRow(t.image_id, t.cell_id, t.tx, t.ty, t.x_min, t.y_max, t.px,
+          band = m.labels(k), pixels = out(k), tw = t.tw, th = t.th,
+          nodata = t.nodata)
+      }
+    }
+  }
+
   /** classify_pixel_bloc: broadcast model, per-pixel predict in a typed
     * map over all-bands tiles — genuinely no shuffle (plan-gated). */
   def classify(tiles: Dataset[MultiTileRow], model: CentroidModel)

@@ -1612,6 +1612,54 @@ object Queries {
        |FROM d GROUP BY 1""".stripMargin
   }
 
+  /** q_prob — prob_pixel_bloc (learning.py:1401-1539): per-pixel
+    * per-class probability bands from the same fitted centroid model as
+    * q_classify; per (image, class) probability mass pins every pixel's
+    * inverse-squared-distance weights (exact centroid math + mirrored
+    * FLOAT store make the replay bit-faithful before the round). */
+  def qProb(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(gridImages(spark, 12, 2), 64, cellRes)
+    val trainPolys = classifyBoxes.zipWithIndex.map { case ((cls, x0, y0, x1, y1), k) =>
+      PolyRow(k.toLong, 0,
+        Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
+        cls, s"train$cls", 0.0)
+    }
+    val samples = Training.extractSamples(tiles,
+      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes)
+    val model = Training.fitCentroids(samples)
+    Training.classifyProb(tiles, model).toDF()
+      .select(col("image_id"), col("band").as("cls"),
+        graft.functions.PxFunctions.pxSum(col("pixels")).as("pmass"))
+      .groupBy("image_id", "cls")
+      .agg(round(sum("pmass"), 2).as("prob_mass"))
+  }
+
+  lazy val qProbSql: String = {
+    def inv(k: Int) = s"1.0 / ((v0-c0$k)*(v0-c0$k) + (v1-c1$k)*(v1-c1$k) + 1e-12)"
+    s"""WITH $classifyFvCentSql,
+       |cw AS (SELECT
+       |    max(CASE WHEN cls = 1 THEN c0 END) AS c01,
+       |    max(CASE WHEN cls = 1 THEN c1 END) AS c11,
+       |    max(CASE WHEN cls = 2 THEN c0 END) AS c02,
+       |    max(CASE WHEN cls = 2 THEN c1 END) AS c12,
+       |    max(CASE WHEN cls = 3 THEN c0 END) AS c03,
+       |    max(CASE WHEN cls = 3 THEN c1 END) AS c13
+       |  FROM cent),
+       |p AS (SELECT image_id, x, y,
+       |        ${inv(1)} AS i1, ${inv(2)} AS i2, ${inv(3)} AS i3
+       |      FROM fv CROSS JOIN cw)
+       |SELECT image_id, cls,
+       |  round(sum(CASE cls
+       |    WHEN 1 THEN CAST(CAST(i1 / ((i1 + i2) + i3) AS FLOAT) AS DOUBLE)
+       |    WHEN 2 THEN CAST(CAST(i2 / ((i1 + i2) + i3) AS FLOAT) AS DOUBLE)
+       |    ELSE CAST(CAST(i3 / ((i1 + i2) + i3) AS FLOAT) AS DOUBLE)
+       |    END), 2) AS prob_mass
+       |FROM p CROSS JOIN (VALUES (1), (2), (3)) AS tc(cls)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** mosaic: 4 locations x 2 overlapping images, nodata = 0 — first
     * non-nodata in image_id order wins; the oracle recomputes the
     * composite rule from the pixel formulas of both layers. */

@@ -206,6 +206,30 @@ class ConvNetSpec extends AnyFunSuite {
     cur
   }
 
+  test("classifyProb: per-pixel probabilities sum to 1, argmax agrees with classify") {
+    import graft.operators.{Tiler, Training}
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(ds, 64, cellRes)
+    val model = Training.CentroidModel(Array(1, 2, 3),
+      Array(Array(10.0, 20.0), Array(50.0, 60.0), Array(90.0, 30.0)))
+    val hard = Training.classify(tiles, model).collect()
+      .map(t => (t.image_id, t.tx, t.ty) -> t.pixels).toMap
+    val prob = Training.classifyProb(tiles, model).collect()
+      .groupBy(t => (t.image_id, t.tx, t.ty))
+    prob.foreach { case (key, rows) =>
+      assert(rows.map(_.band).sorted.sameElements(Array(1, 2, 3)))
+      val byCls = rows.map(t => t.band -> t.pixels).toMap
+      val h = hard(key)
+      for (i <- h.indices) {
+        val ps = Array(1, 2, 3).map(c => byCls(c)(i).toDouble)
+        assert(math.abs(ps.sum - 1.0) < 1e-6, s"prob sum at $i")
+        val am = 1 + ps.indexOf(ps.max)
+        // where the max is unique the probability argmax is the class
+        if (ps.count(_ == ps.max) == 1) assert(am == h(i).toInt, s"argmax at $i")
+      }
+    }
+  }
+
   test("maskBlock fills any-hit blocks with ones, leaves zero blocks") {
     val blocked = ConvNet.maskBlock(maskDs, blockSize = 16)(spark).collect()
     blocked.foreach { bm =>

@@ -117,6 +117,14 @@ class PlanShapeSpec extends AnyFunSuite {
       Array(Array(10.0, 20.0), Array(200.0, 100.0)))
     val p = plan(Training.classify(tiles, model).toDF())
     assert(!p.contains("Exchange"), s"classify must not shuffle pixels:\n$p")
+    // prob_pixel_bloc analog: same zero-shuffle contract
+    val pp = plan(Training.classifyProb(tiles, model).toDF())
+    assert(!pp.contains("Exchange"), s"classifyProb must not shuffle pixels:\n$pp")
+    // CNN inference: broadcast weights over haloed tiles, no Exchange
+    val net = graft.operators.ConvNet.fixtureNet
+    val cn = plan(graft.operators.ConvNet.segPredictTiles(
+      Tiler.multiTiles(images, 64, cellRes, halo = net.halo), net, 64).toDF())
+    assert(!cn.contains("Exchange"), s"segPredictTiles must not shuffle pixels:\n$cn")
   }
 
   test("rasterize: zero shuffle (broadcast cell->features map, typed map)") {
