@@ -112,7 +112,8 @@ object SparkEntry {
       "q_chips"           -> (Q.qChips _),
       "q_maskblock"       -> (Q.qMaskBlock _),
       "q_seg_fit"         -> (Q.qSegFit _),
-      "q_prob"            -> (Q.qProb _)
+      "q_prob"            -> (Q.qProb _),
+      "q_thresh_seg"      -> (Q.qThreshSeg _)
     )
   }
 
@@ -202,7 +203,8 @@ object SparkEntry {
       "q_chips"           -> Q.qChipsSql,
       "q_maskblock"       -> Q.qMaskBlockSql,
       "q_seg_fit"         -> Q.qSegFitSql,
-      "q_prob"            -> Q.qProbSql
+      "q_prob"            -> Q.qProbSql,
+      "q_thresh_seg"      -> Q.qThreshSegSql
     )
   }
 }

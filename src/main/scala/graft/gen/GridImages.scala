@@ -270,6 +270,53 @@ object GridImages {
        |    44 - (i % 2) AS c_y1
        |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
 
+  // ---- thresh_seg fixture ----
+  // The snake blobs (90 on 10) plus three planted defects with
+  // closed-form fates:
+  //  - a 1-px HOLE inside blob1 (value 10): area 1 < holeArea 4 ->
+  //    remove_small_holes fills it, so the final segment is the FULL
+  //    blob1 rectangle
+  //  - a 1-px speck and a 2-px domino speck (value 90) in polyA's
+  //    margin band, >= 2 px from the blob: areas 1, 2 < minArea 4 ->
+  //    remove_small_objects deletes them
+  // Otsu over each window's {10, 90} values lands at 10 (the only valid
+  // between-class split), so bw = v > 10 recovers blobs + specks.
+  def threshHole(i: Long): (Int, Int) = {
+    val (x0, y0, _, _) = snakeB1(i)
+    (x0 + 2 + (i % 3).toInt, y0 + 1 + (i % 2).toInt)
+  }
+  def threshSpeck1(i: Long): (Int, Int) = {
+    val (_, y0, x1, _) = snakeB1(i)
+    (x1 + 2, y0 + 1)
+  }
+  def threshSpeck2(i: Long): (Int, Int) = { // and the pixel to its right
+    val (x0, _, _, y1) = snakeB1(i)
+    (x0 + 1, y1 + 2)
+  }
+  /** polyD: blob2 with a 2-px margin (clean window, no defects). */
+  def threshPolyD(i: Long): (Int, Int, Int, Int) = {
+    val (x0, y0, x1, y1) = snakeB2(i)
+    (x0 - 2, y0 - 2, x1 + 2, y1 + 2)
+  }
+
+  def threshValue(i: Long, x: Int, y: Int): Float = {
+    val (hx, hy) = threshHole(i)
+    val (s1x, s1y) = threshSpeck1(i)
+    val (s2x, s2y) = threshSpeck2(i)
+    if (x == hx && y == hy) 10f
+    else if ((x == s1x && y == s1y) || (y == s2y && (x == s2x || x == s2x + 1))) 90f
+    else snakeValue(i, x, y)
+  }
+
+  def threshImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => threshValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"thresh fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   // ---- training-mask fixture (CNN chip collection / maskblock) ----
   // Zero background with labeled patches: pixel (x, y) of mask i is
   // class (x/8 + y/6 + i) % 3 + 1 on the 16x12-granular patch lattice

@@ -2807,6 +2807,40 @@ object Queries {
        |  CAST(coalesce(sum(CASE WHEN mx > 0 THEN npx END), 0) AS BIGINT) AS ones
        |FROM blk GROUP BY 1""".stripMargin
 
+  /** q_thresh_seg — thresh_seg (shape.py:2246-2410): per-polygon Otsu
+    * segmentation with hole filling and small-object removal. The
+    * fixture plants a 1-px hole (filled: final segment = FULL blob
+    * rect) and 1-px / 2-px specks (removed), all closed-form; Otsu over
+    * each window's {10, 90} values is provably 10. */
+  def qThreshSeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.threshImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val polys = spark.createDataset((0 until 6).flatMap { i =>
+      Seq(GridImages.pixelRectPoly(i.toLong, 2L * i, GridImages.snakePolyA(i.toLong)),
+        GridImages.pixelRectPoly(i.toLong, 2L * i + 1, GridImages.threshPolyD(i.toLong)))
+    })(Encoders.product[PolyRow])
+    ThreshSeg.threshSeg(imgs, polys, minArea = 4.0)
+      .groupBy("image_id", "poly_id")
+      .agg(max("thr").as("thr"), count(lit(1)).as("n"),
+        sum(col("x") * 31 + col("y") * 7).as("sx"))
+  }
+
+  val qThreshSegSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |g AS (SELECT gx.x, gy.y
+       |      FROM generate_series(0, 79) gx(x), generate_series(0, 47) gy(y)),
+       |seg AS (
+       |  SELECT i, 2*i AS poly_id, x, y FROM sr, g
+       |  WHERE x BETWEEN s_x0 AND s_x1 AND y BETWEEN s_y0 AND s_y1
+       |  UNION ALL
+       |  SELECT i, 2*i + 1, x, y FROM sr, g
+       |  WHERE x BETWEEN t_x0 AND t_x1 AND y BETWEEN t_y0 AND t_y1)
+       |SELECT printf('g%03d', i) AS image_id, CAST(poly_id AS BIGINT) AS poly_id,
+       |  CAST(10 AS DOUBLE) AS thr, count(*) AS n,
+       |  CAST(sum(x*31 + y*7) AS BIGINT) AS sx
+       |FROM seg GROUP BY 1, 2""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
