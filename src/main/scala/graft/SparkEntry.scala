@@ -113,7 +113,11 @@ object SparkEntry {
       "q_maskblock"       -> (Q.qMaskBlock _),
       "q_seg_fit"         -> (Q.qSegFit _),
       "q_prob"            -> (Q.qProb _),
-      "q_thresh_seg"      -> (Q.qThreshSeg _)
+      "q_thresh_seg"      -> (Q.qThreshSeg _),
+      "q_extent"          -> (Q.qExtent _),
+      "q_pixel_bbox"      -> (Q.qPixelBbox _),
+      "q_mesh_px"         -> (Q.qMeshPx _),
+      "q_meshgrid"        -> (Q.qMeshGrid _)
     )
   }
 
@@ -204,7 +208,11 @@ object SparkEntry {
       "q_maskblock"       -> Q.qMaskBlockSql,
       "q_seg_fit"         -> Q.qSegFitSql,
       "q_prob"            -> Q.qProbSql,
-      "q_thresh_seg"      -> Q.qThreshSegSql
+      "q_thresh_seg"      -> Q.qThreshSegSql,
+      "q_extent"          -> Q.qExtentSql,
+      "q_pixel_bbox"      -> Q.qPixelBboxSql,
+      "q_mesh_px"         -> Q.qMeshPxSql,
+      "q_meshgrid"        -> Q.qMeshGridSql
     )
   }
 }

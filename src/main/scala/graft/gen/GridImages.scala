@@ -317,6 +317,47 @@ object GridImages {
       y_max = yMax(i.toLong), px = 1.0)
   }
 
+  // ---- meshgrid fixture ----
+  // One bright (90) rectangle on a ZERO background (meshgrid masks with
+  // `im > 0`, shape.py:2421). Even i: wide rect (mu20 > mu02 ->
+  // orientation 0, grid frame = the rect); odd i: the same dims
+  // transposed (orientation pi/2, grid frame = the rect's bounds
+  // swapped about its center). Dims are chosen so no side is a
+  // near-integer multiple of the 4.5 fixture cell side (the ceil-count
+  // is then immune to the ~1e-15 rotation drift).
+  def meshRect(i: Long): (Int, Int, Int, Int) = {
+    val w0 = 14 + (i % 3).toInt; val h0 = 10 + (i % 2).toInt
+    val (w, h) = if (i % 2 == 0) (w0, h0) else (h0, w0)
+    val x0 = 12 + (i % 5).toInt; val y0 = 9 + (i % 3).toInt
+    (x0, y0, x0 + w - 1, y0 + h - 1)
+  }
+
+  def meshValue(i: Long, x: Int, y: Int): Float = {
+    val (x0, y0, x1, y1) = meshRect(i)
+    if (x >= x0 && x <= x1 && y >= y0 && y <= y1) 90f else 0f
+  }
+
+  def meshImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => meshValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"mesh fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** DuckDB CTE of the mesh rect corners (pixel indices): (i, m_x0,
+    * m_y0, m_x1, m_y1). */
+  def meshRectSql(n: Int): String =
+    s"""mr AS (
+       |  SELECT i,
+       |    12 + (i % 5) AS m_x0, 9 + (i % 3) AS m_y0,
+       |    12 + (i % 5) + CASE WHEN i % 2 = 0 THEN 14 + (i % 3)
+       |                        ELSE 10 + (i % 2) END - 1 AS m_x1,
+       |    9 + (i % 3) + CASE WHEN i % 2 = 0 THEN 10 + (i % 2)
+       |                       ELSE 14 + (i % 3) END - 1 AS m_y1
+       |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
+
   // ---- training-mask fixture (CNN chip collection / maskblock) ----
   // Zero background with labeled patches: pixel (x, y) of mask i is
   // class (x/8 + y/6 + i) % 3 + 1 on the 16x12-granular patch lattice

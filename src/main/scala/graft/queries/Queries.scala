@@ -2841,6 +2841,112 @@ object Queries {
        |  CAST(sum(x*31 + y*7) AS BIGINT) AS sx
        |FROM seg GROUP BY 1, 2""".stripMargin
 
+  // ---- mesh / extent / annotation-bbox family (shape.py) ----
+
+  /** q_extent — extent2poly / rasterext2poly: per-raster world-extent
+    * rectangle (pure column math; the oracle recomputes from the
+    * placement formula). */
+  def qExtent(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Mesh.extentPoly(gridImages(spark, 10, 1))
+  }
+
+  val qExtentSql: String =
+    """SELECT printf('g%03d', i) AS image_id,
+      |  CAST((i % 8) * 256 AS DOUBLE) AS x0,
+      |  CAST((i // 8) * 256 - 48 AS DOUBLE) AS y0,
+      |  CAST((i % 8) * 256 + 80 AS DOUBLE) AS x1,
+      |  CAST((i // 8) * 256 AS DOUBLE) AS y1
+      |FROM generate_series(0, 9) t(i)""".stripMargin
+
+  /** q_pixel_bbox — geom2pixelbbox: the object-detection annotation
+    * table (per-feature pixel bboxes, truncated toward zero). Snake
+    * polys over their own images: the 0.25-margin world rects truncate
+    * back to the exact pixel rect corners. */
+  def qPixelBbox(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.snakeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val polys = spark.createDataset(GridImages.snakePolys(6).toSeq)(
+      Encoders.product[PolyRow])
+    Mesh.geomToPixelBBox(polys, imgs, label = "Tree")
+  }
+
+  val qPixelBboxSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)}
+       |SELECT printf('g%03d', i) AS image_id, CAST(i * 3 + k AS BIGINT) AS poly_id,
+       |  CAST(CASE k WHEN 0 THEN a_x0 WHEN 1 THEN b_x0 ELSE c_x0 END AS INT) AS xmin,
+       |  CAST(CASE k WHEN 0 THEN a_y0 WHEN 1 THEN b_y0 ELSE c_y0 END AS INT) AS ymin,
+       |  CAST(CASE k WHEN 0 THEN a_x1 WHEN 1 THEN b_x1 ELSE c_x1 END AS INT) AS xmax,
+       |  CAST(CASE k WHEN 0 THEN a_y1 WHEN 1 THEN b_y1 ELSE c_y1 END AS INT) AS ymax,
+       |  'Tree' AS label
+       |FROM sr, generate_series(0, 2) tk(k)""".stripMargin
+
+  /** q_mesh_px — mesh_from_raster: one world square per pixel, streamed
+    * from tiles; per-image count + coordinate mass pin every cell. */
+  def qMeshPx(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.tiles(gridImages(spark, 4, 1), 64, cellRes)
+    Mesh.meshFromRaster(tiles)
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("wx0") + col("wy1")), 2).as("mass"))
+  }
+
+  val qMeshPxSql: String =
+    s"""SELECT printf('g%03d', i) AS image_id, count(*) AS n,
+       |  round(sum(((i % 8) * 256 + x) + ((i // 8) * 256 - y)), 2) AS mass
+       |FROM generate_series(0, 3) t(i), generate_series(0, 79) tx(x),
+       |     generate_series(0, 47) ty(y)
+       |GROUP BY 1""".stripMargin
+
+  /** q_meshgrid — meshgrid: moment-oriented fishnet with the
+    * reference's quirks reproduced (square gridHeight-sided cells from
+    * the swap bug; cells spun in place). Corner sums are invariant
+    * under the spin (sum of 4 corners = 4x the cell center), so the
+    * oracle needs NO trig: even i (orientation 0) grids the rect
+    * itself, odd i (orientation pi/2) grids the bounds swapped about
+    * the center. */
+  def qMeshGrid(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.meshImages(8).toSeq)(
+      Encoders.product[ImageRow])
+    Mesh.meshGridImages(imgs, gridHeight = 4.5, gridWidth = 99.0)
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("xa") + col("xb") + col("xc") + col("xd")), 4).as("sx"),
+        round(sum(col("ya") + col("yb") + col("yc") + col("yd")), 4).as("sy"))
+  }
+
+  val qMeshGridSql: String =
+    s"""WITH ${GridImages.meshRectSql(8)},
+       |frame AS (
+       |  -- world-coord grid frame: even i = the bright rect's pixel-edge
+       |  -- bounds; odd i = those bounds swapped about the rect center
+       |  SELECT i,
+       |    (i % 8) * 256 + (m_x0 + m_x1 + 1) / 2.0 AS ccx,
+       |    (i // 8) * 256 - (m_y0 + m_y1 + 1) / 2.0 AS ccy,
+       |    CASE WHEN i % 2 = 0 THEN m_x1 - m_x0 + 1.0
+       |         ELSE m_y1 - m_y0 + 1.0 END AS fw,
+       |    CASE WHEN i % 2 = 0 THEN m_y1 - m_y0 + 1.0
+       |         ELSE m_x1 - m_x0 + 1.0 END AS fh
+       |  FROM mr),
+       |grid AS (
+       |  SELECT i, ccx, ccy, fw, fh,
+       |    CAST(ceil(fw / 4.5) AS INT) AS cols,
+       |    CAST(ceil(fh / 4.5) AS INT) AS rows
+       |  FROM frame),
+       |cells AS (
+       |  SELECT g.i, ci, rj,
+       |    (g.ccx - g.fw / 2) + ci * 4.5 + 2.25 AS mx,
+       |    (g.ccy + g.fh / 2) - rj * 4.5 - 2.25 AS my
+       |  FROM grid g, generate_series(0, 99) a(ci), generate_series(0, 99) b(rj)
+       |  WHERE ci < g.cols AND rj < g.rows)
+       |SELECT printf('g%03d', i) AS image_id, count(*) AS n_cells,
+       |  round(sum(4 * mx), 4) AS sx, round(sum(4 * my), 4) AS sy
+       |FROM cells GROUP BY 1""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

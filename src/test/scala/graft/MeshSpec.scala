@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.gen.GridImages
+import graft.operators.{Mesh, Tiler}
+
+class MeshSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+
+  lazy val meshImgs = spark.createDataset(GridImages.meshImages(6).toSeq)(
+    org.apache.spark.sql.Encoders.product[ImageRow])
+
+  test("extentPoly emits the world extent rectangle") {
+    val rows = Mesh.extentPoly(spark.createDataset(
+      GridImages.images(3, 1).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])).collect()
+    rows.foreach { r =>
+      val i = r.getString(0).drop(1).toInt
+      assert(r.getDouble(1) == (i % 8) * 256.0)
+      assert(r.getDouble(2) == (i / 8) * 256.0 - 48)
+      assert(r.getDouble(3) == (i % 8) * 256.0 + 80)
+      assert(r.getDouble(4) == (i / 8) * 256.0)
+    }
+  }
+
+  test("geomToPixelBBox truncates toward zero (negative relative coords)") {
+    // a poly whose bbox starts LEFT/ABOVE the image origin: Python
+    // int(-2.5) == -2 == Spark int cast
+    val img = spark.createDataset(Seq(GridImages.imageAt(0, 1)))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val poly = spark.createDataset(Seq(PolyRow(7L, 0,
+      Array(Array(Pt(-2.5, -10.25), Pt(5.5, -10.25), Pt(5.5, 2.5), Pt(-2.5, 2.5))),
+      1, "neg", 0.0)))(org.apache.spark.sql.Encoders.product[PolyRow])
+    val r = Mesh.geomToPixelBBox(poly, img, "L").collect().head
+    assert(r.getInt(2) == -2, "xmin int(-2.5)")
+    assert(r.getInt(3) == -2, "ymin int((0-2.5)/1) = int(-2.5)")
+    assert(r.getInt(4) == 5, "xmax int(5.5)")
+    assert(r.getInt(5) == 10, "ymax int(10.25)")
+  }
+
+  test("meshFromRaster: one world square per pixel, streamed from tiles") {
+    val tiles = Tiler.tiles(spark.createDataset(
+      GridImages.images(2, 1).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow]), 64,
+      Tiler.resForCellSize(64.0))
+    val rows = Mesh.meshFromRaster(tiles).collect()
+    assert(rows.length == 2 * 80 * 48)
+    val r0 = rows.filter(r => r.getString(0) == "g000" &&
+      r.getDouble(1) == 79.0 && r.getDouble(4) == -47.0)
+    assert(r0.length == 1 && r0.head.getDouble(3) == 80.0 &&
+      r0.head.getDouble(2) == -48.0)
+  }
+
+  test("meshGridImages: naive per-image replay agrees (both parities)") {
+    val got = Mesh.meshGridImages(meshImgs, gridHeight = 4.5, gridWidth = 99.0)
+      .collect().groupBy(_.getString(0))
+    for (i <- 0 until 6) {
+      val (x0, y0, x1, y1) = GridImages.meshRect(i.toLong)
+      val (fw, fh) =
+        if (i % 2 == 0) ((x1 - x0 + 1).toDouble, (y1 - y0 + 1).toDouble)
+        else ((y1 - y0 + 1).toDouble, (x1 - x0 + 1).toDouble)
+      val cols = math.ceil(fw / 4.5).toInt
+      val rows = math.ceil(fh / 4.5).toInt
+      val cells = got(f"g$i%03d")
+      assert(cells.length == cols * rows, s"image $i cell count")
+      val ccx = GridImages.xMin(i.toLong) + (x0 + x1 + 1) / 2.0
+      val ccy = GridImages.yMax(i.toLong) - (y0 + y1 + 1) / 2.0
+      cells.foreach { c =>
+        val (ci, rj) = (c.getInt(1), c.getInt(2))
+        val mx = (ccx - fw / 2) + ci * 4.5 + 2.25
+        val my = (ccy + fh / 2) - rj * 4.5 - 2.25
+        val sx = c.getDouble(3) + c.getDouble(5) + c.getDouble(7) + c.getDouble(9)
+        val sy = c.getDouble(4) + c.getDouble(6) + c.getDouble(8) + c.getDouble(10)
+        assert(math.abs(sx - 4 * mx) < 1e-9, s"image $i cell ($ci,$rj) sx")
+        assert(math.abs(sy - 4 * my) < 1e-9, s"image $i cell ($ci,$rj) sy")
+        // spun cells are still 4.5-sided squares (spin preserves shape)
+        val xs = Seq(c.getDouble(3), c.getDouble(5), c.getDouble(7), c.getDouble(9))
+        val ys = Seq(c.getDouble(4), c.getDouble(6), c.getDouble(8), c.getDouble(10))
+        val d01 = math.hypot(xs(1) - xs(0), ys(1) - ys(0))
+        assert(math.abs(d01 - 4.5) < 1e-9, "edge length preserved")
+      }
+    }
+  }
+
+  test("tile-based maskOrientation equals the per-image moments") {
+    val tiles = Tiler.tiles(meshImgs, 24, Tiler.resForCellSize(8.0))
+    val byTiles = Mesh.maskOrientation(tiles).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (i <- 0 until 6) {
+      val want = if (i % 2 == 0) 0.0 else math.Pi / 2
+      assert(math.abs(byTiles(f"g$i%03d") - want) < 1e-12, s"image $i orient")
+    }
+  }
+}
