@@ -117,7 +117,8 @@ object SparkEntry {
       "q_extent"          -> (Q.qExtent _),
       "q_pixel_bbox"      -> (Q.qPixelBbox _),
       "q_mesh_px"         -> (Q.qMeshPx _),
-      "q_meshgrid"        -> (Q.qMeshGrid _)
+      "q_meshgrid"        -> (Q.qMeshGrid _),
+      "q_rag"             -> (Q.qRag _)
     )
   }
 
@@ -212,7 +213,8 @@ object SparkEntry {
       "q_extent"          -> Q.qExtentSql,
       "q_pixel_bbox"      -> Q.qPixelBboxSql,
       "q_mesh_px"         -> Q.qMeshPxSql,
-      "q_meshgrid"        -> Q.qMeshGridSql
+      "q_meshgrid"        -> Q.qMeshGridSql,
+      "q_rag"             -> Q.qRagSql
     )
   }
 }

@@ -358,6 +358,44 @@ object GridImages {
        |                       ELSE 14 + (i % 3) END - 1 AS m_y1
        |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
 
+  // ---- ragmerge fixture ----
+  // Three regions: A (label 1, top-left of the T-split), B (2,
+  // top-right), C (3, the full-width bottom). Region values make the
+  // A-B boundary always weak (|20-22| -> Sobel ~8 << thresh 100), so
+  // A+B merge first; the combined (AB)-C edge is the count-weighted
+  // mean of the A-C and B-C boundary strengths (the _weight_boundary
+  // recomputation) — below thresh for even i (C = 25, all three merge
+  // to label 1) and far above for odd i (C = 150, the bottom stays
+  // label 3). Corner/junction Sobel cross-terms are bounded well away
+  // from the 100 threshold in both parities.
+  def ragSplitX(i: Long): Int = 32 + 4 * (i % 4).toInt
+  def ragSplitY(i: Long): Int = 24 + 2 * (i % 3).toInt
+
+  def ragSegValue(i: Long, x: Int, y: Int): Float =
+    if (y < ragSplitY(i)) { if (x < ragSplitX(i)) 1f else 2f } else 3f
+
+  def ragImgValue(i: Long, x: Int, y: Int): Float =
+    if (y >= ragSplitY(i)) { if (i % 2 == 0) 25f else 150f }
+    else if (x < ragSplitX(i)) 20f
+    else 22f
+
+  def ragSegImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => ragSegValue(i.toLong, p % W, p / W))
+    val enc = PixelCodec.encode(PixelCodec.FmtRawLe, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, PixelCodec.FmtRawLe, s"rag seg $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  def ragImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => ragImgValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"rag raster $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   // ---- training-mask fixture (CNN chip collection / maskblock) ----
   // Zero background with labeled patches: pixel (x, y) of mask i is
   // class (x/8 + y/6 + i) % 3 + 1 on the 16x12-granular patch lattice

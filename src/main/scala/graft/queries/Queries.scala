@@ -2947,6 +2947,32 @@ object Queries {
        |  round(sum(4 * mx), 4) AS sx, round(sum(4 * my), 4) AS sy
        |FROM cells GROUP BY 1""".stripMargin
 
+  /** q_rag — ragmerge (utilities.py:842-887): distributed RAG build +
+    * exact hierarchical merge. Even i: the recomputed (AB)-C
+    * count-weighted mean stays below thresh, everything merges to label
+    * 1; odd i: the bottom region survives as label 3. The oracle
+    * enumerates the closed-form final partition. */
+  def qRag(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val segs = spark.createDataset(GridImages.ragSegImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.ragImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    Rag.ragMerge(segs, imgs, band = 0, thresh = 100.0)
+      .groupBy("image_id", "label")
+      .agg(count(lit(1)).as("n"), sum(col("x") * 31 + col("y") * 7).as("sx"))
+  }
+
+  val qRagSql: String =
+    s"""WITH px AS (
+       |  SELECT i, x, y,
+       |    CASE WHEN i % 2 = 0 OR y < 24 + 2 * (i % 3) THEN 1 ELSE 3 END AS label
+       |  FROM generate_series(0, 5) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y))
+       |SELECT printf('g%03d', i) AS image_id, CAST(label AS BIGINT) AS label,
+       |  count(*) AS n, CAST(sum(x*31 + y*7) AS BIGINT) AS sx
+       |FROM px GROUP BY 1, 2""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,
