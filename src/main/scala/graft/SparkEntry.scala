@@ -118,7 +118,8 @@ object SparkEntry {
       "q_pixel_bbox"      -> (Q.qPixelBbox _),
       "q_mesh_px"         -> (Q.qMeshPx _),
       "q_meshgrid"        -> (Q.qMeshGrid _),
-      "q_rag"             -> (Q.qRag _)
+      "q_rag"             -> (Q.qRag _),
+      "q_toposnake"       -> (Q.qTopoSnake _)
     )
   }
 
@@ -214,7 +215,8 @@ object SparkEntry {
       "q_pixel_bbox"      -> Q.qPixelBboxSql,
       "q_mesh_px"         -> Q.qMeshPxSql,
       "q_meshgrid"        -> Q.qMeshGridSql,
-      "q_rag"             -> Q.qRagSql
+      "q_rag"             -> Q.qRagSql,
+      "q_toposnake"       -> Q.qTopoSnakeSql
     )
   }
 }

@@ -358,6 +358,19 @@ object GridImages {
        |                       ELSE 14 + (i % 3) END - 1 AS m_y1
        |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
 
+  /** Binary blob mask of the snake fixture (1 inside blob1/blob2, else
+    * 0) — the toposnakes init segmentation. On this stationary ACWE
+    * configuration the background skeleton never touches the blobs, so
+    * the final components are exactly the two rectangles. */
+  def snakeSegImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p =>
+      if (snakeValue(i.toLong, p % W, p / W) > 10f) 1f else 0f)
+    val enc = PixelCodec.encode(PixelCodec.FmtRawLe, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, PixelCodec.FmtRawLe, s"snake seg $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   // ---- ragmerge fixture ----
   // Three regions: A (label 1, top-left of the T-split), B (2,
   // top-right), C (3, the full-width bottom). Region values make the

@@ -30,7 +30,7 @@ import graft.core.{Geom, PixelCodec}
 object ThreshSeg {
 
   /** 4-connected component labeling; returns (labels, areas). */
-  private def label4(fg: Array[Boolean], w: Int, h: Int): (Array[Int], Array[Int]) = {
+  private[graft] def label4(fg: Array[Boolean], w: Int, h: Int): (Array[Int], Array[Int]) = {
     val lab = Array.fill(fg.length)(-1)
     val areas = scala.collection.mutable.ArrayBuffer.empty[Int]
     val stack = new java.util.ArrayDeque[Int]()

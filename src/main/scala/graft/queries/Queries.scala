@@ -2973,6 +2973,42 @@ object Queries {
        |  count(*) AS n, CAST(sum(x*31 + y*7) AS BIGINT) AS sx
        |FROM px GROUP BY 1, 2""".stripMargin
 
+  /** q_toposnake — ms_toposnakes (utilities.py:397-525): topology-
+    * preserving whole-image ACWE. On the stationary blob fixture the
+    * evolution is a fixed point and the background skeleton is disjoint
+    * from the blobs, so the labeled components are exactly the two
+    * rectangles (comp 1 = blob1, first in scan order). The merge-
+    * prevention dynamics are spec-pinned (TopoSnakesSpec: growing seeds
+    * stay separate with the skeleton barrier, merge without it). */
+  def qTopoSnake(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val segs = spark.createDataset(GridImages.snakeSegImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.snakeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    // smoothing = 0: the per-loop 1-iteration calls reset the curvop
+    // phase (faithful to the reference's mcv(iterations=1) loop), and
+    // repeated same-phase curvop erodes rect corners — with no curvop
+    // the blob fixture is a strict ACWE fixed point, closed-form.
+    TopoSnakes.topoSnakes(segs, imgs, iterations = 5, smoothing = 0)
+      .groupBy("image_id", "comp")
+      .agg(count(lit(1)).as("n"), sum(col("x") * 31 + col("y") * 7).as("sx"))
+  }
+
+  val qTopoSnakeSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |g AS (SELECT gx.x, gy.y
+       |      FROM generate_series(0, 79) gx(x), generate_series(0, 47) gy(y)),
+       |cpx AS (
+       |  SELECT i, 1 AS comp, x, y FROM sr, g
+       |  WHERE x BETWEEN s_x0 AND s_x1 AND y BETWEEN s_y0 AND s_y1
+       |  UNION ALL
+       |  SELECT i, 2, x, y FROM sr, g
+       |  WHERE x BETWEEN t_x0 AND t_x1 AND y BETWEEN t_y0 AND t_y1)
+       |SELECT printf('g%03d', i) AS image_id, CAST(comp AS INT) AS comp,
+       |  count(*) AS n, CAST(sum(x*31 + y*7) AS BIGINT) AS sx
+       |FROM cpx GROUP BY 1, 2""".stripMargin
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core.PixelCodec
+import graft.gen.GridImages
+import graft.operators.{ImageOps, Snakes, TopoSnakes}
+
+class TopoSnakesSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("Zhang-Suen skeleton: thin, contained, nonempty on a bar") {
+    val w = 20; val h = 12
+    val fg = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      x >= 2 && x <= 17 && y >= 4 && y <= 8 // 16x5 bar
+    }
+    val sk = TopoSnakes.skeletonize(fg, w, h)
+    assert(sk.count(identity) > 0)
+    for (p <- sk.indices if sk(p)) assert(fg(p), "skeleton inside the mask")
+    // thin: no skeleton pixel has a full 3x3 skeleton neighborhood
+    for (y <- 1 until h - 1; x <- 1 until w - 1 if sk(y * w + x)) {
+      val full = (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield sk((y + dy) * w + x + dx)).forall(identity)
+      assert(!full, s"thick skeleton at ($x,$y)")
+    }
+    // the bar's midline row survives end to end (minus endpoint erosion)
+    assert((6 to 13).forall(x => sk(6 * w + x)))
+  }
+
+  test("skeleton barrier keeps growing seeds separate; without it they merge") {
+    // bright 40x20 rect, two 6x6 seeds inside, 10-px bright corridor
+    val w = 80; val h = 48
+    val img = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      if (x >= 10 && x <= 49 && y >= 10 && y <= 29) 90f else 10f
+    }
+    val seed = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      val s1 = x >= 14 && x <= 19 && y >= 16 && y <= 21
+      val s2 = x >= 40 && x <= 45 && y >= 16 && y <= 21
+      if (s1 || s2) 1f else 0f
+    }
+    val imgs = spark.createDataset(Seq(
+      ImageOps.fromArray("t0", Array(img), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val segs = spark.createDataset(Seq(
+      ImageOps.fromArray("t0", Array(seed), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val comps = TopoSnakes.topoSnakes(segs, imgs, iterations = 30)
+      .collect().map(_.getInt(1)).distinct.sorted
+    assert(comps.sameElements(Array(1, 2)), s"topo-preserved: ${comps.mkString(",")}")
+
+    // control: plain whole-image ACWE from the same init merges the seeds
+    val fin = Snakes.acwe(img, w, h, seed.map(v => if (v > 0) 1.toByte else 0.toByte),
+      iterations = 30)
+    val (lab, areas) = graft.operators.ThreshSeg.label4(fin.map(_ == 1), w, h)
+    assert(areas.length == 1, s"control should merge, got ${areas.length} components")
+  }
+
+  test("stationary blobs pass through unchanged (the q_toposnake contract)") {
+    val segs = spark.createDataset(GridImages.snakeSegImages(3).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.snakeImages(3).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val got = TopoSnakes.topoSnakes(segs, imgs, iterations = 5, smoothing = 0).collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+    for (i <- 0 until 3) {
+      val id = f"g$i%03d"
+      val b1 = GridImages.snakeB1(i.toLong); val b2 = GridImages.snakeB2(i.toLong)
+      val g1 = got((id, 1)).map(r => (r.getInt(2), r.getInt(3))).toSet
+      val g2 = got((id, 2)).map(r => (r.getInt(2), r.getInt(3))).toSet
+      assert(g1 == (for (x <- b1._1 to b1._3; y <- b1._2 to b1._4) yield (x, y)).toSet)
+      assert(g2 == (for (x <- b2._1 to b2._3; y <- b2._2 to b2._4) yield (x, y)).toSet)
+    }
+  }
+}
