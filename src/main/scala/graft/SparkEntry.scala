@@ -119,7 +119,8 @@ object SparkEntry {
       "q_mesh_px"         -> (Q.qMeshPx _),
       "q_meshgrid"        -> (Q.qMeshGrid _),
       "q_rag"             -> (Q.qRag _),
-      "q_toposnake"       -> (Q.qTopoSnake _)
+      "q_toposnake"       -> (Q.qTopoSnake _),
+      "q_toposeg"         -> (Q.qTopoSeg _)
     )
   }
 
@@ -216,7 +217,8 @@ object SparkEntry {
       "q_mesh_px"         -> Q.qMeshPxSql,
       "q_meshgrid"        -> Q.qMeshGridSql,
       "q_rag"             -> Q.qRagSql,
-      "q_toposnake"       -> Q.qTopoSnakeSql
+      "q_toposnake"       -> Q.qTopoSnakeSql,
+      "q_toposeg"         -> Q.qTopoSegSql
     )
   }
 }

@@ -371,6 +371,21 @@ object GridImages {
       y_max = yMax(i.toLong), px = 1.0)
   }
 
+  /** Snake blobs on a ZERO background (toposeg's nodata regime: the
+    * reference NaNs out zeros before peak detection). Every blob pixel
+    * is a plateau peak, dilation grows one ring of zeros, and the first
+    * ACWE step sheds the ring exactly — so toposeg's final components
+    * are the two blob rectangles, closed-form. */
+  def snakeZeroImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p =>
+      if (snakeValue(i.toLong, p % W, p / W) > 10f) 90f else 0f)
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"snake zero $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   // ---- ragmerge fixture ----
   // Three regions: A (label 1, top-left of the T-split), B (2,
   // top-right), C (3, the full-width bottom). Region values make the

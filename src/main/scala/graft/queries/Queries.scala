@@ -3009,6 +3009,23 @@ object Queries {
        |  count(*) AS n, CAST(sum(x*31 + y*7) AS BIGINT) AS sx
        |FROM cpx GROUP BY 1, 2""".stripMargin
 
+  /** q_toposeg — ms_toposeg (utilities.py:527-795): SELF-SEEDING
+    * topology-preserving segmentation. On the zero-background blob
+    * fixture: every blob pixel is a plateau peak, square(3) dilation
+    * adds a ring of zeros, and the first ACWE step sheds exactly that
+    * ring (c1 > 0, c0 = 0) — final components are the blob rectangles,
+    * the same closed form as q_toposnake. */
+  def qTopoSeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.snakeZeroImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    TopoSnakes.topoSeg(imgs, dist = 3, se = 3, iterations = 4, smoothing = 0)
+      .groupBy("image_id", "comp")
+      .agg(count(lit(1)).as("n"), sum(col("x") * 31 + col("y") * 7).as("sx"))
+  }
+
+  val qTopoSegSql: String = qTopoSnakeSql
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

@@ -58,6 +58,35 @@ class TopoSnakesSpec extends AnyFunSuite {
     assert(areas.length == 1, s"control should merge, got ${areas.length} components")
   }
 
+  test("localMaxMask: min-distance suppression and plateau ties") {
+    val w = 30; val h = 10
+    val pix = new Array[Float](w * h)
+    pix(5 * w + 5) = 50f
+    pix(5 * w + 8) = 40f  // within dist 4 of the 50 -> suppressed
+    pix(5 * w + 20) = 30f // far away -> its own peak
+    pix(2 * w + 20) = 30f // 3 away from the other 30: plateau-equal -> both peaks
+    val m = TopoSnakes.localMaxMask(pix, w, h, 4)
+    assert(m(5 * w + 5) && !m(5 * w + 8))
+    assert(m(5 * w + 20) && m(2 * w + 20))
+    assert(m.count(identity) == 3)
+  }
+
+  test("topoSeg self-seeds to the blob rectangles on the zero-background fixture") {
+    val imgs = spark.createDataset(GridImages.snakeZeroImages(2).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val got = graft.operators.TopoSnakes.topoSeg(imgs, dist = 3, se = 3,
+      iterations = 4, smoothing = 0).collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+    for (i <- 0 until 2) {
+      val id = f"g$i%03d"
+      val b1 = GridImages.snakeB1(i.toLong); val b2 = GridImages.snakeB2(i.toLong)
+      val g1 = got((id, 1)).map(r => (r.getInt(2), r.getInt(3))).toSet
+      val g2 = got((id, 2)).map(r => (r.getInt(2), r.getInt(3))).toSet
+      assert(g1 == (for (x <- b1._1 to b1._3; y <- b1._2 to b1._4) yield (x, y)).toSet)
+      assert(g2 == (for (x <- b2._1 to b2._3; y <- b2._2 to b2._4) yield (x, y)).toSet)
+    }
+  }
+
   test("stationary blobs pass through unchanged (the q_toposnake contract)") {
     val segs = spark.createDataset(GridImages.snakeSegImages(3).toSeq)(
       org.apache.spark.sql.Encoders.product[ImageRow])
