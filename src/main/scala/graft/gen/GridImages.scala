@@ -358,6 +358,25 @@ object GridImages {
        |                       ELSE 14 + (i % 3) END - 1 AS m_y1
        |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
 
+  /** Standard grid images with ISOLATED nodata holes burned at the
+    * closed-form lattice x%7==3, y%5==2, y<=42 (spacing >= 5 keeps every
+    * hole's 8-neighborhood valid and interior) — the fill_nodata
+    * fixture: each fill is exactly the mean of its 8 neighbors. */
+  val HoleNodata: Float = -1f
+  def holeAt(x: Int, y: Int): Boolean = x % 7 == 3 && y % 5 == 2 && y <= 42
+
+  def holeImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      if (holeAt(x, y)) HoleNodata else value(i.toLong, 0, x, y)
+    }
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"hole fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   /** Binary blob mask of the snake fixture (1 inside blob1/blob2, else
     * 0) — the toposnakes init segmentation. On this stationary ACWE
     * configuration the background skeleton never touches the blobs, so

@@ -110,6 +110,126 @@ object ImageOps {
     }
   }
 
+  /** fill_nodata (raster.py:2051-2088, gdal.FillNodata): interpolate
+    * nodata pixels by inverse-distance weighting of the FIRST valid
+    * pixel found scanning each of the 8 compass directions up to
+    * maxSearchDist (engine convention — GDAL's scanline IDW differs in
+    * search pattern, same inverse-distance idea; documented), then
+    * `smoothingIterations` 3x3-mean passes applied to FILLED pixels
+    * only. Pixels with no valid neighbor in range stay nodata. */
+  def fillNodata(images: Dataset[ImageRow], nodata: Float,
+                 maxSearchDist: Int = 3, smoothingIterations: Int = 0)
+                (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    val dirs = Array((1, 0), (-1, 0), (0, 1), (0, -1),
+      (1, 1), (1, -1), (-1, 1), (-1, -1))
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val out = dec.bands.map { b =>
+        val filled = b.clone()
+        val wasFilled = new Array[Boolean](b.length)
+        var p = 0
+        while (p < b.length) {
+          if (b(p) == nodata) {
+            val x = p % img.w; val y = p / img.w
+            var num = 0.0; var den = 0.0
+            dirs.foreach { case (dx, dy) =>
+              var d = 1
+              var hit = false
+              while (d <= maxSearchDist && !hit) {
+                val xx = x + dx * d; val yy = y + dy * d
+                if (xx >= 0 && yy >= 0 && xx < img.w && yy < img.h) {
+                  val v = b(yy * img.w + xx)
+                  if (v != nodata) {
+                    num += v / d; den += 1.0 / d
+                    hit = true
+                  }
+                } else hit = true // ran off the image: direction empty
+                d += 1
+              }
+            }
+            if (den > 0) { filled(p) = (num / den).toFloat; wasFilled(p) = true }
+          }
+          p += 1
+        }
+        var it = 0
+        while (it < smoothingIterations) {
+          val src = filled.clone()
+          var q = 0
+          while (q < filled.length) {
+            if (wasFilled(q)) {
+              val x = q % img.w; val y = q / img.w
+              var s = 0.0; var n = 0
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) {
+                  val xx = x + dx; val yy = y + dy
+                  if (xx >= 0 && yy >= 0 && xx < img.w && yy < img.h &&
+                      src(yy * img.w + xx) != nodata) {
+                    s += src(yy * img.w + xx); n += 1
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (n > 0) filled(q) = (s / n).toFloat
+            }
+            q += 1
+          }
+          it += 1
+        }
+        filled
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, out),
+        phash = PixelCodec.phash64(img.w, img.h, out(0)))
+    }
+  }
+
+  /** batchwarp / _gdalwarp resampling core (raster.py:2582-2663, minus
+    * PROJ reprojection — the engine's geodesy is the reference's own
+    * equirectangular model): resample onto a new pixel grid over the
+    * SAME extent. algo "near" samples the source pixel containing each
+    * target center; "bilinear" interpolates the 4 surrounding centers
+    * (edge-clamped). */
+  def warpResample(images: Dataset[ImageRow], newPx: Double,
+                   algo: String = "near")
+                  (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    require(algo == "near" || algo == "bilinear", s"algo: $algo")
+    require(newPx > 0)
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val ratio = newPx / img.px
+      val nw = math.max(1, math.floor(img.w / ratio).toInt)
+      val nh = math.max(1, math.floor(img.h / ratio).toInt)
+      val out = dec.bands.map { b =>
+        Array.tabulate(nw * nh) { i =>
+          val r = i / nw; val c = i % nw
+          if (algo == "near") {
+            val sc = math.min(img.w - 1, math.floor((c + 0.5) * ratio).toInt)
+            val sr = math.min(img.h - 1, math.floor((r + 0.5) * ratio).toInt)
+            b(sr * img.w + sc)
+          } else {
+            // sample at the target center in source-center coordinates
+            val sx = (c + 0.5) * ratio - 0.5
+            val sy = (r + 0.5) * ratio - 0.5
+            val x0 = math.floor(sx).toInt; val y0 = math.floor(sy).toInt
+            val fx = sx - x0; val fy = sy - y0
+            def at(xx: Int, yy: Int): Double =
+              b(math.min(img.h - 1, math.max(0, yy)) * img.w +
+                math.min(img.w - 1, math.max(0, xx))).toDouble
+            ((1 - fx) * (1 - fy) * at(x0, y0) + fx * (1 - fy) * at(x0 + 1, y0) +
+              (1 - fx) * fy * at(x0, y0 + 1) + fx * fy * at(x0 + 1, y0 + 1)).toFloat
+          }
+        }
+      }
+      val enc = PixelCodec.encode(img.fmt, nw, nh, out)
+      img.copy(bytes = enc, w = nw, h = nh,
+        phash = PixelCodec.phash64(nw, nh, out(0)), px = newPx)
+    }
+  }
+
   /** Frame sampling over a multi-band payload (the "video" analog of the
     * multimodal brief): keep every `stride`-th band. */
   def frameSample(images: Dataset[ImageRow], stride: Int)

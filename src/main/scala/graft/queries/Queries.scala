@@ -3026,6 +3026,87 @@ object Queries {
 
   val qTopoSegSql: String = qTopoSnakeSql
 
+  /** q_fill_nodata — fill_nodata (raster.py:2051-2088): 8-direction IDW
+    * interpolation of nodata pixels. The hole lattice keeps every
+    * 8-neighborhood valid, so each fill is exactly the neighbor mean —
+    * closed-form. */
+  def qFillNodata(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = spark.createDataset(GridImages.holeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    ImageOps.fillNodata(imgs, GridImages.HoleNodata, maxSearchDist = 3)
+      .map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, dec.bands(0).map(_.toDouble).sum)
+      }.toDF("image_id", "total")
+      .select(col("image_id"), round(col("total"), 2).as("total"))
+  }
+
+  val qFillNodataSql: String =
+    s"""WITH gpx AS (
+       |  SELECT i, x, y, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v,
+       |    (x % 7 = 3 AND y % 5 = 2 AND y <= 42) AS hole
+       |  FROM generate_series(0, 5) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y)),
+       |fills AS (
+       |  SELECT h.i, h.x, h.y, sum(p.v) / count(*) AS fv
+       |  FROM gpx h JOIN gpx p ON p.i = h.i
+       |    AND p.x BETWEEN h.x - 1 AND h.x + 1
+       |    AND p.y BETWEEN h.y - 1 AND h.y + 1
+       |    AND NOT (p.x = h.x AND p.y = h.y)
+       |  WHERE h.hole GROUP BY 1, 2, 3)
+       |SELECT printf('g%03d', g.i) AS image_id,
+       |  round(sum(CASE WHEN g.hole THEN 0 ELSE g.v END) + any_value(fs.s), 2)
+       |    AS total
+       |FROM gpx g JOIN (SELECT i, sum(fv) AS s FROM fills GROUP BY 1) fs
+       |  ON fs.i = g.i
+       |GROUP BY g.i""".stripMargin
+
+  /** q_warp — the batchwarp/_gdalwarp resampling core: nearest at 2x
+    * downsample (source pixel containing each target center) and
+    * bilinear at 2x upsample (quarter/three-quarter weights — exact
+    * binary fractions, replayed bit-exactly). */
+  def qWarp(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = gridImages(spark, 4, 1)
+    def total(algo: String, px: Double) =
+      ImageOps.warpResample(imgs, px, algo).map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, algo, im.w, im.h, dec.bands(0).map(_.toDouble).sum)
+      }.toDF("image_id", "algo", "w", "h", "total")
+    total("near", 2.0).unionByName(total("bilinear", 0.5))
+      .select(col("image_id"), col("algo"), col("w"), col("h"),
+        round(col("total"), 2).as("total"))
+  }
+
+  val qWarpSql: String = {
+    def v(x: String, y: String) = s"CAST((($x)*7 + ($y)*13 + i*17) % 97 AS DOUBLE)"
+    val bx0 = "greatest(0, c // 2 - 1 + (c % 2))"
+    val bx1 = "least(79, c // 2 + (c % 2))"
+    val by0 = "greatest(0, r // 2 - 1 + (r % 2))"
+    val by1 = "least(47, r // 2 + (r % 2))"
+    val fx = "(0.75 - (c % 2) * 0.5)"
+    val fy = "(0.75 - (r % 2) * 0.5)"
+    s"""SELECT printf('g%03d', i) AS image_id, 'near' AS algo,
+       |  CAST(40 AS INT) AS w, CAST(24 AS INT) AS h,
+       |  round(sum(${v("2*c + 1", "2*r + 1")}), 2) AS total
+       |FROM generate_series(0, 3) t(i), generate_series(0, 39) a(c),
+       |     generate_series(0, 23) b(r)
+       |GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'bilinear', 160, 96,
+       |  round(sum(
+       |    (1 - $fx) * (1 - $fy) * ${v(bx0, by0)}
+       |    + $fx * (1 - $fy) * ${v(bx1, by0)}
+       |    + (1 - $fx) * $fy * ${v(bx0, by1)}
+       |    + $fx * $fy * ${v(bx1, by1)}), 2)
+       |FROM generate_series(0, 3) t(i), generate_series(0, 159) a(c),
+       |     generate_series(0, 95) b(r)
+       |GROUP BY 1""".stripMargin
+  }
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

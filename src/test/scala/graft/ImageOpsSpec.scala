@@ -14,6 +14,75 @@ class ImageOpsSpec extends AnyFunSuite {
   lazy val imgs = Synth.images(6, seed = 77L, bands = 2)
   lazy val ds = spark.createDataset(imgs.toSeq)
 
+  test("fillNodata: IDW over first-valid per direction, border + smoothing") {
+    import graft.operators.ImageOps
+    val w = 12; val h = 8
+    val nd = -1f
+    // interior hole at (5,4), border hole at (0,0), a 2-gap hole at (9,1)
+    // whose east scan must skip a nodata at distance 1... keep simple:
+    // east neighbor at (10,1) is ALSO nodata so the east ray finds
+    // (11,1) at distance 2
+    val base = Array.tabulate(w * h)(p => ((p * 3) % 23 + 1).toFloat)
+    val holes = Seq(5 + 4 * w, 0, 9 + 1 * w, 10 + 1 * w)
+    holes.foreach(p => base(p) = nd)
+    val img = ImageOps.fromArray("f0", Array(base), w, h, 0, 0, 1.0,
+      graft.core.PixelCodec.FmtRawLe)
+    val ds = spark.createDataset(Seq(img))
+    val out = ImageOps.fillNodata(ds, nd, maxSearchDist = 3).collect().head
+    val got = graft.core.PixelCodec.decode(out.bytes, out.fmt, out.w, out.h).bands(0)
+    def idw(px: Int, py: Int): Float = {
+      val dirs = Seq((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+      var num = 0.0; var den = 0.0
+      dirs.foreach { case (dx, dy) =>
+        var d = 1; var done = false
+        while (d <= 3 && !done) {
+          val xx = px + dx * d; val yy = py + dy * d
+          if (xx < 0 || yy < 0 || xx >= w || yy >= h) done = true
+          else if (base(yy * w + xx) != nd) { num += base(yy * w + xx) / d; den += 1.0 / d; done = true }
+          else d += 1
+        }
+      }
+      (num / den).toFloat
+    }
+    holes.foreach { p => assert(got(p) == idw(p % w, p / w), s"hole $p") }
+    // non-holes untouched
+    for (p <- base.indices if !holes.contains(p)) assert(got(p) == base(p))
+    // smoothing pass averages the FILLED pixel's 3x3 window (post-fill)
+    val sm = ImageOps.fillNodata(ds, nd, 3, smoothingIterations = 1).collect().head
+    val gsm = graft.core.PixelCodec.decode(sm.bytes, sm.fmt, sm.w, sm.h).bands(0)
+    val p0 = 5 + 4 * w
+    val want = (for (dy <- -1 to 1; dx <- -1 to 1)
+      yield got((4 + dy) * w + 5 + dx).toDouble).sum / 9
+    assert(gsm(p0) == want.toFloat)
+    assert(gsm(1) == got(1), "unfilled pixels not smoothed")
+  }
+
+  test("warpResample: identity at ratio 1; near/bilinear sample correctly") {
+    import graft.operators.ImageOps
+    val src = Synth.images(2, seed = 9L, bands = 2)
+    val ds2 = spark.createDataset(src.toSeq)
+    Seq("near", "bilinear").foreach { algo =>
+      val same = ImageOps.warpResample(ds2, src.head.px, algo).collect()
+        .map(i => i.image_id -> i).toMap
+      src.foreach { s =>
+        val a = PixelCodec.decode(s.bytes, s.fmt, s.w, s.h)
+        val b0 = same(s.image_id)
+        assert(b0.w == s.w && b0.h == s.h)
+        val b = PixelCodec.decode(b0.bytes, b0.fmt, b0.w, b0.h)
+        a.bands.zip(b.bands).foreach { case (x, y) =>
+          if (!PixelCodec.isLossy(s.fmt)) assert(x.sameElements(y), s"$algo identity")
+        }
+      }
+    }
+    // 2x nearest downsample picks the (2c+1, 2r+1) source pixel
+    val g = spark.createDataset(graft.gen.GridImages.images(1, 1).toSeq)
+    val nr = ImageOps.warpResample(g, 2.0, "near").collect().head
+    assert(nr.w == 40 && nr.h == 24 && nr.px == 2.0)
+    val dec = PixelCodec.decode(nr.bytes, nr.fmt, nr.w, nr.h).bands(0)
+    for (r <- 0 until 24; c <- 0 until 40)
+      assert(dec(r * 40 + c) == graft.gen.GridImages.value(0, 0, 2 * c + 1, 2 * r + 1))
+  }
+
   test("transcode raw<->rle lossless, ->qnt8 holds PSNR>=40 and phash") {
     val rle = ImageOps.transcode(ds, PixelCodec.FmtRle).collect()
       .map(i => i.image_id -> i).toMap
