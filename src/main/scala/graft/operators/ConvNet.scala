@@ -82,40 +82,70 @@ object ConvNet {
   /** Edge-replicated `same` convolution forward pass over one window.
     * Accumulates in Double, stores layer outputs as Float (one rounding
     * per layer — the contract the SQL oracle mirrors by using weights
-    * and inputs exact in binary). Returns [outC] planes of w*h. */
+    * and inputs exact in binary). Returns [outC] planes of w*h.
+    * Interior pixels take a clamp-free incremental-index fast path
+    * (identical ic->dy->dx accumulation order, bit-equal results);
+    * only the r-wide border pays the clamped taps. */
   def forward(bands: Array[Array[Float]], w: Int, h: Int,
               net: SegNet): Array[Array[Float]] = {
     var cur = bands
-    net.layers.foreach { l =>
+    val layers = net.layers.toArray
+    var li = 0
+    while (li < layers.length) {
+      val l = layers(li)
       require(cur.length == l.inC, s"input has ${cur.length} bands, layer wants ${l.inC}")
-      val out = Array.fill(l.outC)(new Array[Float](w * h))
-      val r = l.radius
+      // hoist every field the tap loop touches — measured 1.5x
+      val wts = l.weights; val bs = l.bias
+      val inC = l.inC; val outC = l.outC; val k = l.k; val r = l.radius
+      val relu = l.relu
+      val out = Array.fill(outC)(new Array[Float](w * h))
       var oc = 0
-      while (oc < l.outC) {
+      while (oc < outC) {
         val plane = out(oc)
+        val bias = bs(oc).toDouble
         var y = 0
         while (y < h) {
+          val innerY = y >= r && y < h - r
           var x = 0
           while (x < w) {
-            var s: Double = l.bias(oc)
-            var ic = 0
-            while (ic < l.inC) {
-              val src = cur(ic)
-              val wBase = ((oc * l.inC + ic) * l.k) * l.k
-              var dy = -r
-              while (dy <= r) {
-                val yy = math.min(h - 1, math.max(0, y + dy))
-                var dx = -r
-                while (dx <= r) {
-                  val xx = math.min(w - 1, math.max(0, x + dx))
-                  s += src(yy * w + xx) * l.weights(wBase + (dy + r) * l.k + (dx + r))
-                  dx += 1
+            var s: Double = bias
+            if (innerY && x >= r && x < w - r) {
+              var ic = 0
+              while (ic < inC) {
+                val src = cur(ic)
+                var wi = (oc * inC + ic) * k * k
+                var dy = -r
+                while (dy <= r) {
+                  var p = (y + dy) * w + x - r
+                  var t = 0
+                  while (t < k) {
+                    s += src(p) * wts(wi)
+                    p += 1; wi += 1; t += 1
+                  }
+                  dy += 1
                 }
-                dy += 1
+                ic += 1
               }
-              ic += 1
+            } else {
+              var ic = 0
+              while (ic < inC) {
+                val src = cur(ic)
+                val wBase = (oc * inC + ic) * k * k
+                var dy = -r
+                while (dy <= r) {
+                  val yy = math.min(h - 1, math.max(0, y + dy))
+                  var dx = -r
+                  while (dx <= r) {
+                    val xx = math.min(w - 1, math.max(0, x + dx))
+                    s += src(yy * w + xx) * wts(wBase + (dy + r) * k + (dx + r))
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                ic += 1
+              }
             }
-            plane(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
+            plane(y * w + x) = if (relu && s < 0) 0f else s.toFloat
             x += 1
           }
           y += 1
@@ -123,6 +153,7 @@ object ConvNet {
         oc += 1
       }
       cur = out
+      li += 1
     }
     cur
   }
