@@ -373,7 +373,12 @@ object Queries {
       |FROM (SELECT user_id, cast(round(value*100) AS bigint) AS cents FROM events)
       |GROUP BY user_id""".stripMargin
 
-  /** eCDF (raster.py:2129-2137): histogram + cumulative window. */
+  /** eCDF (raster.py:2129-2137): histogram + cumulative window. The
+    * unpartitioned window (and the one in qHistMatch) runs over the
+    * post-groupBy VALUE HISTOGRAM — at most |value domain| rows (<= 256
+    * for uint8-regime rasters) regardless of input size, so the
+    * single-partition WindowExec warning is size-bounded by
+    * construction, not a scale hazard. */
   def qHistEcdf(spark: SparkSession, dir: String): DataFrame = {
     val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
