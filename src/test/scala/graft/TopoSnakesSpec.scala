@@ -87,6 +87,42 @@ class TopoSnakesSpec extends AnyFunSuite {
     }
   }
 
+  test("GAC path: balloon erosion shrinks one ring per iteration") {
+    // exactly-flat image: gradient = 0 -> gimg = 1 everywhere -> with
+    // threshold 0.5 and balloon -1 the evolution is pure erosion
+    val w = 40; val h = 30
+    val flat = Array.fill(w * h)(10f)
+    val seg = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      if (x >= 8 && x <= 29 && y >= 6 && y <= 23) 1f else 0f
+    }
+    val imgs = spark.createDataset(Seq(
+      ImageOps.fromArray("f0", Array(flat), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val segs = spark.createDataset(Seq(
+      ImageOps.fromArray("f0", Array(seg), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val got = graft.operators.TopoSnakes.topoSnakes(segs, imgs, algo = "GAC",
+      iterations = 3, smoothing = 0, threshold = 0.5, balloon = -1)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSet
+    val want = (for (x <- 11 to 26; y <- 9 to 20) yield (x, y)).toSet
+    assert(got == want, s"3-ring erosion: got ${got.size}, want ${want.size}")
+  }
+
+  test("topoSeg GAC: flat image self-seeds everywhere, erodes from borders") {
+    val w = 40; val h = 30
+    val flat = Array.fill(w * h)(10f)
+    val imgs = spark.createDataset(Seq(
+      ImageOps.fromArray("f0", Array(flat), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val got = graft.operators.TopoSnakes.topoSeg(imgs, algo = "GAC",
+      iterations = 3, dist = 2, se = 3, smoothing = 0,
+      threshold = 0.5, balloon = -1)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSet
+    val want = (for (x <- 3 until w - 3; y <- 3 until h - 3) yield (x, y)).toSet
+    assert(got == want, s"border erosion: got ${got.size}, want ${want.size}")
+  }
+
   test("stationary blobs pass through unchanged (the q_toposnake contract)") {
     val segs = spark.createDataset(GridImages.snakeSegImages(3).toSeq)(
       org.apache.spark.sql.Encoders.product[ImageRow])
