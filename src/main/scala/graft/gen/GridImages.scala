@@ -358,6 +358,18 @@ object GridImages {
        |                       ELSE 14 + (i % 3) END - 1 AS m_y1
        |  FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
 
+  /** 16x16 single-band images on the standard value formula — the
+    * phase-congruency fixture (power-of-2 dims: the engine FFT runs
+    * unpadded and a DuckDB oracle can replay the DFT as explicit trig
+    * sums). */
+  def pcImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(16 * 16)(p => value(i.toLong, 0, p % 16, p / 16))
+    val enc = PixelCodec.encode(PixelCodec.FmtRawLe, 16, 16, Array(b0))
+    ImageRow(f"g$i%03d", enc, 16, 16, PixelCodec.FmtRawLe, s"pc fixture $i",
+      PixelCodec.phash64(16, 16, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   /** Standard grid images with ISOLATED nodata holes burned at the
     * closed-form lattice x%7==3, y%5==2, y<=42 (spacing >= 5 keeps every
     * hole's 8-neighborhood valid and interior) — the fill_nodata

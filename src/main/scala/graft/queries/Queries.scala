@@ -3112,6 +3112,118 @@ object Queries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q_phasecong — the phase-congruency core (do_phasecong's
+    * `phasecong` stage, utilities.py:1086-1108; Kovesi's published
+    * algorithm): M-map mass + positional checksum per image at
+    * nscale=2, norient=2 over 16x16 fixtures. The oracle replays the
+    * ENTIRE chain relationally — DFT as explicit trig sums, log-Gabor x
+    * angular-spread filters, inverse DFT, Rayleigh noise threshold from
+    * the interpolated median, phase-deviation energy, sigmoid frequency
+    * weight, and the moment maximum. Transcendental drift between JVM
+    * and DuckDB libm is ~1e-12 against a 5e-4 rounding margin. */
+  def qPhasecong(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = spark.createDataset(GridImages.pcImages(4).toSeq)(
+      Encoders.product[ImageRow])
+    imgs.flatMap { im =>
+      val pix = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
+      val (m, _) = PhaseCong.phasecong(pix, im.w, im.h, nscale = 2, norient = 2)
+      m.iterator.zipWithIndex.map { case (v, p) =>
+        (im.image_id, v, v * ((p % im.w) * 31 + (p / im.w) * 7))
+      }
+    }.toDF("image_id", "m", "mp")
+      .groupBy("image_id")
+      .agg(round(sum("m"), 3).as("m_mass"), round(sum("mp"), 3).as("m_pos"))
+  }
+
+  val qPhasecongSql: String = {
+    val sigTh = "(pi()/2/1.3)"     // sigmaTheta for norient=2
+    val logSig2 = "(2*ln(0.55)*ln(0.55))"
+    def f0(sc: Int) = if (sc == 0) "(1.0/3.0)" else "(1.0/(3.0*2.1))"
+    s"""WITH img AS (
+       |  SELECT i, x, y, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS f
+       |  FROM generate_series(0, 3) t(i), generate_series(0, 15) a(x),
+       |       generate_series(0, 15) b(y)),
+       |fq AS (
+       |  SELECT u, v,
+       |    (CASE WHEN u <= 8 THEN u ELSE u - 16 END) / 16.0 AS fu,
+       |    (CASE WHEN v <= 8 THEN v ELSE v - 16 END) / 16.0 AS fv
+       |  FROM generate_series(0, 15) a(u), generate_series(0, 15) b(v)),
+       |ft AS (
+       |  SELECT i, u, v,
+       |    sum(f * cos(-2*pi()*(u*x + v*y)/16.0)) AS fr,
+       |    sum(f * sin(-2*pi()*(u*x + v*y)/16.0)) AS fi
+       |  FROM img CROSS JOIN fq
+       |  GROUP BY 1, 2, 3),
+       |flt AS (
+       |  SELECT q.u, q.v, s, o,
+       |    CASE WHEN q.u = 0 AND q.v = 0 THEN 0.0 ELSE
+       |      exp(-pow(ln(sqrt(fu*fu + fv*fv) /
+       |            (CASE WHEN s = 0 THEN ${f0(0)} ELSE ${f0(1)} END)), 2)
+       |          / $logSig2)
+       |      * exp(-pow(abs(atan2(sin(atan2(-fv, fu) - o*pi()/2),
+       |                           cos(atan2(-fv, fu) - o*pi()/2))), 2)
+       |            / (2*$sigTh*$sigTh)) END AS hf
+       |  FROM fq q, generate_series(0, 1) ts(s), generate_series(0, 1) tb(o)),
+       |eo AS (
+       |  SELECT ft.i, flt.s, flt.o, px.x, px.y,
+       |    sum((fr*hf) * cos(2*pi()*(ft.u*px.x + ft.v*px.y)/16.0)
+       |      - (fi*hf) * sin(2*pi()*(ft.u*px.x + ft.v*px.y)/16.0)) / 256.0 AS e,
+       |    sum((fr*hf) * sin(2*pi()*(ft.u*px.x + ft.v*px.y)/16.0)
+       |      + (fi*hf) * cos(2*pi()*(ft.u*px.x + ft.v*px.y)/16.0)) / 256.0 AS od
+       |  FROM ft JOIN flt ON ft.u = flt.u AND ft.v = flt.v
+       |  CROSS JOIN (SELECT a.x, b.y FROM generate_series(0, 15) a(x),
+       |              generate_series(0, 15) b(y)) px
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |orient AS (
+       |  SELECT i, o, x, y,
+       |    sum(e) AS sume, sum(od) AS sumo,
+       |    sum(sqrt(e*e + od*od)) AS suman,
+       |    max(sqrt(e*e + od*od)) AS maxan,
+       |    sum(CASE WHEN s = 0 THEN sqrt(e*e + od*od) END) AS an0
+       |  FROM eo GROUP BY 1, 2, 3, 4),
+       |tau AS (
+       |  SELECT i, o, quantile_cont(an0, 0.5) / sqrt(ln(4)) AS tau
+       |  FROM orient GROUP BY 1, 2),
+       |nt AS (
+       |  SELECT i, o,
+       |    (tau * (1 - pow(1/2.1, 2)) / (1 - 1/2.1)) * (sqrt(pi()/2)
+       |      + 2.0 * sqrt((4 - pi())/2)) / 1.7 AS t
+       |  FROM tau),
+       |mean AS (
+       |  SELECT i, o, x, y, suman, maxan,
+       |    sume / (sqrt(sume*sume + sumo*sumo) + 1e-4) AS me,
+       |    sumo / (sqrt(sume*sume + sumo*sumo) + 1e-4) AS mo
+       |  FROM orient),
+       |dev AS (
+       |  SELECT r.i, r.o, r.x, r.y, any_value(r.suman) AS suman,
+       |    any_value(r.maxan) AS maxan,
+       |    sum(eo.e * r.me + eo.od * r.mo
+       |        - abs(eo.e * r.mo - eo.od * r.me)) AS energy
+       |  FROM mean r JOIN eo ON eo.i = r.i AND eo.o = r.o
+       |    AND eo.x = r.x AND eo.y = r.y
+       |  GROUP BY 1, 2, 3, 4),
+       |pc AS (
+       |  SELECT d.i, d.o, d.x, d.y,
+       |    (1.0 / (1 + exp(10 * (0.5 - (d.suman / (d.maxan + 1e-4) - 1)))))
+       |    * greatest(d.energy - nt.t, 0) / (d.suman + 1e-4) AS pcv
+       |  FROM dev d JOIN nt ON nt.i = d.i AND nt.o = d.o),
+       |mm AS (
+       |  SELECT i, x, y,
+       |    max(CASE WHEN o = 0 THEN pcv*pcv END) AS cx2,
+       |    max(CASE WHEN o = 1 THEN pcv*pcv END) AS cy2
+       |  FROM pc GROUP BY 1, 2, 3),
+       |mfin AS (
+       |  SELECT i, x, y,
+       |    (cy2 + cx2 + sqrt((cx2 - cy2)*(cx2 - cy2)) + 1e-4) / 2 AS m
+       |  FROM mm)
+       |SELECT printf('g%03d', i) AS image_id,
+       |  round(sum(m), 3) AS m_mass,
+       |  round(sum(m * (x*31 + y*7)), 3) AS m_pos
+       |FROM mfin GROUP BY 1""".stripMargin
+  }
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

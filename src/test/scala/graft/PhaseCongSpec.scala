@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core.PixelCodec
+import graft.operators.{ImageOps, PhaseCong}
+
+class PhaseCongSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("fft2 equals the naive O(n^4) DFT, forward and inverse") {
+    val w = 8; val h = 4
+    val rng = new scala.util.Random(42)
+    val re = Array.fill(w * h)(rng.nextDouble() * 10 - 5)
+    val im = Array.fill(w * h)(rng.nextDouble() * 10 - 5)
+    // naive DFT
+    val nr = new Array[Double](w * h); val ni = new Array[Double](w * h)
+    for (v <- 0 until h; u <- 0 until w) {
+      var sr = 0.0; var si = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val ang = -2 * math.Pi * (u.toDouble * x / w + v.toDouble * y / h)
+        val c = math.cos(ang); val s = math.sin(ang)
+        sr += re(y * w + x) * c - im(y * w + x) * s
+        si += re(y * w + x) * s + im(y * w + x) * c
+      }
+      nr(v * w + u) = sr; ni(v * w + u) = si
+    }
+    val fr = re.clone(); val fi = im.clone()
+    PhaseCong.fft2(fr, fi, w, h, inverse = false)
+    for (p <- 0 until w * h) {
+      assert(math.abs(fr(p) - nr(p)) < 1e-9, s"re $p")
+      assert(math.abs(fi(p) - ni(p)) < 1e-9, s"im $p")
+    }
+    // inverse round-trip
+    PhaseCong.fft2(fr, fi, w, h, inverse = true)
+    for (p <- 0 until w * h) {
+      assert(math.abs(fr(p) - re(p)) < 1e-9)
+      assert(math.abs(fi(p) - im(p)) < 1e-9)
+    }
+  }
+
+  test("phase congruency: high on the step edge, low on flat / gradual ramps") {
+    val w = 32; val h = 32
+    // vertical step at x=16
+    val step = Array.tabulate(w * h)(p => if (p % w >= 16) 100f else 20f)
+    val (mStep, _) = PhaseCong.phasecong(step, w, h, nscale = 3, norient = 4)
+    // flat field: zero response
+    val flat = Array.fill(w * h)(60f)
+    val (mFlat, _) = PhaseCong.phasecong(flat, w, h, nscale = 3, norient = 4)
+    assert(mFlat.forall(_ < 1e-3), "flat image has no congruency (epsilon floor only)")
+    // the step columns dominate everything away from the edge
+    val interiorRows = 8 until 24
+    val atEdge = interiorRows.map(y => mStep(y * w + 16)).min
+    val offEdge = (for (y <- interiorRows; x <- Seq(4, 9, 26)) yield mStep(y * w + x)).max
+    assert(atEdge > 2 * offEdge, s"edge $atEdge vs off $offEdge")
+    // PC is (approximately) contrast-invariant: scaling the image leaves
+    // the noise threshold and the normalized measure in proportion
+    val step2 = step.map(v => v * 3f)
+    val (mStep2, _) = PhaseCong.phasecong(step2, w, h, nscale = 3, norient = 4)
+    val r = interiorRows.map(y => mStep2(y * w + 16) / mStep(y * w + 16))
+    r.foreach(v => assert(math.abs(v - 1.0) < 0.05, s"contrast invariance $v"))
+  }
+
+  test("orientation map: vertical edge normal is horizontal, and vice versa") {
+    val w = 32; val h = 32
+    val vert = Array.tabulate(w * h)(p => if (p % w >= 16) 100f else 20f)
+    val (mv, ov) = PhaseCong.phasecong(vert, w, h, nscale = 3, norient = 4)
+    // at the vertical edge the principal axis (PC energy) is horizontal
+    // (cos-dominated) -> ori ~ 0
+    for (y <- 10 to 20) {
+      val a = ov(y * w + 16)
+      assert(math.abs(math.sin(a)) < 0.2, s"vertical edge axis $a")
+    }
+    val horiz = Array.tabulate(w * h)(p => if (p / w >= 16) 100f else 20f)
+    val (_, oh) = PhaseCong.phasecong(horiz, w, h, nscale = 3, norient = 4)
+    for (x <- 10 to 20) {
+      val a = oh(16 * w + x)
+      assert(math.abs(math.cos(a)) < 0.2, s"horizontal edge axis $a")
+    }
+    assert(mv.max > 0)
+  }
+
+  test("phaseCongEdges: the planted step survives NMS + hysteresis, zeros masked") {
+    val w = 32; val h = 32
+    val step = Array.tabulate(w * h) { p =>
+      val x = p % w
+      if (x >= 16) 100f else if (x <= 1) 0f else 20f // left margin is nodata-0
+    }
+    val img = ImageOps.fromArray("p0", Array(step), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)
+    val ds = spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val edges = PhaseCong.phaseCongEdges(ds, nscale = 3, norient = 4,
+      lowT = 60, hiT = 120).collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(edges.nonEmpty)
+    // every edge pixel hugs the step — or the image borders, where the
+    // FFT's periodic extension creates a genuine wrap-around step (the
+    // 100 -> 0 jump from x=31 back to x=0; phasepack behaves the same).
+    // Nothing may appear in the flat interiors; the zero margin is
+    // masked out.
+    edges.foreach { case (x, _) =>
+      assert((x >= 14 && x <= 18) || x >= 29 || x <= 3, s"stray edge at x=$x")
+    }
+    // the edge line is vertically continuous through the interior
+    val xs = edges.groupBy(_._2)
+    for (y <- 8 to 24) assert(xs.contains(y), s"gap at row $y")
+  }
+}
