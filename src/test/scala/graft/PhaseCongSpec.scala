@@ -104,4 +104,20 @@ class PhaseCongSpec extends AnyFunSuite {
     val xs = edges.groupBy(_._2)
     for (y <- 8 to 24) assert(xs.contains(y), s"gap at row $y")
   }
+
+  test("houghseg composes with phase edges (the reference's edge='phase' option)") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val w = 32; val h = 32
+    val step = Array.tabulate(w * h)(p => if (p % w >= 16) 100f else 20f)
+    val img = ImageOps.fromArray("p1", Array(step), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)
+    val ds = spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val edges = PhaseCong.phaseCongEdges(ds, nscale = 3, norient = 4,
+      lowT = 60, hiT = 120).where(col("x") > 5 && col("x") < 27)
+    val acc = graft.operators.Hough.accumulate(edges, Seq(0.0))
+    val top = acc.orderBy(desc("votes")).collect().head
+    // theta = 0 -> rho = x: the strongest line is the step column
+    assert(top.getInt(2) >= 15 && top.getInt(2) <= 17,
+      s"peak rho ${top.getInt(2)}")
+  }
 }
