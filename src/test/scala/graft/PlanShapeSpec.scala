@@ -127,6 +127,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cn.contains("Exchange"), s"segPredictTiles must not shuffle pixels:\n$cn")
   }
 
+  test("round-4 distributed builds: shuffles carry summaries, never pixels") {
+    import graft.operators.{ConvNet, Rag, Mesh, Tiler => T}
+    import graft.gen.GridImages
+    val imgs = spark.createDataset(GridImages.images(4, 2).toSeq)
+    val masks = spark.createDataset(GridImages.maskImages(4).toSeq)
+    // gramForHead: ONE aggregate exchange whose rows are (kind, ra, rb, v)
+    // scalars — the pixel/band arrays must be projected away BELOW it
+    val backbone = graft.operators.SegNet(
+      ConvNet.fixtureNet.layers.take(1), Array(1, 2, 3))
+    val chips = ConvNet.collectChipsLabeled(imgs, masks, 16, includeZero = true)
+    // the summary-keyed exchange sits ABOVE a map-side partial_sum, so
+    // only (kind, ra, rb, sum) scalars shuffle; the chips-building join
+    // below legitimately carries image rows and is not the gram shuffle
+    def gateSummaryShuffle(p: String, key: String, what: String): Unit = {
+      val ex = p.indexOf(s"Exchange hashpartitioning($key")
+      assert(ex >= 0, s"$what: summary exchange missing:\n$p")
+      val partial = p.indexOf("partial_sum", ex)
+      assert(partial > ex, s"$what: no map-side partial agg below the exchange:\n$p")
+      // nothing payload-shaped between the exchange and its partial agg
+      val window = p.substring(ex, partial)
+      assert(!window.contains("bands") && !window.contains("pixels") &&
+        !window.contains("bytes"), s"$what: payload crossed the summary exchange")
+    }
+    gateSummaryShuffle(plan(ConvNet.gramForHead(chips, backbone, nClasses = 4)),
+      "kind", "gramForHead")
+    // Rag boundary build: (image_id, lo, hi) aggregate exchange
+    val segs = spark.createDataset(GridImages.ragSegImages(4).toSeq)
+    val rimgs = spark.createDataset(GridImages.ragImages(4).toSeq)
+    gateSummaryShuffle(plan(Rag.buildBoundary(segs, rimgs)),
+      "image_id", "ragBoundary")
+    // maskMoments: map-side partial sums; the exchange carries 6 doubles
+    val tiles = T.tiles(imgs, 64, T.resForCellSize(64.0))
+    gateSummaryShuffle(plan(Mesh.maskMoments(tiles)), "image_id", "maskMoments")
+  }
+
   test("rasterize: zero shuffle (broadcast cell->features map, typed map)") {
     import graft.operators.{Tiler, RasterOps}
     val images = spark.createDataset(Synth.images(4, seed = 3L, bands = 1).toSeq)
