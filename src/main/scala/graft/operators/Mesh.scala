@@ -45,13 +45,31 @@ object Mesh {
       (col("x_min") + col("w") * col("px")).as("x1"),
       col("y_max").as("y1"))
 
+  /** Per-partition dedupe of the tiler's multi-cell duplicate rows:
+    * tiles of one (image, tx, ty, band) are emitted consecutively by
+    * the tiler flatMap, so a local filter replaces what a
+    * dropDuplicates would do with a full PIXEL-PAYLOAD shuffle. Input
+    * must come straight off the tiler (narrow chain), like
+    * ConvNet.segPredictTiles. */
+  private def dedupeConsecutive(tiles: Dataset[TileRow])
+                               (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    tiles.mapPartitions { it =>
+      var last: (String, Int, Int, Int) = null
+      it.filter { t =>
+        val k = (t.image_id, t.tx, t.ty, t.band)
+        if (k == last) false else { last = k; true }
+      }
+    }
+  }
+
   /** mesh_from_raster: one cell polygon per pixel — (image_id, wx0,
     * wy0, wx1, wy1), the pixel's world square. Generated from tiles so
-    * a 10^5 x 10^5 raster streams through as bounded rows. */
+    * a 10^5 x 10^5 raster streams through as bounded rows; zero
+    * shuffle. */
   def meshFromRaster(tiles: Dataset[TileRow])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    tiles.dropDuplicates("image_id", "tx", "ty", "band")
-      .filter(col("band") === 0)
+    dedupeConsecutive(tiles.filter(col("band") === 0).as[TileRow])
       .flatMap { t =>
         for (r <- 0 until t.th; c <- 0 until t.tw) yield {
           val wx0 = t.x_min + c * t.px
@@ -89,8 +107,7 @@ object Mesh {
     * regionprops frame). Map-side partials; 6 doubles per tile shuffle. */
   def maskMoments(tiles: Dataset[TileRow])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    tiles.dropDuplicates("image_id", "tx", "ty", "band")
-      .filter(col("band") === 0)
+    dedupeConsecutive(tiles.filter(col("band") === 0).as[TileRow])
       .map { t =>
         // tile-local partial sums over bright (v > 0) pixels, in image
         // pixel coords derived from the tile's world origin

@@ -157,9 +157,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val rimgs = spark.createDataset(GridImages.ragImages(4).toSeq)
     gateSummaryShuffle(plan(Rag.buildBoundary(segs, rimgs)),
       "image_id", "ragBoundary")
-    // maskMoments: map-side partial sums; the exchange carries 6 doubles
+    // maskMoments: map-side partial sums; the ONLY exchange in the whole
+    // plan is the 6-doubles-per-tile summary shuffle (the multi-cell
+    // dedupe is per-partition consecutive, NOT a dropDuplicates that
+    // would shuffle pixel payloads)
     val tiles = T.tiles(imgs, 64, T.resForCellSize(64.0))
-    gateSummaryShuffle(plan(Mesh.maskMoments(tiles)), "image_id", "maskMoments")
+    val mm = plan(Mesh.maskMoments(tiles))
+    gateSummaryShuffle(mm, "image_id", "maskMoments")
+    assert(mm.split("Exchange").length - 1 == 1,
+      s"maskMoments must have exactly one exchange:\n$mm")
+    val mf = plan(Mesh.meshFromRaster(tiles))
+    assert(!mf.contains("Exchange"), s"meshFromRaster must not shuffle:\n$mf")
   }
 
   test("rasterize: zero shuffle (broadcast cell->features map, typed map)") {
