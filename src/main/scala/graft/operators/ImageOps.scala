@@ -33,16 +33,17 @@ object ImageOps {
 
   /** array2raster / inverse tiler (raster.py:287-371): reassemble an
     * image from its tiles (geo-config copied from the tile rows, i.e.
-    * the `_copy_dataset_config` idiom raster.py:2532-2580). Tiles must
-    * be cell-deduplicated first (distinct on tile key). One shuffle
-    * keyed by image. */
+    * the `_copy_dataset_config` idiom raster.py:2532-2580). ONE shuffle
+    * keyed by image — multi-cell duplicate tile rows (identical
+    * payloads) are deduped inside the group, not via a second
+    * dropDuplicates exchange. */
   def assemble(tiles: Dataset[TileRow], w: Int, h: Int, fmt: String,
                caption: String = "")(implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
-    tiles.dropDuplicates("image_id", "tx", "ty", "band")
-      .groupByKey(_.image_id)
+    tiles.groupByKey(_.image_id)
       .mapGroups { (id: String, it: Iterator[TileRow]) =>
-        val ts = it.toArray
+        val seen = scala.collection.mutable.HashSet.empty[(Int, Int, Int)]
+        val ts = it.filter(t => seen.add((t.tx, t.ty, t.band))).toArray
         val nBands = ts.map(_.band).max + 1
         val bands = Array.fill(nBands)(new Array[Float](w * h))
         // image origin = min tile origin
