@@ -86,8 +86,24 @@ object ConvNet {
     * Interior pixels take a clamp-free incremental-index fast path
     * (identical ic->dy->dx accumulation order, bit-equal results);
     * only the r-wide border pays the clamped taps. */
+  /** Per-partition scratch: layer output planes are reused across tiles
+    * (every index is overwritten, so no clearing) — drops the forward
+    * pass's ~140 KB/tile allocation rate that pressures the collector
+    * at high tile throughput. */
+  final class ConvScratch {
+    private val cache =
+      scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Float]]]
+    private[ConvNet] def planes(layer: Int, outC: Int, n: Int): Array[Array[Float]] =
+      cache.getOrElseUpdate((layer, n), Array.fill(outC)(new Array[Float](n)))
+  }
+
   def forward(bands: Array[Array[Float]], w: Int, h: Int,
-              net: SegNet): Array[Array[Float]] = {
+              net: SegNet): Array[Array[Float]] = forward(bands, w, h, net, null)
+
+  /** With a non-null scratch the RETURNED planes are scratch-owned and
+    * valid only until the next forward call on the same scratch. */
+  def forward(bands: Array[Array[Float]], w: Int, h: Int,
+              net: SegNet, scratch: ConvScratch): Array[Array[Float]] = {
     var cur = bands
     val layers = net.layers.toArray
     var li = 0
@@ -98,7 +114,9 @@ object ConvNet {
       val wts = l.weights; val bs = l.bias
       val inC = l.inC; val outC = l.outC; val k = l.k; val r = l.radius
       val relu = l.relu
-      val out = Array.fill(outC)(new Array[Float](w * h))
+      val out =
+        if (scratch != null) scratch.planes(li, outC, w * h)
+        else Array.fill(outC)(new Array[Float](w * h))
       var oc = 0
       while (oc < outC) {
         val plane = out(oc)
@@ -183,13 +201,16 @@ object ConvNet {
                 (implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(net)
-    images.map { img =>
+    images.mapPartitions { it =>
       val n = bc.value
-      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
-      val planes = forward(dec.bands, img.w, img.h, n)
-      val cls = Array.tabulate(img.w * img.h)(i => decide(planes, i, n.classes))
-      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(cls)),
-        phash = PixelCodec.phash64(img.w, img.h, cls))
+      val scratch = new ConvScratch
+      it.map { img =>
+        val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+        val planes = forward(dec.bands, img.w, img.h, n, scratch)
+        val cls = Array.tabulate(img.w * img.h)(i => decide(planes, i, n.classes))
+        img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(cls)),
+          phash = PixelCodec.phash64(img.w, img.h, cls))
+      }
     }
   }
 
@@ -212,6 +233,7 @@ object ConvNet {
     tiles.mapPartitions { it =>
       val n = bc.value
       val h = n.halo
+      val scratch = new ConvScratch
       var lastKey: (String, Int, Int) = null
       it.flatMap { t =>
         val key = (t.image_id, t.tx, t.ty)
@@ -220,7 +242,7 @@ object ConvNet {
           lastKey = key
           require(t.bands.length == n.layers.head.inC,
             s"tile ${t.image_id}(${t.tx},${t.ty}) has ${t.bands.length} bands, net wants ${n.layers.head.inC}")
-          val planes = forward(t.bands, t.tw, t.th, n)
+          val planes = forward(t.bands, t.tw, t.th, n, scratch)
           // core offset inside the expanded window = the part of `h`
           // actually available on the low side (halo is image-clipped)
           val offX = math.min(h, t.tx * tileSize)
@@ -253,9 +275,11 @@ object ConvNet {
                  (implicit spark: SparkSession): Dataset[(String, Int, Int, Int)] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(net)
-    chips.map { ch =>
+    chips.mapPartitions { chIt =>
       val n = bc.value
-      val planes = forward(ch.bands, ch.w, ch.h, n)
+      val scratch = new ConvScratch
+      chIt.map { ch =>
+      val planes = forward(ch.bands, ch.w, ch.h, n, scratch)
       val npx = ch.w * ch.h
       // pooled SUMS, not means: argmax is invariant under the positive
       // 1/npx factor, and the double sums stay exact where a float mean
@@ -276,6 +300,7 @@ object ConvNet {
           n.classes(best)
         }
       (ch.image_id, ch.cx, ch.cy, lab)
+      }
     }
   }
 
@@ -355,8 +380,10 @@ object ConvNet {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(backbone)
     val d = backbone.layers.last.outC + 1
-    chips.flatMap { ch =>
-      val planes = forward(ch.bands, ch.w, ch.h, bc.value)
+    chips.mapPartitions { chIt =>
+      val scratch = new ConvScratch
+      chIt.flatMap { ch =>
+      val planes = forward(ch.bands, ch.w, ch.h, bc.value, scratch)
       val npx = ch.w * ch.h
       val g = new Array[Double](d * d)
       val xy = new Array[Double](d * nClasses)
@@ -380,6 +407,7 @@ object ConvNet {
         yield ("g", a, b, g(a * d + b))) ++
         (for (a <- 0 until d; c <- 0 until nClasses)
           yield ("y", a, c, xy(a * nClasses + c)))
+      }
     }.toDF("kind", "ra", "rb", "v")
       .groupBy("kind", "ra", "rb")
       .agg(org.apache.spark.sql.functions.sum("v").as("v"))
