@@ -91,10 +91,13 @@ object ConvNet {
     * pass's ~140 KB/tile allocation rate that pressures the collector
     * at high tile throughput. */
   final class ConvScratch {
+    // outC is part of the key: one scratch serving two nets that differ
+    // in channel width at the same (layer, n) must allocate per net, not
+    // silently hand back wrong-width planes
     private val cache =
-      scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Float]]]
+      scala.collection.mutable.HashMap.empty[(Int, Int, Int), Array[Array[Float]]]
     private[ConvNet] def planes(layer: Int, outC: Int, n: Int): Array[Array[Float]] =
-      cache.getOrElseUpdate((layer, n), Array.fill(outC)(new Array[Float](n)))
+      cache.getOrElseUpdate((layer, outC, n), Array.fill(outC)(new Array[Float](n)))
   }
 
   def forward(bands: Array[Array[Float]], w: Int, h: Int,

@@ -50,15 +50,26 @@ object Mesh {
     * the tiler flatMap, so a local filter replaces what a
     * dropDuplicates would do with a full PIXEL-PAYLOAD shuffle. Input
     * must come straight off the tiler (narrow chain), like
-    * ConvNet.segPredictTiles. */
+    * ConvNet.segPredictTiles — a tripwire enforces it: duplicate keys
+    * that are NOT adjacent (the signature of repartitioned/sorted
+    * input) fail loudly instead of double-counting. The seen-set holds
+    * one small tuple per DISTINCT tile key in the partition (tiles,
+    * never pixels), so the check is noise next to the decode cost. */
   private def dedupeConsecutive(tiles: Dataset[TileRow])
                                (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
     tiles.mapPartitions { it =>
       var last: (String, Int, Int, Int) = null
+      val seen = scala.collection.mutable.HashSet.empty[(String, Int, Int, Int)]
       it.filter { t =>
         val k = (t.image_id, t.tx, t.ty, t.band)
-        if (k == last) false else { last = k; true }
+        if (k == last) false
+        else {
+          require(seen.add(k),
+            s"dedupeConsecutive saw non-adjacent duplicate tile $k — " +
+              "input must come straight off the tiler (no repartition/sort in between)")
+          last = k; true
+        }
       }
     }
   }

@@ -12,13 +12,26 @@ import graft.core.PixelCodec
  * with the reference's `_weight_boundary` callback (count-weighted mean
  * of boundary-edge strengths, utilities.py:795-832).
  *
- * Spark shape: the RAG is BUILT distributed — per-image boundary
- * partials (lo, hi, sum, count) fold map-side and the shuffle carries
- * region-pair rows, never pixels; the hierarchical merge runs
- * driver-side on the collected per-image graph (regions are bounded by
- * contract — the merge is inherently sequential: each step's weights
- * depend on the previous merge); the relabeling broadcasts the
- * old->new map back over the pixels (zero further shuffle).
+ * Spark shape — fully distributed:
+ *  - the RAG is BUILT distributed: per-image boundary partials
+ *    (lo, hi, sum, count) fold map-side and the shuffle carries
+ *    region-pair rows, never pixels;
+ *  - the hierarchical merge runs EXECUTOR-side, one task per image
+ *    (`groupByKey(image_id).mapGroups`): the merge is inherently
+ *    sequential WITHIN an image (each step's count-weighted mean
+ *    depends on the previous merge) but independent ACROSS images, so
+ *    a million-image batch merges with million-way parallelism and the
+ *    driver never sees an edge. Each image's edge list is fail-fast
+ *    bounded (`maxEdgesPerImage` — regions << pixels by contract);
+ *  - relabeling joins the per-image (old -> new) label arrays back to
+ *    the segmentation rows on image_id — the map side is
+ *    regions-sized, so AQE broadcasts it at small scale and a plain
+ *    equi-join on image_id handles the web-scale case; pixels are
+ *    decoded once, after the join, and never shuffled.
+ *
+ * Per-image merge cost: a lazy-deletion priority queue keyed on
+ * (weight, lo, hi) makes each merge O(degree · log E) instead of a
+ * full O(E) adjacency rescan per round — O(E log E) total.
  *
  * Engine conventions (documented):
  *  - edge map = unnormalized 3x3 Sobel magnitude (Edge's kernel,
@@ -93,7 +106,12 @@ object Rag {
   /** skimage merge_hierarchical with _weight_boundary, exact: repeatedly
     * merge the globally minimum-weight edge while its weight < thresh;
     * a merged node's edge to a common neighbor combines by
-    * count-weighted mean. Returns old label -> canonical (min) label. */
+    * count-weighted mean. Lazy-deletion priority queue: a popped entry
+    * is live iff the adjacency still holds its exact (sum, count) —
+    * every edge mutation re-enqueues, so stale entries skip in O(log E).
+    * Ties break on (weight, lo, hi), matching the previous full-scan
+    * minBy ordering bit-for-bit. Returns old label -> canonical (min)
+    * label. */
   private[graft] def mergeHierarchical(
       edges: Seq[(Long, Long, Double, Long)], thresh: Double): Map[Long, Long] = {
     // union-find over labels
@@ -102,38 +120,54 @@ object Rag {
       val p = parent.getOrElse(x, x)
       if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
-    // adjacency: canonical pair -> (sum, count); weight = sum/count
+    // adjacency between CURRENT roots: canonical pair -> (sum, count)
     val adj = scala.collection.mutable.HashMap.empty[(Long, Long), (Double, Long)]
+    // incidence: root -> set of neighboring roots
+    val inc = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.Set[Long]]
+    def link(a: Long, b: Long): Unit = {
+      inc.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      inc.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
     edges.foreach { case (a, b, s, c) =>
       val k = (math.min(a, b), math.max(a, b))
       val (s0, c0) = adj.getOrElse(k, (0.0, 0L))
       adj(k) = (s0 + s, c0 + c)
+      link(k._1, k._2)
     }
+    // min-heap on (weight, lo, hi); payload carries (sum, count) for the
+    // liveness check
+    implicit val ord: Ordering[(Double, Long, Long, Double, Long)] =
+      Ordering.by[(Double, Long, Long, Double, Long), (Double, Long, Long)](
+        e => (e._1, e._2, e._3)).reverse
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long, Double, Long)]
+    adj.foreach { case ((a, b), (s, c)) => pq.enqueue((s / c, a, b, s, c)) }
     var continue = true
-    while (continue && adj.nonEmpty) {
-      val ((la, lb), (s, c)) = adj.minBy { case ((a, b), (s, c)) =>
-        (s / c, a, b) // deterministic tie-break by label pair
-      }
-      if (s / c >= thresh) continue = false
-      else {
-        val keep = math.min(find(la), find(lb))
-        val drop = math.max(find(la), find(lb))
-        parent(drop) = keep
-        // rebuild edges touching la/lb against the merged node
-        val touched = adj.toSeq.filter { case ((a, b), _) =>
-          a == la || b == la || a == lb || b == lb
-        }
-        touched.foreach { case (k, _) => adj.remove(k) }
-        touched.foreach { case ((a, b), (es, ec)) =>
-          val other = if (a == la || a == lb) b else a
-          if (other != la && other != lb) {
-            val k = (math.min(keep, find(other)), math.max(keep, find(other)))
-            if (k._1 != k._2) {
-              val (s0, c0) = adj.getOrElse(k, (0.0, 0L))
-              adj(k) = (s0 + es, c0 + ec) // count-weighted mean composition
+    while (continue && pq.nonEmpty) {
+      val (w, la, lb, s, c) = pq.dequeue()
+      adj.get((la, lb)) match {
+        case Some((s0, c0)) if s0 == s && c0 == c => // live entry
+          if (w >= thresh) continue = false
+          else {
+            val keep = math.min(la, lb)
+            val drop = math.max(la, lb)
+            parent(drop) = keep
+            adj.remove((la, lb))
+            inc(keep) -= drop
+            val dropN = inc.remove(drop).getOrElse(scala.collection.mutable.Set.empty)
+            dropN -= keep
+            dropN.foreach { other =>
+              val dk = (math.min(drop, other), math.max(drop, other))
+              val (es, ec) = adj.remove(dk).get
+              inc(other) -= drop
+              val kk = (math.min(keep, other), math.max(keep, other))
+              val (s1, c1) = adj.getOrElse(kk, (0.0, 0L))
+              val merged = (s1 + es, c1 + ec) // count-weighted mean composition
+              adj(kk) = merged
+              link(keep, other)
+              pq.enqueue((merged._1 / merged._2, kk._1, kk._2, merged._1, merged._2))
             }
           }
-        }
+        case _ => () // stale — a mutation re-enqueued the current value
       }
     }
     // canonical min-label map over every label seen
@@ -143,29 +177,44 @@ object Rag {
   }
 
   /** Full ragmerge: returns the relabeled per-pixel rows
-    * (image_id, x, y, label). The per-image edge list is bounded by
-    * contract (segmentations have regions << pixels). */
+    * (image_id, x, y, label). Fully lazy/distributed — building the
+    * DataFrame launches no Spark job; merges run one-task-per-image on
+    * executors and the per-image edge list is fail-fast bounded. */
   def ragMerge(segs: Dataset[ImageRow], images: Dataset[ImageRow],
                band: Int = 0, thresh: Double = 0.02,
-               maxEdges: Int = 1 << 20)
+               maxEdgesPerImage: Int = 1 << 20)
               (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rag = buildBoundary(segs, images, band)
-      .limit(maxEdges + 1).collect()
-    require(rag.length <= maxEdges,
-      s"RAG exceeds the driver-merge contract ($maxEdges edges)")
-    val maps: Map[String, Map[Long, Long]] = rag
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
-      .groupBy(_._1)
-      .map { case (id, rows) => id -> mergeHierarchical(rows.map(_._2).toSeq, thresh) }
-    val mapsB = spark.sparkContext.broadcast(maps)
-    segs.flatMap { sg =>
-      val m = mapsB.value.getOrElse(sg.image_id, Map.empty[Long, Long])
-      val lab = PixelCodec.decode(sg.bytes, sg.fmt, sg.w, sg.h).bands(0)
-      lab.iterator.zipWithIndex.map { case (v, p) =>
-        val l = v.toLong
-        (sg.image_id, p % sg.w, p / sg.w, m.getOrElse(l, l))
+    // executor-side per-image hierarchical merge: (image_id, old[], new[])
+    // with identity entries dropped (regions-sized rows, never pixels)
+    val maps = buildBoundary(segs, images, band)
+      .as[(String, Long, Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val edges = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
+        while (it.hasNext) {
+          val r = it.next()
+          edges += ((r._2, r._3, r._4, r._5))
+          require(edges.length <= maxEdgesPerImage,
+            s"RAG for image $id exceeds the per-image merge contract ($maxEdgesPerImage edges)")
+        }
+        val m = mergeHierarchical(edges.toSeq, thresh)
+        val changed = m.iterator.filter { case (k, v) => k != v }.toArray.sortBy(_._1)
+        (id, changed.map(_._1), changed.map(_._2))
       }
-    }.toDF("image_id", "x", "y", "label")
+    // relabel join: regions-sized right side — AQE broadcasts it when
+    // small; at web scale it's a plain equi-join on image_id. Images
+    // with no merged labels (or no edges at all) pass through via left.
+    segs.joinWith(maps, segs("image_id") === maps("_1"), "left_outer")
+      .flatMap { case (sg, mrow) =>
+        val m: Map[Long, Long] =
+          if (mrow == null) Map.empty
+          else mrow._2.iterator.zip(mrow._3.iterator).toMap
+        val lab = PixelCodec.decode(sg.bytes, sg.fmt, sg.w, sg.h).bands(0)
+        lab.iterator.zipWithIndex.map { case (v, p) =>
+          val l = v.toLong
+          (sg.image_id, p % sg.w, p / sg.w, m.getOrElse(l, l))
+        }
+      }.toDF("image_id", "x", "y", "label")
   }
 }

@@ -246,4 +246,24 @@ class ConvNetSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ConvScratch keyed by channel width: two nets share one scratch safely") {
+    // fixtureNet (3ch layer0) and fixtureNet3 (4ch layer0) through ONE
+    // scratch at the same (layer, n) — the outC-keyed cache must hand
+    // each net full-width planes (the round-4 key returned the FIRST
+    // caller's width to both)
+    val scratch = new ConvNet.ConvScratch
+    val w = 8; val h = 8
+    val in2 = Array.fill(2)(Array.tabulate(w * h)(i => (i % 5).toFloat))
+    val in3 = Array.fill(3)(Array.tabulate(w * h)(i => (i % 7).toFloat))
+    val a = ConvNet.forward(in2, w, h, ConvNet.fixtureNet, scratch).map(_.clone)
+    val b = ConvNet.forward(in3, w, h, ConvNet.fixtureNet3, scratch).map(_.clone)
+    val aRef = ConvNet.forward(in2, w, h, ConvNet.fixtureNet)
+    val bRef = ConvNet.forward(in3, w, h, ConvNet.fixtureNet3)
+    assert(b.length == bRef.length && b.zip(bRef).forall { case (x, y) => x.sameElements(y) })
+    // and going BACK to the first net still matches (cache not clobbered)
+    val a2 = ConvNet.forward(in2, w, h, ConvNet.fixtureNet, scratch)
+    assert(a.zip(aRef).forall { case (x, y) => x.sameElements(y) })
+    assert(a2.zip(aRef).forall { case (x, y) => x.sameElements(y) })
+  }
 }

@@ -92,4 +92,20 @@ class MeshSpec extends AnyFunSuite {
       assert(math.abs(byTiles(f"g$i%03d") - want) < 1e-12, s"image $i orient")
     }
   }
+
+  test("dedupe tripwire: non-adjacent duplicate tiles fail loudly") {
+    // shuffled-then-fed tiles violate the straight-off-the-tiler
+    // contract; the tripwire must raise, not silently double-count
+    val t = TileRow("g000", 0L, 0, 0, 0.0, 0.0, 1.0, 0,
+      Array.fill(4)(1f), 2, 2, Float.NaN)
+    val other = t.copy(tx = 1)
+    val bad = spark.createDataset(Seq(t, other, t))(
+      org.apache.spark.sql.Encoders.product[TileRow]).coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Mesh.meshFromRaster(bad).count()
+    }
+    def msg(x: Throwable): String =
+      Option(x).map(t => t.getMessage + msg(t.getCause)).getOrElse("")
+    assert(msg(e).contains("non-adjacent duplicate tile"))
+  }
 }

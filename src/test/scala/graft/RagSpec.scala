@@ -29,6 +29,108 @@ class RagSpec extends AnyFunSuite {
     assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L && m(4L) == 4L)
   }
 
+  /** The round-4 full-scan merge (O(V·E) minBy rescans), kept here as
+    * the bit-parity reference for the lazy-deletion PQ rewrite. */
+  private def naiveMerge(edges: Seq[(Long, Long, Double, Long)],
+                         thresh: Double): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val adj = scala.collection.mutable.HashMap.empty[(Long, Long), (Double, Long)]
+    edges.foreach { case (a, b, s, c) =>
+      val k = (math.min(a, b), math.max(a, b))
+      val (s0, c0) = adj.getOrElse(k, (0.0, 0L))
+      adj(k) = (s0 + s, c0 + c)
+    }
+    var continue = true
+    while (continue && adj.nonEmpty) {
+      val ((la, lb), (s, c)) = adj.minBy { case ((a, b), (s2, c2)) => (s2 / c2, a, b) }
+      if (s / c >= thresh) continue = false
+      else {
+        val keep = math.min(find(la), find(lb))
+        val drop = math.max(find(la), find(lb))
+        parent(drop) = keep
+        val touched = adj.toSeq.filter { case ((a, b), _) =>
+          a == la || b == la || a == lb || b == lb
+        }
+        touched.foreach { case (k, _) => adj.remove(k) }
+        touched.foreach { case ((a, b), (es, ec)) =>
+          val other = if (a == la || a == lb) b else a
+          if (other != la && other != lb) {
+            val k = (math.min(keep, find(other)), math.max(keep, find(other)))
+            if (k._1 != k._2) {
+              val (s0, c0) = adj.getOrElse(k, (0.0, 0L))
+              adj(k) = (s0 + es, c0 + ec)
+            }
+          }
+        }
+      }
+    }
+    val labels = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    labels.map(l => l -> find(l)).toMap
+  }
+
+  test("mergeHierarchical PQ == full-scan reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val n = 3 + rnd.nextInt(14)
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.45
+      } yield (a.toLong, b.toLong,
+        (1 + rnd.nextInt(200)).toDouble, (1L + rnd.nextInt(4)))
+      if (edges.nonEmpty) {
+        val thresh = 1 + rnd.nextInt(120)
+        val fast = Rag.mergeHierarchical(edges, thresh)
+        val slow = naiveMerge(edges, thresh)
+        assert(fast == slow, s"divergence at thresh=$thresh edges=$edges")
+      }
+    }
+  }
+
+  test("ragMerge is fully lazy and merges executor-side (no driver collect)") {
+    val segs = spark.createDataset(GridImages.ragSegImages(4).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.ragImages(4).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Rag.ragMerge(segs, imgs, thresh = 100.0)
+      val p = df.queryExecution.executedPlan.toString
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == 0,
+        s"building the ragMerge plan launched ${jobs.get()} job(s) — driver-side work crept back")
+      assert(p.contains("MapGroups"),
+        s"per-image merge must run executor-side via mapGroups:\n$p")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ragMerge: per-image maxEdges fail-fast fires per image, not globally") {
+    val segs = spark.createDataset(GridImages.ragSegImages(4).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.ragImages(4).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    // each fixture image has 2-3 RAG edges: a per-image cap of 3 passes
+    // even though 4 images x 2-3 edges > 3 in total (the round-4 GLOBAL
+    // cap would have tripped here)
+    val ok = Rag.ragMerge(segs, imgs, thresh = 100.0, maxEdgesPerImage = 3)
+    assert(ok.count() == 4L * 80 * 48)
+    // a cap of 1 must fail loudly (every image has >= 2 edges)
+    val boom = intercept[org.apache.spark.SparkException] {
+      Rag.ragMerge(segs, imgs, thresh = 100.0, maxEdgesPerImage = 1).count()
+    }
+    assert(boom.getMessage.contains("per-image merge contract")
+      || Option(boom.getCause).exists(_.getMessage.contains("per-image merge contract")))
+  }
+
   test("buildBoundary: straight-edge weights match the Sobel step closed form") {
     val segs = spark.createDataset(GridImages.ragSegImages(2).toSeq)(
       org.apache.spark.sql.Encoders.product[ImageRow])
