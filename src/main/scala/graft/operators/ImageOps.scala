@@ -354,17 +354,30 @@ object ImageOps {
   }
 
   /**
-   * DEM derivatives slope / aspect / hillshade (the gdaldem capability
-   * the reference shells out for, raster.py:554-586): Horn's 3x3 finite
-   * differences on band 0, border pixels clamp. slope in degrees; aspect
-   * in degrees clockwise from north (flat = -9999, matching gdaldem's
-   * nodata-for-flat); hillshade 0..255 with the standard azimuth=315,
-   * altitude=45 sun.
+   * DEM derivatives — the full gdaldem prop set the reference shells
+   * out for (`batch_gdaldem`, raster.py:554-586: "hillshade, slope,
+   * aspect, color-relief, TRI, TPI, Roughness"; color-relief is
+   * [[colorRelief]] since it needs a LUT and emits 3 bands).
+   *
+   * slope/aspect/hillshade: Horn's 3x3 finite differences on band 0.
+   * slope in degrees; aspect in degrees clockwise from north (flat =
+   * -9999, matching gdaldem's nodata-for-flat); hillshade 0..255 with
+   * the standard azimuth=315, altitude=45 sun.
+   *
+   * TRI: Riley et al. terrain ruggedness — sqrt of the sum of squared
+   * deviations of the 8 neighbors from the center (gdaldem's default
+   * algorithm since 3.3). TPI: center minus the 8-neighbor mean.
+   * Roughness: max - min over the full 3x3 window.
+   *
+   * Border pixels clamp (engine-wide kernel convention — gdaldem
+   * instead leaves a nodata rim unless -compute_edges; documented
+   * deviation, interior pixels identical).
    */
   def demProcess(images: Dataset[ImageRow], prop: String, zFactor: Double = 1.0,
                  azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0)
                 (implicit spark: SparkSession): Dataset[ImageRow] = {
-    require(Set("slope", "aspect", "hillshade")(prop), s"prop $prop")
+    require(Set("slope", "aspect", "hillshade", "TRI", "TPI", "Roughness")(prop),
+      s"prop $prop")
     import spark.implicits._
     images.map { img =>
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
@@ -375,35 +388,130 @@ object ImageOps {
         b(math.min(h - 1, math.max(0, y)) * w + math.min(w - 1, math.max(0, x))).toDouble
       val az = math.toRadians(azimuthDeg)
       val zen = math.toRadians(90.0 - altitudeDeg)
-      val out = Array.tabulate(w * h) { i =>
-        val y = i / w; val x = i % w
-        val dzdx = ((at(y - 1, x + 1) + 2 * at(y, x + 1) + at(y + 1, x + 1)) -
-          (at(y - 1, x - 1) + 2 * at(y, x - 1) + at(y + 1, x - 1))) / (8 * px) * zFactor
-        val dzdy = ((at(y + 1, x - 1) + 2 * at(y + 1, x) + at(y + 1, x + 1)) -
-          (at(y - 1, x - 1) + 2 * at(y - 1, x) + at(y - 1, x + 1))) / (8 * px) * zFactor
-        prop match {
-          case "slope" =>
-            math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))).toFloat
-          case "aspect" =>
-            if (dzdx == 0.0 && dzdy == 0.0) -9999f
-            else {
-              val a = math.toDegrees(math.atan2(dzdy, -dzdx))
-              // gdaldem: convert math angle to compass bearing
-              val compass = if (a > 90.0) 450.0 - a else 90.0 - a
-              (if (compass >= 360.0) compass - 360.0 else compass).toFloat
+      val out = prop match {
+        case "slope" | "aspect" | "hillshade" => Array.tabulate(w * h) { i =>
+          val y = i / w; val x = i % w
+          val dzdx = ((at(y - 1, x + 1) + 2 * at(y, x + 1) + at(y + 1, x + 1)) -
+            (at(y - 1, x - 1) + 2 * at(y, x - 1) + at(y + 1, x - 1))) / (8 * px) * zFactor
+          val dzdy = ((at(y + 1, x - 1) + 2 * at(y + 1, x) + at(y + 1, x + 1)) -
+            (at(y - 1, x - 1) + 2 * at(y - 1, x) + at(y - 1, x + 1))) / (8 * px) * zFactor
+          prop match {
+            case "slope" =>
+              math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))).toFloat
+            case "aspect" =>
+              if (dzdx == 0.0 && dzdy == 0.0) -9999f
+              else {
+                val a = math.toDegrees(math.atan2(dzdy, -dzdx))
+                // gdaldem: convert math angle to compass bearing
+                val compass = if (a > 90.0) 450.0 - a else 90.0 - a
+                (if (compass >= 360.0) compass - 360.0 else compass).toFloat
+              }
+            case "hillshade" =>
+              val slope = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+              val aspect = math.atan2(dzdy, -dzdx)
+              val shade = math.cos(zen) * math.cos(slope) +
+                math.sin(zen) * math.sin(slope) * math.cos(az - math.Pi / 2.0 - aspect)
+              // gdaldem convention: clamp cang to 0 BEFORE scaling, so fully
+              // shadowed pixels emit 1 (never 0 — 0 would alias nodata)
+              (math.round(254.0 * math.max(0.0, shade)) + 1.0).toFloat
+          }
+        }
+        case "TRI" => Array.tabulate(w * h) { i =>
+          val y = i / w; val x = i % w
+          val c = at(y, x)
+          var ss = 0.0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              if (dy != 0 || dx != 0) { val d = at(y + dy, x + dx) - c; ss += d * d }
+              dx += 1
             }
-          case "hillshade" =>
-            val slope = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
-            val aspect = math.atan2(dzdy, -dzdx)
-            val shade = math.cos(zen) * math.cos(slope) +
-              math.sin(zen) * math.sin(slope) * math.cos(az - math.Pi / 2.0 - aspect)
-            // gdaldem convention: clamp cang to 0 BEFORE scaling, so fully
-            // shadowed pixels emit 1 (never 0 — 0 would alias nodata)
-            (math.round(254.0 * math.max(0.0, shade)) + 1.0).toFloat
+            dy += 1
+          }
+          math.sqrt(ss).toFloat
+        }
+        case "TPI" => Array.tabulate(w * h) { i =>
+          val y = i / w; val x = i % w
+          var s = 0.0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              if (dy != 0 || dx != 0) s += at(y + dy, x + dx)
+              dx += 1
+            }
+            dy += 1
+          }
+          (at(y, x) - s / 8.0).toFloat
+        }
+        case "Roughness" => Array.tabulate(w * h) { i =>
+          val y = i / w; val x = i % w
+          var lo = Double.MaxValue; var hi = Double.MinValue
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val v = at(y + dy, x + dx)
+              if (v < lo) lo = v
+              if (v > hi) hi = v
+              dx += 1
+            }
+            dy += 1
+          }
+          (hi - lo).toFloat
         }
       }
       img.copy(bytes = PixelCodec.encode(img.fmt, w, h, Array(out)),
         phash = PixelCodec.phash64(w, h, out))
+    }
+  }
+
+  /**
+   * gdaldem color-relief (the LUT-driven prop of batch_gdaldem,
+   * raster.py:554-586): maps band-0 elevation through a sorted
+   * (elevation, r, g, b) ramp with linear interpolation between stops
+   * (gdaldem's default; values outside the ramp clamp to the end
+   * stops), emitting a 3-band image. Channels round half-up to the
+   * 0..255 grid like gdaldem's byte output.
+   */
+  def colorRelief(images: Dataset[ImageRow],
+                  lut: Seq[(Double, Double, Double, Double)])
+                 (implicit spark: SparkSession): Dataset[ImageRow] = {
+    require(lut.nonEmpty, "color-relief needs at least one ramp stop")
+    val stops = lut.sortBy(_._1).toArray
+    import spark.implicits._
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val b = dec.bands(0)
+      val n = img.w * img.h
+      val r = new Array[Float](n); val g = new Array[Float](n)
+      val bl = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val v = b(i).toDouble
+        if (v <= stops.head._1) {
+          r(i) = math.round(stops.head._2).toFloat
+          g(i) = math.round(stops.head._3).toFloat
+          bl(i) = math.round(stops.head._4).toFloat
+        } else if (v >= stops.last._1) {
+          r(i) = math.round(stops.last._2).toFloat
+          g(i) = math.round(stops.last._3).toFloat
+          bl(i) = math.round(stops.last._4).toFloat
+        } else {
+          var k = 0
+          while (stops(k + 1)._1 < v) k += 1
+          val (e0, r0, g0, b0) = stops(k)
+          val (e1, r1, g1, b1) = stops(k + 1)
+          val t = (v - e0) / (e1 - e0)
+          r(i) = math.round(r0 + t * (r1 - r0)).toFloat
+          g(i) = math.round(g0 + t * (g1 - g0)).toFloat
+          bl(i) = math.round(b0 + t * (b1 - b0)).toFloat
+        }
+        i += 1
+      }
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(r, g, bl)),
+        phash = PixelCodec.phash64(img.w, img.h, r))
     }
   }
 

@@ -1248,6 +1248,83 @@ object Queries {
        |  round(sum(CAST(hs AS DOUBLE)), 2) FROM d GROUP BY 1""".stripMargin
   }
 
+  /** gdaldem TRI / TPI / Roughness over grid images (batch_gdaldem's
+    * remaining window props): per-image totals; every intermediate is an
+    * exact small integer in double (values 0..96), so the DuckDB replay
+    * is bit-identical up to the shared FLOAT cast. */
+  def qDemTri(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = gridImages(spark, 8, 1)
+    def total(prop: String) =
+      ImageOps.demProcess(imgs, prop).map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, prop, dec.bands(0).map(_.toDouble).sum)
+      }.toDF("image_id", "prop", "total")
+    total("TRI").unionByName(total("TPI")).unionByName(total("Roughness"))
+      .select(col("image_id"), col("prop"), round(col("total"), 2).as("total"))
+  }
+
+  val qDemTriSql: String = {
+    def at(dy: Int, dx: Int): String = {
+      val yy = s"greatest(0, least(47, y + $dy))"
+      val xx = s"greatest(0, least(79, x + $dx))"
+      s"CAST(($xx*7 + $yy*13 + i*17) % 97 AS DOUBLE)"
+    }
+    val nbrs = for { dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0 } yield at(dy, dx)
+    val c = at(0, 0)
+    val triSq = nbrs.map(n => s"($n - $c) * ($n - $c)").mkString(" + ")
+    val nsum = nbrs.mkString(" + ")
+    val all9 = nbrs :+ c
+    s"""WITH d AS (
+       |  SELECT i,
+       |    CAST(sqrt($triSq) AS FLOAT) AS tri,
+       |    CAST($c - ($nsum) / 8.0 AS FLOAT) AS tpi,
+       |    CAST(greatest(${all9.mkString(", ")}) -
+       |         least(${all9.mkString(", ")}) AS FLOAT) AS rgh
+       |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y))
+       |SELECT printf('g%03d', i) AS image_id, 'TRI' AS prop,
+       |  round(sum(CAST(tri AS DOUBLE)), 2) AS total FROM d GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'TPI',
+       |  round(sum(CAST(tpi AS DOUBLE)), 2) FROM d GROUP BY 1
+       |UNION ALL
+       |SELECT printf('g%03d', i), 'Roughness',
+       |  round(sum(CAST(rgh AS DOUBLE)), 2) FROM d GROUP BY 1""".stripMargin
+  }
+
+  /** gdaldem color-relief over grid images: a 3-stop ramp whose channel
+    * deltas are multiples of the 48-wide segments, so every interpolated
+    * channel is an exact integer — per-image per-channel totals. */
+  private val demRamp = Seq(
+    (0.0, 0.0, 0.0, 240.0), (48.0, 48.0, 192.0, 96.0), (96.0, 240.0, 48.0, 0.0))
+
+  def qDemColor(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = gridImages(spark, 8, 1)
+    ImageOps.colorRelief(imgs, demRamp).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      def tot(b: Int) = dec.bands(b).foldLeft(0L)((a, f) => a + f.toLong)
+      (im.image_id, tot(0), tot(1), tot(2))
+    }.toDF("image_id", "r_total", "g_total", "b_total")
+  }
+
+  val qDemColorSql: String =
+    s"""WITH d AS (
+       |  SELECT i, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+       |       generate_series(0, 47) ty(y))
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST(sum(CASE WHEN v <= 48 THEN v ELSE 48 + (v - 48) * 4 END) AS BIGINT)
+       |    AS r_total,
+       |  CAST(sum(CASE WHEN v <= 48 THEN v * 4 ELSE 192 - (v - 48) * 3 END) AS BIGINT)
+       |    AS g_total,
+       |  CAST(sum(CASE WHEN v <= 48 THEN 240 - v * 3 ELSE 96 - (v - 48) * 2 END) AS BIGINT)
+       |    AS b_total
+       |FROM d GROUP BY 1""".stripMargin
+
   /** niblack / sauvola local-threshold masks over grid images: per-image
     * bright-pixel counts; the oracle recomputes the clamped-window local
     * mean/std from exact integer sums (the engine side uses integral

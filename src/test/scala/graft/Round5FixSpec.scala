@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.core.PixelCodec
+import graft.operators.ImageOps
+
+/** Round-5 additions: the remaining gdaldem props (TRI/TPI/Roughness,
+  * color-relief) against closed forms. */
+class Round5FixSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def img1(id: String, b: Array[Float], w: Int, h: Int): ImageRow =
+    ImageRow(id, PixelCodec.encode(PixelCodec.FmtRawLe, w, h, Array(b)),
+      w, h, PixelCodec.FmtRawLe, "c", 0L, 0.0, h.toDouble, 1.0)
+
+  test("demProcess TRI/TPI/Roughness: plane gradient closed forms") {
+    val w = 16; val h = 16
+    val img = img1("d", Array.tabulate(w * h)(i => (2 * (i % w)).toFloat), w, h)
+    def band(prop: String) = {
+      val out = ImageOps.demProcess(Seq(img).toDS, prop).collect().head
+      PixelCodec.decode(out.bytes, out.fmt, w, h).bands(0)
+    }
+    val i = 8 * w + 8 // interior: left col -2 x3, right col +2 x3, own col 0 x2
+    assert(math.abs(band("TRI")(i) - math.sqrt(24.0)) < 1e-6)
+    assert(band("TPI")(i) == 0f) // symmetric neighbors: mean == center
+    assert(band("Roughness")(i) == 4f) // 3x3 spans x-1..x+1 -> 2*(2px)
+    // flat image: all three are zero everywhere (borders clamp)
+    val flat = img1("f", Array.fill(64)(5f), 8, 8)
+    for (p <- Seq("TRI", "TPI", "Roughness")) {
+      val o = ImageOps.demProcess(Seq(flat).toDS, p).collect().head
+      assert(PixelCodec.decode(o.bytes, o.fmt, 8, 8).bands(0).forall(_ == 0f), p)
+    }
+    // corner pixel of the ramp: clamping halves the spread
+    assert(band("Roughness")(0) == 2f)
+  }
+
+  test("colorRelief: end-stop clamps and exact mid-segment interpolation") {
+    val ramp = Seq((0.0, 0.0, 0.0, 240.0), (48.0, 48.0, 192.0, 96.0),
+      (96.0, 240.0, 48.0, 0.0))
+    val img = img1("c", Array(0f, 24f, 48f, 72f, 96f, 120f), 6, 1)
+    val out = ImageOps.colorRelief(Seq(img).toDS, ramp).collect().head
+    val dec = PixelCodec.decode(out.bytes, out.fmt, 6, 1)
+    def rgb(i: Int) = (dec.bands(0)(i), dec.bands(1)(i), dec.bands(2)(i))
+    assert(rgb(0) == ((0f, 0f, 240f)))       // first stop
+    assert(rgb(1) == ((24f, 96f, 168f)))     // mid of segment 1
+    assert(rgb(2) == ((48f, 192f, 96f)))     // exact stop 2
+    assert(rgb(3) == ((144f, 120f, 48f)))    // mid of segment 2
+    assert(rgb(4) == ((240f, 48f, 0f)))      // last stop
+    assert(rgb(5) == ((240f, 48f, 0f)))      // above ramp clamps
+  }
+}
