@@ -317,6 +317,20 @@ object HashFamily {
   val B2 = 137L
   val MaxChars = 255 // fingerprints read at most this many UTF-16 units
 
+  private def modPow(base: Long, e: Long): Long = {
+    var r = 1L; var b = base % P; var k = e
+    while (k > 0) {
+      if ((k & 1L) == 1L) r = r * b % P
+      b = b * b % P
+      k >>= 1
+    }
+    r
+  }
+  /** Modular inverses of the bases (P prime -> Fermat), for the
+    * prefix-hash O(1) range extraction in shingleFps. */
+  val InvB: Long = modPow(B, P - 2)
+  val InvB2: Long = modPow(B2, P - 2)
+
   /** Component polynomial fingerprint sum(code(c_j) * base^j) mod P
     * over s[from, until). */
   def fp(s: String, from: Int, until: Int, base: Long = B): Long = {
@@ -480,11 +494,41 @@ object HashRuntime {
     ends(tok) = len
     val m = math.max(numToks - n, 0) + 1
     val out = new Array[Long](m)
-    var k = 0
-    while (k < m) {
-      val last = math.min(k + n - 1, numToks - 1)
-      out(k) = HashFamily.fp62(s, starts(k), ends(last))
-      k += 1
+    if (m == 1) {
+      // whole text is the only shingle — no prefix tables needed
+      out(0) = HashFamily.fp62(s, 0, math.min(len, ends(numToks - 1)))
+    } else {
+      // prefix-hash tables: ONE scan of the text, then each of the m
+      // overlapping shingles extracts in O(1) —
+      //   fp(a, b) = (PH(b) - PH(a)) * B^{-a} mod P
+      // (the naive per-shingle walk rescans every char ~n times; this is
+      // the fused-kernel form, bit-identical to fp62 incl. the MaxChars
+      // cap because the range just shortens to [a, a+MaxChars)).
+      val ph1 = new Array[Long](len + 1); val ph2 = new Array[Long](len + 1)
+      val inv1 = new Array[Long](len + 1); val inv2 = new Array[Long](len + 1)
+      var pw1 = 1L; var pw2 = 1L
+      inv1(0) = 1L; inv2(0) = 1L
+      val P = HashFamily.P
+      i = 0
+      while (i < len) {
+        val cc = s.charAt(i).toLong
+        ph1(i + 1) = (ph1(i) + cc * pw1) % P
+        ph2(i + 1) = (ph2(i) + cc * pw2) % P
+        pw1 = (pw1 * HashFamily.B) % P
+        pw2 = (pw2 * HashFamily.B2) % P
+        inv1(i + 1) = (inv1(i) * HashFamily.InvB) % P
+        inv2(i + 1) = (inv2(i) * HashFamily.InvB2) % P
+        i += 1
+      }
+      var k = 0
+      while (k < m) {
+        val a = starts(k)
+        val b = math.min(ends(math.min(k + n - 1, numToks - 1)), a + HashFamily.MaxChars)
+        val h1 = (((ph1(b) - ph1(a)) % P + P) % P) * inv1(a) % P
+        val h2 = (((ph2(b) - ph2(a)) % P + P) % P) * inv2(a) % P
+        out(k) = (h1 << 31) | h2
+        k += 1
+      }
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
