@@ -175,12 +175,19 @@ object Bench {
     // distributed semseg_pred path). One warm pass, then timed at the
     // big width.
     val cnnNet = operators.ConvNet.fixtureNet3
-    def cnnRun(limit: Int): Unit = {
+    def cnnRun(limit: Int, parallelism: Int = 0): Unit = {
       import org.apache.spark.sql.Encoders
       implicit val s: SparkSession = spark
       import s.implicits._
+      if (parallelism > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
       val im0 = spark.read.parquet(path)
-      val im = (if (limit > 0) im0.limit(limit) else im0)
+      val im1 = if (limit > 0) im0.limit(limit) else im0
+      // the forward pass is zero-shuffle, so input partitioning IS the
+      // parallel width. repartition, not coalesce: limit() collapses to
+      // one partition and coalesce can only narrow — the tiny
+      // encoded-bytes shuffle is common-mode across the pair
+      val im = (if (parallelism > 0) im1.repartition(parallelism) else im1)
         .as[ImageRow](Encoders.product[ImageRow])
       val cellRes = operators.Tiler.resForCellSize(64.0)
       val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = cnnNet.halo)
@@ -189,6 +196,16 @@ object Bench {
     }
     cnnRun(512) // warm
     val tCnn = time(cnnRun(0))._1
+    // ---- CNN scaling: the same paired 1-vs-4-core design as the
+    // flagship, on an eighth of the table (the ratio needs matched runs,
+    // not volume; the full-table number above is the throughput figure)
+    val cnnScaleImages = math.max(512, nImages / 8)
+    cnnRun(cnnScaleImages, scaleSmall) // warm the small width too
+    val cnnPairs = (1 to 3).map { _ =>
+      val ts = time(cnnRun(cnnScaleImages, scaleSmall))._1
+      val tb = time(cnnRun(cnnScaleImages, scaleCores))._1
+      (ts, tb)
+    }
     spark.stop()
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val tSmall = median(pairs.map(_._1))
@@ -206,8 +223,15 @@ object Bench {
       f""""pixels":$pixels,"rows_per_sec_small":$thrSmall%.0f,""" +
       f""""rows_per_sec_big":$thrBig%.0f,"efficiency":$eff%.3f}"""
     val thrCnn = pixels / tCnn
+    val cnnEff = median(cnnPairs.map { case (ts, tb) =>
+      (ts / tb) / (scaleCores.toDouble / scaleSmall) })
+    val cnnScaling = f"""{"cores_small":$scaleSmall,"cores_big":$scaleCores,""" +
+      f""""images":$cnnScaleImages,""" +
+      f""""t_small_sec":${median(cnnPairs.map(_._1))}%.3f,""" +
+      f""""t_big_sec":${median(cnnPairs.map(_._2))}%.3f,""" +
+      f""""efficiency":$cnnEff%.3f}"""
     val jsonLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"cnn_seg_sec":$tCnn%.3f,"cnn_px_per_sec":$thrCnn%.0f,"scaling":$scaling%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"cnn_seg_sec":$tCnn%.3f,"cnn_px_per_sec":$thrCnn%.0f,"scaling":$scaling%s,"cnn_scaling":$cnnScaling%s,"sf":"$sfDir%s"}"""
     println(jsonLine)
     // the stdout line drowns in sbt [info] noise (round-1 BENCH_r01.json
     // came back "parsed": null) — ALSO write the machine-readable copy
