@@ -34,6 +34,15 @@ object PixelCodec {
 
   def isLossy(fmt: String): Boolean = fmt == FmtQnt8
 
+  /** Band count from the encoded header/length alone — no pixel decode,
+    * so metadata ops (set_bandnames) stay O(1) per row. */
+  def bandCount(bytes: Array[Byte], fmt: String, w: Int, h: Int): Int = fmt match {
+    case FmtRawLe => bytes.length / (4 * w * h)
+    case FmtRle   => bytes(0) & 0xff
+    case FmtQnt8  => bytes.length / (8 + w * h)
+    case other    => throw new IllegalArgumentException(s"unknown fmt: $other")
+  }
+
   // ---------------------------------------------------------------- encode
 
   def encode(fmt: String, w: Int, h: Int, bands: Array[Array[Float]]): Array[Byte] = {

@@ -80,6 +80,23 @@ object ImageOps {
   def openMosaic(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** set_bandnames (raster.py:1750-1771): attach per-band names as a
+    * `band_names` array column — the GDAL `SetDescription` analog over
+    * the opaque payload. Reference zip semantics: names pair with bands
+    * 1..count, extra names drop, unnamed trailing bands keep "". Band
+    * count comes from the codec header alone (no pixel decode), so this
+    * is a narrow O(1)-per-row map — no shuffle, payload untouched. */
+  def setBandNames(images: Dataset[ImageRow], names: Seq[String])
+                  (implicit spark: SparkSession): DataFrame = {
+    val nameArr = names.toArray
+    val withNames = udf { (bytes: Array[Byte], fmt: String, w: Int, h: Int) =>
+      val nb = PixelCodec.bandCount(bytes, fmt, w, h)
+      Array.tabulate(nb)(b => if (b < nameArr.length) nameArr(b) else "")
+    }
+    images.withColumn("band_names",
+      withNames(col("bytes"), col("fmt"), col("w"), col("h")))
+  }
+
   /** Resize by integer factor (box average) — the multimodal "resize"
     * plumbing; deterministic, no external libs. */
   def resize(images: Dataset[ImageRow], factor: Int)

@@ -1325,6 +1325,71 @@ object Queries {
        |    AS b_total
        |FROM d GROUP BY 1""".stripMargin
 
+  /** write_vrt / virtual mosaic as an oracle row: two image sets land as
+    * two separate parquet "rasters"; openMosaic reads both paths in ONE
+    * union scan. Images g000..g003 exist in both files, g004..g007 only
+    * in the second — the per-image source count proves the union really
+    * scanned both paths, the pixel total proves payloads decode intact
+    * through the multi-path read. */
+  def qVrt(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_vrt").getAbsolutePath
+    gridImages(spark, 4, 1).write.mode("overwrite").parquet(s"$base/a")
+    gridImages(spark, 8, 1).write.mode("overwrite").parquet(s"$base/b")
+    ImageOps.openMosaic(spark, Seq(s"$base/a", s"$base/b"))
+      .as[ImageRow](Encoders.product[ImageRow])
+      .map { im =>
+        val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+        (im.image_id, dec.bands(0).map(_.toDouble).sum)
+      }.toDF("image_id", "t")
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_src"), round(sum("t"), 2).as("total"))
+  }
+
+  val qVrtSql: String =
+    """WITH d AS (
+      |  SELECT i, sum(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE)) AS t
+      |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+      |       generate_series(0, 47) ty(y)
+      |  GROUP BY 1)
+      |SELECT printf('g%03d', i) AS image_id,
+      |  CAST(CASE WHEN i < 4 THEN 2 ELSE 1 END AS BIGINT) AS n_src,
+      |  round(t * CASE WHEN i < 4 THEN 2 ELSE 1 END, 2) AS total
+      |FROM d""".stripMargin
+
+  /** set_bandnames as an oracle row: 3-band grid images get
+    * ("red","green","blue"); the check explodes to per-(image, band_name)
+    * pixel totals, so a name attached to the WRONG band's data (not just
+    * a schema rename) would hash-mismatch — band b's formula term is
+    * b*31, distinct per band. */
+  def qBandnames(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    ImageOps.setBandNames(gridImages(spark, 6, 3), Seq("red", "green", "blue"))
+      .select("image_id", "bytes", "fmt", "w", "h", "band_names")
+      .as[(String, Array[Byte], String, Int, Int, Array[String])]
+      .flatMap { case (id, bytes, fmt, w, h, nms) =>
+        val dec = graft.core.PixelCodec.decode(bytes, fmt, w, h)
+        nms.zipWithIndex.map { case (nm, b) =>
+          (id, nm, dec.bands(b).map(_.toDouble).sum) }
+      }.toDF("image_id", "band_name", "total")
+      .select(col("image_id"), col("band_name"), round(col("total"), 2).as("total"))
+  }
+
+  val qBandnamesSql: String =
+    """WITH d AS (
+      |  SELECT i, b, sum(CAST((x*7 + y*13 + b*31 + i*17) % 97 AS DOUBLE)) AS t
+      |  FROM generate_series(0, 5) t(i), generate_series(0, 2) tb(b),
+      |       generate_series(0, 79) tx(x), generate_series(0, 47) ty(y)
+      |  GROUP BY 1, 2)
+      |SELECT printf('g%03d', i) AS image_id,
+      |  CASE b WHEN 0 THEN 'red' WHEN 1 THEN 'green' ELSE 'blue' END
+      |    AS band_name,
+      |  round(t, 2) AS total
+      |FROM d""".stripMargin
+
   /** niblack / sauvola local-threshold masks over grid images: per-image
     * bright-pixel counts; the oracle recomputes the clamped-window local
     * mean/std from exact integer sums (the engine side uses integral

@@ -160,6 +160,35 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(hit.getDouble(3) > 0.99)
   }
 
+  test("bandCount: header-only, matches decode for every fmt and width") {
+    for (nb <- 1 to 4; fmt <- Seq(PixelCodec.FmtRawLe, PixelCodec.FmtRle,
+                                  PixelCodec.FmtQnt8)) {
+      val bands = Array.tabulate(nb)(b =>
+        Array.tabulate(12 * 5)(p => ((p * 3 + b * 7) % 11).toFloat))
+      val enc = PixelCodec.encode(fmt, 12, 5, bands)
+      assert(PixelCodec.bandCount(enc, fmt, 12, 5) == nb, s"$fmt nb=$nb")
+      assert(PixelCodec.decode(enc, fmt, 12, 5).bands.length == nb)
+    }
+  }
+
+  test("setBandNames: zip semantics — extras drop, trailing bands blank") {
+    val out = ImageOps.setBandNames(ds, Seq("red", "green", "blue"))
+      .select("image_id", "band_names").collect()
+    assert(out.length == 6)
+    // fixture images are 2-band: 3rd name drops (reference zip semantics)
+    out.foreach(r => assert(
+      r.getSeq[String](1) == Seq("red", "green"), r.toString))
+    val short = ImageOps.setBandNames(ds, Seq("only"))
+      .select("band_names").collect()
+    short.foreach(r => assert(r.getSeq[String](0) == Seq("only", "")))
+    // payload untouched: no decode happened, bytes identical
+    val pre = ds.select("image_id", "bytes").as[(String, Array[Byte])]
+      .collect().toMap
+    ImageOps.setBandNames(ds, Seq("a", "b"))
+      .select("image_id", "bytes").as[(String, Array[Byte])].collect()
+      .foreach { case (id, b) => assert(java.util.Arrays.equals(b, pre(id))) }
+  }
+
   test("clipToRects: Sutherland-Hodgman rect clip areas sum to original") {
     val ring = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
     val rects = Seq(
