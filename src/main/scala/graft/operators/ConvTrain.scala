@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, sum}
+
+/**
+ * Distributed gradient-descent training for `SegNet` conv stacks — the
+ * reference's `train_semantic_seg` (convnet.py:50-428) re-expressed as
+ * data-parallel full-batch SGD instead of a single-GPU torch loop.
+ *
+ * Execution shape (the 100 TB contract, same as ConvNet.gramForHead):
+ *  - the current weight set is BROADCAST each epoch (weights are
+ *    broadcastable by the SegNet contract);
+ *  - every partition runs forward + backprop over its chips and
+ *    accumulates ONE local gradient array, then emits it as
+ *    (layer, idx, value) scalar rows — the shuffle carries
+ *    O(partitions x params) doubles, never pixels or activations;
+ *  - the driver collects the O(params) aggregated rows, applies the
+ *    SGD step, and rebroadcasts. Epochs are sequential by the nature
+ *    of gradient descent; within an epoch the work is embarrassingly
+ *    data-parallel.
+ *
+ * Determinism: floating-point summation order varies with partitioning,
+ * so naive distributed SGD is run-to-run irreproducible. Here the
+ * per-pixel loss gradient is snapped to a dyadic grid (grain
+ * 2^-gradBits) before backprop, and the weight step is snapped to the
+ * same grid — gradient quantization in the QSGD / 1-bit-SGD lineage
+ * (Alistarh et al. NeurIPS 2017; Seide et al. INTERSPEECH 2014), used
+ * here at a grain fine enough to be a no-op for learning but coarse
+ * enough that EVERY gradient sum is exact in double regardless of
+ * order. Training is therefore bit-identical at any parallelism — the
+ * q_train_seg DuckDB oracle replays both epochs to the last bit, and
+ * the partition-invariance spec holds by construction, not by epsilon.
+ *
+ * Loss: 0.5 * sum of squared residuals between the final layer's
+ * logits and one-hot targets from the chip mask (channel oc targets
+ * class `net.classes(oc)`; a single-logit net targets mask > 0). The
+ * torch reference trains with cross-entropy — the plumbing (broadcast,
+ * partial gradients, scalar shuffle) is loss-agnostic; squared error
+ * keeps the fixture oracle exact.
+ */
+object ConvTrain {
+
+  /** Snap to the 2^-bits dyadic grid — floor, not round-half-even:
+    * floor is unambiguous across engines (DuckDB `floor` mirrors it),
+    * where half-even vs half-away ties would diverge. Exact while
+    * |v| * 2^bits < 2^53. */
+  @inline private[graft] def snap(v: Double, scale: Double): Double =
+    math.floor(v * scale) / scale
+
+  /** Edge-replicated `same` conv forward for one layer, clamped taps
+    * everywhere, ic -> dy -> dx accumulation — the same tap order as
+    * ConvNet.forward's two paths, so results are bit-equal to it. */
+  private def layerForward(in: Array[Array[Float]], w: Int, h: Int,
+                           l: ConvLayer): Array[Array[Float]] = {
+    val out = Array.fill(l.outC)(new Array[Float](w * h))
+    val r = l.radius; val k = l.k
+    var oc = 0
+    while (oc < l.outC) {
+      val plane = out(oc)
+      val bias = l.bias(oc).toDouble
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s: Double = bias
+          var ic = 0
+          while (ic < l.inC) {
+            val src = in(ic)
+            val wBase = (oc * l.inC + ic) * k * k
+            var dy = -r
+            while (dy <= r) {
+              val yy = math.min(h - 1, math.max(0, y + dy))
+              var dx = -r
+              while (dx <= r) {
+                val xx = math.min(w - 1, math.max(0, x + dx))
+                s += src(yy * w + xx) * l.weights(wBase + (dy + r) * k + (dx + r))
+                dx += 1
+              }
+              dy += 1
+            }
+            ic += 1
+          }
+          plane(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
+          x += 1
+        }
+        y += 1
+      }
+      oc += 1
+    }
+    out
+  }
+
+  /** Forward pass keeping every layer's output (backprop needs each
+    * layer's input). outs(li) is layer li's post-activation planes. */
+  private[graft] def forwardAll(bands: Array[Array[Float]], w: Int, h: Int,
+                                net: SegNet): Array[Array[Array[Float]]] = {
+    val outs = new Array[Array[Array[Float]]](net.layers.length)
+    var cur = bands
+    var li = 0
+    while (li < net.layers.length) {
+      cur = layerForward(cur, w, h, net.layers(li))
+      outs(li) = cur
+      li += 1
+    }
+    outs
+  }
+
+  /** One-hot target for output channel oc at a mask value. */
+  @inline private def target(classes: Array[Int], outC: Int,
+                             oc: Int, mv: Float): Double =
+    if (outC == 1) { if (mv > 0) 1.0 else 0.0 }
+    else if (classes(oc) == mv.toInt) 1.0 else 0.0
+
+  /** Forward + backprop for one chip; gradients accumulate into
+    * gW/gB (per layer, ConvLayer's flattened [outC][inC][k][k] weight
+    * layout). Returns the chip's loss 0.5 * sum(rq^2). */
+  private[graft] def chipGrad(ch: ChipRow, net: SegNet, gradScale: Double,
+                              gW: Array[Array[Double]],
+                              gB: Array[Array[Double]]): Double = {
+    val w = ch.w; val h = ch.h; val n = w * h
+    val layers = net.layers.toArray
+    val outs = forwardAll(ch.bands, w, h, net)
+    val last = outs(layers.length - 1)
+    val outC = layers.last.outC
+    // snapped residuals = loss gradient wrt the final logits
+    var loss = 0.0
+    var delta = Array.tabulate(outC) { oc =>
+      val plane = last(oc)
+      val d = new Array[Double](n)
+      var p = 0
+      while (p < n) {
+        val rq = snap(plane(p) - target(net.classes, outC, oc, ch.mask(p)),
+          gradScale)
+        d(p) = rq
+        loss += 0.5 * rq * rq
+        p += 1
+      }
+      d
+    }
+    var li = layers.length - 1
+    while (li >= 0) {
+      val l = layers(li); val r = l.radius; val k = l.k
+      val in = if (li == 0) ch.bands else outs(li - 1)
+      val out = outs(li)
+      val lgW = gW(li); val lgB = gB(li)
+      // ReLU gate: zero where the stored activation is <= 0 (the oracle
+      // mirrors with `hv > 0`; pre == 0 stores 0f, gate off both ways)
+      if (l.relu) {
+        var oc = 0
+        while (oc < l.outC) {
+          val o = out(oc); val d = delta(oc)
+          var p = 0
+          while (p < n) { if (o(p) <= 0f) d(p) = 0.0; p += 1 }
+          oc += 1
+        }
+      }
+      val dIn: Array[Array[Double]] =
+        if (li > 0) Array.fill(l.inC)(new Array[Double](n)) else null
+      var oc = 0
+      while (oc < l.outC) {
+        val d = delta(oc)
+        var p = 0
+        while (p < n) { lgB(oc) += d(p); p += 1 }
+        var ic = 0
+        while (ic < l.inC) {
+          val src = in(ic)
+          val di = if (dIn != null) dIn(ic) else null
+          val wBase = (oc * l.inC + ic) * k * k
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val dv = d(y * w + x)
+              if (dv != 0.0) {
+                var dy = -r
+                while (dy <= r) {
+                  val yy = math.min(h - 1, math.max(0, y + dy))
+                  var dx = -r
+                  while (dx <= r) {
+                    val xx = math.min(w - 1, math.max(0, x + dx))
+                    val wi = wBase + (dy + r) * k + (dx + r)
+                    lgW(wi) += dv * src(yy * w + xx)
+                    if (di != null) di(yy * w + xx) += dv * l.weights(wi)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+              }
+              x += 1
+            }
+            y += 1
+          }
+          ic += 1
+        }
+        oc += 1
+      }
+      if (dIn != null) delta = dIn
+      li -= 1
+    }
+    loss
+  }
+
+  /** Full-batch SGD over a chips table. Returns the trained net and the
+    * per-epoch loss (the loss is measured at the epoch's STARTING
+    * weights — it is the objective the epoch's gradient step descends).
+    * `lr` should be a power of two so the snapped update stays on the
+    * dyadic grid; `gradBits` is the quantization grain (2^-gradBits). */
+  def trainSeg(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
+               lr: Double, gradBits: Int = 8)
+              (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
+    import spark.implicits._
+    require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
+    val gradScale = math.pow(2.0, gradBits)
+    var net = net0
+    val losses = Seq.newBuilder[Double]
+    var e = 0
+    while (e < epochs) {
+      val (df, bc) = gradRows(chips, net, gradScale)
+      val parts = df.collect() // O(params) by construction
+      var loss = 0.0
+      val grads = net.layers.map(l =>
+        new Array[Double](l.weights.length + l.bias.length)).toArray
+      parts.foreach { r =>
+        val li = r.getInt(0)
+        if (li < 0) loss = r.getDouble(2)
+        else grads(li)(r.getInt(1)) = r.getDouble(2)
+      }
+      losses += loss
+      net = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
+        val g = grads(li)
+        val wl = l.weights.length
+        l.copy(
+          weights = Array.tabulate(wl)(i =>
+            snap(l.weights(i) - lr * g(i), gradScale).toFloat),
+          bias = Array.tabulate(l.bias.length)(i =>
+            snap(l.bias(i) - lr * g(wl + i), gradScale).toFloat))
+      }, net.classes)
+      bc.destroy()
+      e += 1
+    }
+    (net, losses.result())
+  }
+
+  /** One epoch's gradient aggregation: per-PARTITION accumulators emit
+    * (layer, idx, v) rows — bias entries at idx >= weights.length, the
+    * partition's loss at layer -1 — so the exchange carries
+    * O(partitions x params) doubles, never pixels or activations.
+    * Returns the aggregated frame plus the weight broadcast (caller
+    * destroys it after consuming the frame). */
+  private def gradRows(chips: Dataset[ChipRow], net: SegNet, gradScale: Double)
+                      (implicit spark: SparkSession)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    val df = chips.mapPartitions { it =>
+      val nt = bc.value
+      val gW = nt.layers.map(l => new Array[Double](l.weights.length)).toArray
+      val gB = nt.layers.map(l => new Array[Double](l.bias.length)).toArray
+      var loss = 0.0
+      var any = false
+      while (it.hasNext) { loss += chipGrad(it.next(), nt, gradScale, gW, gB); any = true }
+      if (!any) Iterator.empty
+      else Iterator.single((-1, 0, loss)) ++
+        gW.iterator.zipWithIndex.flatMap { case (g, li) =>
+          g.iterator.zipWithIndex.map { case (v, i) => (li, i, v) } } ++
+        gB.iterator.zipWithIndex.flatMap { case (g, li) =>
+          val off = nt.layers(li).weights.length
+          g.iterator.zipWithIndex.map { case (v, i) => (li, off + i, v) } }
+    }.toDF("li", "idx", "v")
+      .groupBy("li", "idx").agg(sum("v").as("v"))
+    (df, bc)
+  }
+
+  /** The epoch aggregation as a PLAN (no jobs launched) — for
+    * shuffle-shape gating: the only exchange carries exactly
+    * (li int, idx int, v double). */
+  def gradPlan(chips: Dataset[ChipRow], net: SegNet, gradBits: Int = 8)
+              (implicit spark: SparkSession): DataFrame =
+    gradRows(chips, net, math.pow(2.0, gradBits))._1
+      .orderBy(col("li"), col("idx"))
+}

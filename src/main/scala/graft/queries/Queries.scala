@@ -2930,6 +2930,143 @@ object Queries {
        |SELECT kind, CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb, v
        |FROM (SELECT * FROM gm UNION ALL SELECT * FROM ym)""".stripMargin
 
+  /** q_train_seg — train_semantic_seg (convnet.py:50-428) as distributed
+    * full-batch SGD (ConvTrain.trainSeg): 2 epochs of quantized-gradient
+    * descent on the 2-layer fixture net over one image's 15 chips. The
+    * residual grid snap (grain 2^-8, floor) makes every gradient sum
+    * exact in double regardless of summation order, so the oracle
+    * replays BOTH epochs — forward, relu gate, backprop through the 1x1
+    * head and the 3x3 layer with chip-local clamped taps, and both
+    * floor-snapped weight updates — to the last bit. Output: per-epoch
+    * losses + every trained weight and bias. */
+  def qTrainSeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (trained, losses) = ConvTrain.trainSeg(chips, ConvNet.fixtureNet,
+      epochs = 2, lr = math.pow(2.0, -25), gradBits = 8)
+    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
+    val wRows = trained.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
+  }
+
+  /** One SGD epoch of the q_train_seg oracle: forward from weight CTEs
+    * suffixed `$e`, snapped residuals, backprop, floor-snapped update
+    * into weight CTEs suffixed `${e+1}`. lr = 2^-25, grain 2^-8. */
+  private def trainEpochSql(e: Int): String = {
+    val n = e + 1
+    s"""h1_$e AS (
+       |  SELECT p.cx, p.cy, p.lx, p.ly, w.oc,
+       |    CAST(greatest(0.0, sum(w.wt * q.v) + any_value(b.bt)) AS FLOAT) AS hv
+       |  FROM (SELECT DISTINCT cx, cy, lx, ly FROM cpx) p, w1_$e w, cpx q,
+       |       b1_$e b
+       |  WHERE b.oc = w.oc AND q.cx = p.cx AND q.cy = p.cy AND q.ic = w.ic
+       |    AND q.lx = greatest(0, least(15, p.lx + w.dx))
+       |    AND q.ly = greatest(0, least(15, p.ly + w.dy))
+       |  GROUP BY p.cx, p.cy, p.lx, p.ly, w.oc),
+       |s2_$e AS (
+       |  SELECT h.cx, h.cy, h.lx, h.ly, w.oc2,
+       |    CAST(sum(w.wt * h.hv) + any_value(b.bt) AS FLOAT) AS sv
+       |  FROM h1_$e h, w2_$e w, b2_$e b
+       |  WHERE w.ic = h.oc AND b.oc2 = w.oc2
+       |  GROUP BY h.cx, h.cy, h.lx, h.ly, w.oc2),
+       |r_$e AS (
+       |  SELECT s.cx, s.cy, s.lx, s.ly, s.oc2,
+       |    floor((CAST(s.sv AS DOUBLE) - t.t) * 256) / 256 AS rq
+       |  FROM s2_$e s JOIN tgt t ON t.cx = s.cx AND t.cy = s.cy
+       |    AND t.lx = s.lx AND t.ly = s.ly AND t.oc2 = s.oc2),
+       |loss_$e AS (SELECT 0.5 * sum(rq * rq) AS l FROM r_$e),
+       |gw2_$e AS (
+       |  SELECT r.oc2, h.oc AS ic, sum(r.rq * h.hv) AS g
+       |  FROM r_$e r JOIN h1_$e h ON h.cx = r.cx AND h.cy = r.cy
+       |    AND h.lx = r.lx AND h.ly = r.ly
+       |  GROUP BY 1, 2),
+       |gb2_$e AS (SELECT oc2, sum(rq) AS g FROM r_$e GROUP BY 1),
+       |d1_$e AS (
+       |  SELECT r.cx, r.cy, r.lx, r.ly, w.ic AS oc, sum(r.rq * w.wt) AS dv
+       |  FROM r_$e r, w2_$e w
+       |  WHERE w.oc2 = r.oc2
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |d1g_$e AS (
+       |  SELECT d.cx, d.cy, d.lx, d.ly, d.oc,
+       |    CASE WHEN h.hv > 0 THEN d.dv ELSE CAST(0 AS DOUBLE) END AS dv
+       |  FROM d1_$e d JOIN h1_$e h ON h.cx = d.cx AND h.cy = d.cy
+       |    AND h.lx = d.lx AND h.ly = d.ly AND h.oc = d.oc),
+       |gw1_$e AS (
+       |  SELECT d.oc, w.ic, w.dy, w.dx, sum(d.dv * q.v) AS g
+       |  FROM d1g_$e d, (SELECT DISTINCT ic, dy, dx FROM w1_0) w, cpx q
+       |  WHERE q.cx = d.cx AND q.cy = d.cy AND q.ic = w.ic
+       |    AND q.lx = greatest(0, least(15, d.lx + w.dx))
+       |    AND q.ly = greatest(0, least(15, d.ly + w.dy))
+       |  GROUP BY 1, 2, 3, 4),
+       |gb1_$e AS (SELECT oc, sum(dv) AS g FROM d1g_$e GROUP BY 1),
+       |w1_$n AS (
+       |  SELECT w.oc, w.ic, w.dy, w.dx,
+       |    CAST(CAST(floor((w.wt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |         AS DOUBLE) AS wt
+       |  FROM w1_$e w JOIN gw1_$e g ON g.oc = w.oc AND g.ic = w.ic
+       |    AND g.dy = w.dy AND g.dx = w.dx),
+       |b1_$n AS (
+       |  SELECT b.oc,
+       |    CAST(CAST(floor((b.bt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |         AS DOUBLE) AS bt
+       |  FROM b1_$e b JOIN gb1_$e g ON g.oc = b.oc),
+       |w2_$n AS (
+       |  SELECT w.oc2, w.ic,
+       |    CAST(CAST(floor((w.wt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |         AS DOUBLE) AS wt
+       |  FROM w2_$e w JOIN gw2_$e g ON g.oc2 = w.oc2 AND g.ic = w.ic),
+       |b2_$n AS (
+       |  SELECT b.oc2,
+       |    CAST(CAST(floor((b.bt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |         AS DOUBLE) AS bt
+       |  FROM b2_$e b JOIN gb2_$e g ON g.oc2 = b.oc2)""".stripMargin
+  }
+
+  val qTrainSegSql: String =
+    s"""WITH cpx AS (
+       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
+       |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+       |       generate_series(0, 1) f(ic)),
+       |tgt AS (
+       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
+       |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
+       |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
+       |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+       |       generate_series(0, 1) f(oc2)),
+       |w1_0 AS (
+       |  SELECT oc, ic, dy, dx,
+       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/8
+       |      AS wt
+       |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
+       |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
+       |b1_0 AS (SELECT oc, CAST(oc AS DOUBLE)/8 AS bt
+       |         FROM generate_series(0, 2) t(oc)),
+       |w2_0 AS (SELECT oc2, ic,
+       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
+       |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic)),
+       |b2_0 AS (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
+       |         FROM generate_series(0, 1) t(oc2)),
+       |${trainEpochSql(0)},
+       |${trainEpochSql(1)}
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_1
+       |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_2
+       |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_2
+       |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_2
+       |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_2)""".stripMargin
+
   /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
     * with any nonzero mask pixel becomes all ones; per-image one-count
     * and hit-block count. */

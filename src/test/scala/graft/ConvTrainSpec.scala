@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.gen.GridImages
+import graft.operators.{ChipRow, ConvLayer, ConvNet, ConvTrain, SegNet}
+
+class ConvTrainSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def fixtureChips(n: Int = 1) = {
+    val imgs = spark.createDataset(GridImages.images(n, 2).toSeq)(
+      Encoders.product[ImageRow])
+    val masks = spark.createDataset(GridImages.maskImages(n).toSeq)(
+      Encoders.product[ImageRow])
+    ConvNet.collectChipsLabeled(imgs, masks, chipSize = 16, includeZero = true)
+  }
+
+  private def oneChip: ChipRow = fixtureChips().collect().minBy(c => (c.cx, c.cy))
+
+  private def lossOf(ch: ChipRow, net: SegNet, gradScale: Double): Double = {
+    val gW = net.layers.map(l => new Array[Double](l.weights.length)).toArray
+    val gB = net.layers.map(l => new Array[Double](l.bias.length)).toArray
+    ConvTrain.chipGrad(ch, net, gradScale, gW, gB)
+  }
+
+  test("chipGrad matches finite-difference gradients on both layers") {
+    val net = ConvNet.fixtureNet
+    val ch = oneChip
+    val scale = math.pow(2.0, 20) // fine grid: quantization ~ no-op
+    val gW = net.layers.map(l => new Array[Double](l.weights.length)).toArray
+    val gB = net.layers.map(l => new Array[Double](l.bias.length)).toArray
+    ConvTrain.chipGrad(ch, net, scale, gW, gB)
+    val eps = 1f / 64f
+    def perturbed(li: Int, wi: Int, bi: Int, d: Float): SegNet =
+      SegNet(net.layers.zipWithIndex.map { case (l, i) =>
+        if (i != li) l
+        else if (wi >= 0) l.copy(weights = l.weights.updated(wi, l.weights(wi) + d))
+        else l.copy(bias = l.bias.updated(bi, l.bias(bi) + d))
+      }, net.classes)
+    // spot-check a spread of weight and bias coordinates on each layer
+    val coords = Seq((0, 0, -1), (0, 7, -1), (0, 35, -1), (0, -1, 1),
+      (1, 0, -1), (1, 5, -1), (1, -1, 0))
+    coords.foreach { case (li, wi, bi) =>
+      val up = lossOf(ch, perturbed(li, wi, bi, eps), scale)
+      val dn = lossOf(ch, perturbed(li, wi, bi, -eps), scale)
+      val numeric = (up - dn) / (2.0 * eps)
+      val analytic = if (wi >= 0) gW(li)(wi) else gB(li)(bi)
+      val tol = math.max(1.0, math.abs(numeric)) * 2e-2
+      assert(math.abs(numeric - analytic) <= tol,
+        s"layer $li w=$wi b=$bi: analytic $analytic vs numeric $numeric")
+    }
+  }
+
+  test("training is bit-identical at any parallelism (quantized grads)") {
+    val chips = fixtureChips(2)
+    val lr = math.pow(2.0, -25)
+    val (n1, l1) = ConvTrain.trainSeg(chips.repartition(1),
+      ConvNet.fixtureNet, epochs = 2, lr = lr)
+    val (n7, l7) = ConvTrain.trainSeg(chips.repartition(7),
+      ConvNet.fixtureNet, epochs = 2, lr = lr)
+    assert(l1 == l7, s"losses differ: $l1 vs $l7")
+    n1.layers.zip(n7.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights))
+      assert(java.util.Arrays.equals(a.bias, b.bias))
+    }
+  }
+
+  test("SGD descends: epoch-2 loss below epoch-1 loss, weights moved") {
+    val chips = fixtureChips(1)
+    val (trained, losses) = ConvTrain.trainSeg(chips, ConvNet.fixtureNet,
+      epochs = 3, lr = math.pow(2.0, -25))
+    assert(losses.length == 3)
+    assert(losses(1) < losses(0), s"no descent: $losses")
+    assert(losses(2) < losses(1), s"no descent after epoch 2: $losses")
+    assert(!trained.layers.head.weights.sameElements(
+      ConvNet.fixtureNet.layers.head.weights))
+  }
+
+  test("single-logit binary net trains against mask > 0") {
+    val w = Array.tabulate(1 * 2 * 9)(i => ((i * 5) % 7 - 3) / 8f)
+    val net = SegNet(Seq(ConvLayer(1, 2, 3, w, Array(0f), relu = false)),
+      Array(1))
+    val (_, losses) = ConvTrain.trainSeg(fixtureChips(1), net,
+      epochs = 2, lr = math.pow(2.0, -29))
+    assert(losses(1) < losses(0), s"binary net did not descend: $losses")
+  }
+
+  test("gradient shuffle carries only (li, idx, v) scalars") {
+    val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
+    // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
+    val rows = df.collect() // also forces the final adaptive plan
+    assert(rows.length == 1 + 57 + 8, s"got ${rows.length}")
+    val p = df.queryExecution.executedPlan.toString
+    // shuffle exchanges only (the chip-collection image/mask join is a
+    // BroadcastExchange — no rows move by key there)
+    val shuffles = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning")).toSeq
+    assert(shuffles.nonEmpty, s"expected an aggregate exchange:\n$p")
+    // every shuffle keys the scalar (li, idx, v) rows — nothing pixel-
+    // or chip-shaped ever shuffles
+    shuffles.foreach(l => assert(l.contains("li#"),
+      s"shuffle not on the scalar gradient rows: $l"))
+  }
+}
