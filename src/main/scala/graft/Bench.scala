@@ -175,35 +175,46 @@ object Bench {
     // distributed semseg_pred path). One warm pass, then timed at the
     // big width.
     val cnnNet = operators.ConvNet.fixtureNet3
-    def cnnRun(limit: Int, parallelism: Int = 0): Unit = {
+    def cnnRun(p: String, limit: Int, parallelism: Int = 0): Unit = {
       import org.apache.spark.sql.Encoders
       implicit val s: SparkSession = spark
       import s.implicits._
-      if (parallelism > 0)
+      if (parallelism > 0) {
         spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
-      val im0 = spark.read.parquet(path)
+        // fine-grained scan splits so coalesce(parallelism) gets EVEN
+        // task sizes: at 1/8 table volume the default 128 MB bin-packing
+        // yields ~6 bins and coalesce(4) inherits a 2-bins-vs-1 skew
+        // (measured: the 4-core leg ran 40% under its even-split rate,
+        // ratio 0.60 — a packing artifact, not an engine cost)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      }
+      val im0 = spark.read.parquet(p)
       val im1 = if (limit > 0) im0.limit(limit) else im0
       // the forward pass is zero-shuffle, so input partitioning IS the
-      // parallel width. repartition, not coalesce: limit() collapses to
-      // one partition and coalesce can only narrow — the tiny
-      // encoded-bytes shuffle is common-mode across the pair
-      val im = (if (parallelism > 0) im1.repartition(parallelism) else im1)
+      // parallel width — the same narrow coalesce lever as pipeline()
+      val im = (if (parallelism > 0) im1.coalesce(parallelism) else im1)
         .as[ImageRow](Encoders.product[ImageRow])
       val cellRes = operators.Tiler.resForCellSize(64.0)
       val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = cnnNet.halo)
       operators.ConvNet.segPredictTiles(tiles, cnnNet, 64).count()
+      if (parallelism > 0) // restore AFTER the action (conf reads at plan time)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
       ()
     }
-    cnnRun(512) // warm
-    val tCnn = time(cnnRun(0))._1
+    cnnRun(path, 512) // warm
+    val tCnn = time(cnnRun(path, 0))._1
     // ---- CNN scaling: the same paired 1-vs-4-core design as the
-    // flagship, on an eighth of the table (the ratio needs matched runs,
-    // not volume; the full-table number above is the throughput figure)
-    val cnnScaleImages = math.max(512, nImages / 8)
-    cnnRun(cnnScaleImages, scaleSmall) // warm the small width too
+    // flagship, on its OWN 1/4-size 256-split table: a limit()+
+    // repartition subset of the big table adds a common-mode shuffle +
+    // full-scan to both pair halves, a serial fraction that depressed
+    // the measured ratio to 0.72. The full-table number above is the
+    // throughput figure; the ratio needs matched runs, not volume.
+    val cnnScaleImages = math.max(512, nImages / 4)
+    val (cnnScalePath, _) = materializeImages(spark, cnnScaleImages)
+    cnnRun(cnnScalePath, 0, scaleSmall) // warm the small width too
     val cnnPairs = (1 to 3).map { _ =>
-      val ts = time(cnnRun(cnnScaleImages, scaleSmall))._1
-      val tb = time(cnnRun(cnnScaleImages, scaleCores))._1
+      val ts = time(cnnRun(cnnScalePath, 0, scaleSmall))._1
+      val tb = time(cnnRun(cnnScalePath, 0, scaleCores))._1
       (ts, tb)
     }
     spark.stop()
