@@ -279,4 +279,142 @@ object ConvTrain {
               (implicit spark: SparkSession): DataFrame =
     gradRows(chips, net, math.pow(2.0, gradBits))._1
       .orderBy(col("li"), col("idx"))
+
+  /** Snapped-residual loss only (no backprop) — the holdout metric. */
+  private[graft] def chipLoss(ch: ChipRow, net: SegNet, gradScale: Double): Double = {
+    val n = ch.w * ch.h
+    val outs = forwardAll(ch.bands, ch.w, ch.h, net)
+    val last = outs(net.layers.length - 1)
+    val outC = net.layers.last.outC
+    var loss = 0.0
+    var oc = 0
+    while (oc < outC) {
+      val plane = last(oc)
+      var p = 0
+      while (p < n) {
+        val rq = snap(plane(p) - target(net.classes, outC, oc, ch.mask(p)),
+          gradScale)
+        loss += 0.5 * rq * rq
+        p += 1
+      }
+      oc += 1
+    }
+    loss
+  }
+
+  /** One hyper-parameter candidate: a learning rate (power of two) and
+    * a quantization grain. */
+  final case class Candidate(name: String, lr: Double, gradBits: Int = 8)
+
+  final case class CandidateResult(name: String, lr: Double, gradBits: Int,
+                                   trainLosses: Seq[Double],
+                                   holdoutLoss: Double, net: SegNet)
+
+  /** The deterministic holdout split: chips at even (grid-x + grid-y)
+    * parity train, odd parity validate. */
+  def isHoldout(ch: ChipRow): Boolean = (ch.cx / ch.w + ch.cy / ch.h) % 2 == 1
+
+  /** GridSearchCV / create_model_optuna analog (learning.py:671-676,
+    * convnet.py:50-428's optuna loop) as ONE data-parallel job family:
+    * every epoch reads the training chips ONCE and computes gradients
+    * for ALL K candidates in that single pass (all K weight sets ride
+    * one broadcast; each partition keeps K gradient accumulators) — at
+    * the 100 TB design point hyper-parameter search costs K x params in
+    * shuffle bytes and K x FLOPs, NOT K extra passes over the data. The
+    * reference forks joblib workers per candidate and re-reads the
+    * training set in each (the process-boundary it documents);
+    * selection here is on a deterministic holdout split (even grid
+    * parity trains, odd validates — the CV stand-in the fixture oracle
+    * can replay), lowest snapped-residual holdout loss wins, ties to
+    * the first candidate in input order. */
+  def gridSearch(chips: Dataset[ChipRow], net0: SegNet,
+                 cands: Seq[Candidate], epochs: Int)
+                (implicit spark: SparkSession)
+      : (CandidateResult, Seq[CandidateResult]) = {
+    import spark.implicits._
+    require(cands.nonEmpty && epochs >= 1)
+    val train = chips.filter(ch => !isHoldout(ch))
+    val hold = chips.filter(ch => isHoldout(ch))
+    val scales = cands.map(c => math.pow(2.0, c.gradBits)).toArray
+    var nets = cands.map(_ => net0).toArray
+    val lossTrails = Array.fill(cands.length)(Seq.newBuilder[Double])
+    var e = 0
+    while (e < epochs) {
+      val bc = spark.sparkContext.broadcast(nets)
+      val agg = train.mapPartitions { it =>
+        val nts = bc.value
+        val k = nts.length
+        val gW = Array.tabulate(k)(ci =>
+          nts(ci).layers.map(l => new Array[Double](l.weights.length)).toArray)
+        val gB = Array.tabulate(k)(ci =>
+          nts(ci).layers.map(l => new Array[Double](l.bias.length)).toArray)
+        val loss = new Array[Double](k)
+        var any = false
+        while (it.hasNext) {
+          val ch = it.next(); any = true
+          var ci = 0
+          while (ci < k) {
+            loss(ci) += chipGrad(ch, nts(ci), scales(ci), gW(ci), gB(ci))
+            ci += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else (0 until k).iterator.flatMap { ci =>
+          Iterator.single((ci, -1, 0, loss(ci))) ++
+            gW(ci).iterator.zipWithIndex.flatMap { case (g, li) =>
+              g.iterator.zipWithIndex.map { case (v, i) => (ci, li, i, v) } } ++
+            gB(ci).iterator.zipWithIndex.flatMap { case (g, li) =>
+              val off = nts(ci).layers(li).weights.length
+              g.iterator.zipWithIndex.map { case (v, i) => (ci, li, off + i, v) } }
+        }
+      }.toDF("ci", "li", "idx", "v")
+        .groupBy("ci", "li", "idx").agg(sum("v").as("v"))
+        .collect() // O(K x params)
+      val grads = nets.map(_.layers.map(l =>
+        new Array[Double](l.weights.length + l.bias.length)).toArray)
+      agg.foreach { r =>
+        val ci = r.getInt(0); val li = r.getInt(1)
+        if (li < 0) lossTrails(ci) += r.getDouble(3)
+        else grads(ci)(li)(r.getInt(2)) = r.getDouble(3)
+      }
+      nets = Array.tabulate(nets.length) { ci =>
+        val c = cands(ci); val scale = scales(ci)
+        SegNet(nets(ci).layers.zipWithIndex.map { case (l, li) =>
+          val g = grads(ci)(li)
+          val wl = l.weights.length
+          l.copy(
+            weights = Array.tabulate(wl)(i =>
+              snap(l.weights(i) - c.lr * g(i), scale).toFloat),
+            bias = Array.tabulate(l.bias.length)(i =>
+              snap(l.bias(i) - c.lr * g(wl + i), scale).toFloat))
+        }, nets(ci).classes)
+      }
+      bc.destroy()
+      e += 1
+    }
+    // holdout loss for every candidate in ONE validation pass
+    val bcF = spark.sparkContext.broadcast(nets)
+    val holdLoss = hold.mapPartitions { it =>
+      val nts = bcF.value
+      val loss = new Array[Double](nts.length)
+      var any = false
+      while (it.hasNext) {
+        val ch = it.next(); any = true
+        var ci = 0
+        while (ci < nts.length) {
+          loss(ci) += chipLoss(ch, nts(ci), scales(ci)); ci += 1
+        }
+      }
+      if (!any) Iterator.empty
+      else loss.iterator.zipWithIndex.map { case (v, ci) => (ci, v) }
+    }.toDF("ci", "v").groupBy("ci").agg(sum("v").as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    bcF.destroy()
+    val results = cands.indices.map { ci =>
+      CandidateResult(cands(ci).name, cands(ci).lr, cands(ci).gradBits,
+        lossTrails(ci).result(), holdLoss.getOrElse(ci, 0.0), nets(ci))
+    }
+    val winner = results.zipWithIndex.minBy { case (r, i) => (r.holdoutLoss, i) }._1
+    (winner, results)
+  }
 }

@@ -2956,77 +2956,90 @@ object Queries {
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
-  /** One SGD epoch of the q_train_seg oracle: forward from weight CTEs
-    * suffixed `$e`, snapped residuals, backprop, floor-snapped update
-    * into weight CTEs suffixed `${e+1}`. lr = 2^-25, grain 2^-8. */
-  private def trainEpochSql(e: Int): String = {
-    val n = e + 1
-    s"""h1_$e AS (
+  /** Forward + snapped-residual CTEs of the SGD oracle: h1_/s2_/r_/
+    * loss_`$suf` from weight CTEs suffixed `$wIn` over chip-pixel
+    * relation `$src` (grain 2^-8). */
+  private def sgdFwdSql(suf: String, wIn: String, src: String): String =
+    s"""h1_$suf AS (
        |  SELECT p.cx, p.cy, p.lx, p.ly, w.oc,
        |    CAST(greatest(0.0, sum(w.wt * q.v) + any_value(b.bt)) AS FLOAT) AS hv
-       |  FROM (SELECT DISTINCT cx, cy, lx, ly FROM cpx) p, w1_$e w, cpx q,
-       |       b1_$e b
+       |  FROM (SELECT DISTINCT cx, cy, lx, ly FROM $src) p, w1_$wIn w, $src q,
+       |       b1_$wIn b
        |  WHERE b.oc = w.oc AND q.cx = p.cx AND q.cy = p.cy AND q.ic = w.ic
        |    AND q.lx = greatest(0, least(15, p.lx + w.dx))
        |    AND q.ly = greatest(0, least(15, p.ly + w.dy))
        |  GROUP BY p.cx, p.cy, p.lx, p.ly, w.oc),
-       |s2_$e AS (
+       |s2_$suf AS (
        |  SELECT h.cx, h.cy, h.lx, h.ly, w.oc2,
        |    CAST(sum(w.wt * h.hv) + any_value(b.bt) AS FLOAT) AS sv
-       |  FROM h1_$e h, w2_$e w, b2_$e b
+       |  FROM h1_$suf h, w2_$wIn w, b2_$wIn b
        |  WHERE w.ic = h.oc AND b.oc2 = w.oc2
        |  GROUP BY h.cx, h.cy, h.lx, h.ly, w.oc2),
-       |r_$e AS (
+       |r_$suf AS (
        |  SELECT s.cx, s.cy, s.lx, s.ly, s.oc2,
        |    floor((CAST(s.sv AS DOUBLE) - t.t) * 256) / 256 AS rq
-       |  FROM s2_$e s JOIN tgt t ON t.cx = s.cx AND t.cy = s.cy
+       |  FROM s2_$suf s JOIN tgt t ON t.cx = s.cx AND t.cy = s.cy
        |    AND t.lx = s.lx AND t.ly = s.ly AND t.oc2 = s.oc2),
-       |loss_$e AS (SELECT 0.5 * sum(rq * rq) AS l FROM r_$e),
-       |gw2_$e AS (
+       |loss_$suf AS (SELECT 0.5 * sum(rq * rq) AS l FROM r_$suf)""".stripMargin
+
+  /** Backprop + floor-snapped update CTEs: gradients from r_/h1_`$suf`
+    * over `$src`, weights w*_`$wIn` stepped by lr = 1/`$lrDenom` into
+    * w*_`$wOut`. */
+  private def sgdBwdSql(suf: String, wIn: String, wOut: String,
+                        lrDenom: String, src: String): String =
+    s"""gw2_$suf AS (
        |  SELECT r.oc2, h.oc AS ic, sum(r.rq * h.hv) AS g
-       |  FROM r_$e r JOIN h1_$e h ON h.cx = r.cx AND h.cy = r.cy
+       |  FROM r_$suf r JOIN h1_$suf h ON h.cx = r.cx AND h.cy = r.cy
        |    AND h.lx = r.lx AND h.ly = r.ly
        |  GROUP BY 1, 2),
-       |gb2_$e AS (SELECT oc2, sum(rq) AS g FROM r_$e GROUP BY 1),
-       |d1_$e AS (
+       |gb2_$suf AS (SELECT oc2, sum(rq) AS g FROM r_$suf GROUP BY 1),
+       |d1_$suf AS (
        |  SELECT r.cx, r.cy, r.lx, r.ly, w.ic AS oc, sum(r.rq * w.wt) AS dv
-       |  FROM r_$e r, w2_$e w
+       |  FROM r_$suf r, w2_$wIn w
        |  WHERE w.oc2 = r.oc2
        |  GROUP BY 1, 2, 3, 4, 5),
-       |d1g_$e AS (
+       |d1g_$suf AS (
        |  SELECT d.cx, d.cy, d.lx, d.ly, d.oc,
        |    CASE WHEN h.hv > 0 THEN d.dv ELSE CAST(0 AS DOUBLE) END AS dv
-       |  FROM d1_$e d JOIN h1_$e h ON h.cx = d.cx AND h.cy = d.cy
+       |  FROM d1_$suf d JOIN h1_$suf h ON h.cx = d.cx AND h.cy = d.cy
        |    AND h.lx = d.lx AND h.ly = d.ly AND h.oc = d.oc),
-       |gw1_$e AS (
+       |gw1_$suf AS (
        |  SELECT d.oc, w.ic, w.dy, w.dx, sum(d.dv * q.v) AS g
-       |  FROM d1g_$e d, (SELECT DISTINCT ic, dy, dx FROM w1_0) w, cpx q
+       |  FROM d1g_$suf d, (SELECT DISTINCT ic, dy, dx FROM w1_0) w, $src q
        |  WHERE q.cx = d.cx AND q.cy = d.cy AND q.ic = w.ic
        |    AND q.lx = greatest(0, least(15, d.lx + w.dx))
        |    AND q.ly = greatest(0, least(15, d.ly + w.dy))
        |  GROUP BY 1, 2, 3, 4),
-       |gb1_$e AS (SELECT oc, sum(dv) AS g FROM d1g_$e GROUP BY 1),
-       |w1_$n AS (
+       |gb1_$suf AS (SELECT oc, sum(dv) AS g FROM d1g_$suf GROUP BY 1),
+       |w1_$wOut AS (
        |  SELECT w.oc, w.ic, w.dy, w.dx,
-       |    CAST(CAST(floor((w.wt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS wt
-       |  FROM w1_$e w JOIN gw1_$e g ON g.oc = w.oc AND g.ic = w.ic
+       |  FROM w1_$wIn w JOIN gw1_$suf g ON g.oc = w.oc AND g.ic = w.ic
        |    AND g.dy = w.dy AND g.dx = w.dx),
-       |b1_$n AS (
+       |b1_$wOut AS (
        |  SELECT b.oc,
-       |    CAST(CAST(floor((b.bt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS bt
-       |  FROM b1_$e b JOIN gb1_$e g ON g.oc = b.oc),
-       |w2_$n AS (
+       |  FROM b1_$wIn b JOIN gb1_$suf g ON g.oc = b.oc),
+       |w2_$wOut AS (
        |  SELECT w.oc2, w.ic,
-       |    CAST(CAST(floor((w.wt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS wt
-       |  FROM w2_$e w JOIN gw2_$e g ON g.oc2 = w.oc2 AND g.ic = w.ic),
-       |b2_$n AS (
+       |  FROM w2_$wIn w JOIN gw2_$suf g ON g.oc2 = w.oc2 AND g.ic = w.ic),
+       |b2_$wOut AS (
        |  SELECT b.oc2,
-       |    CAST(CAST(floor((b.bt - g.g/33554432) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS bt
-       |  FROM b2_$e b JOIN gb2_$e g ON g.oc2 = b.oc2)""".stripMargin
+       |  FROM b2_$wIn b JOIN gb2_$suf g ON g.oc2 = b.oc2)""".stripMargin
+
+  /** One SGD epoch: forward + backprop + update. */
+  private def trainEpochSql(e: Int, lrDenom: String = "33554432",
+                            src: String = "cpx", tag: String = ""): String = {
+    val suf = s"$tag$e"
+    val wIn = if (e == 0) "0" else s"$tag$e"
+    val wOut = s"$tag${e + 1}"
+    sgdFwdSql(suf, wIn, src) + ",\n" + sgdBwdSql(suf, wIn, wOut, lrDenom, src)
   }
 
   val qTrainSegSql: String =
@@ -3066,6 +3079,100 @@ object Queries {
        |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_2
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_2)""".stripMargin
+
+  /** q_grid_search — GridSearchCV / create_model_optuna analog
+    * (learning.py:671-676): two learning-rate candidates trained by
+    * ConvTrain.gridSearch in ONE data pass per epoch (all candidates
+    * ride one broadcast), selected on a deterministic holdout split
+    * (even grid parity trains, odd validates). The oracle replays BOTH
+    * candidates' full two-epoch SGD on the train subset, the holdout
+    * forward pass, the argmin winner (ties to input order = name
+    * order here), and the winner's final weights. */
+  def qGridSearch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val cands = Seq(ConvTrain.Candidate("a", math.pow(2.0, -25)),
+      ConvTrain.Candidate("b", math.pow(2.0, -26)))
+    val (winner, results) =
+      ConvTrain.gridSearch(chips, ConvNet.fixtureNet, cands, epochs = 2)
+    val lossRows = results.flatMap { r =>
+      r.trainLosses.zipWithIndex.map { case (l, e) => (r.name, "train", 0, e, l) } :+
+        ((r.name, "hold", 0, 0, r.holdoutLoss))
+    }
+    val winRows = Seq((winner.name, "winner", 0, 0, 1.0))
+    val wRows = winner.net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => (winner.name, "w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => (winner.name, "b", li, i, b.toDouble) }
+    }
+    (lossRows ++ winRows ++ wRows).toDF("cand", "kind", "li", "idx", "v")
+  }
+
+  val qGridSearchSql: String = {
+    def candSql(tag: String, lrDenom: String): String =
+      s"""${trainEpochSql(0, lrDenom, "cpxt", tag)},
+         |${trainEpochSql(1, lrDenom, "cpxt", tag)},
+         |${sgdFwdSql(s"${tag}H", s"${tag}2", "cpxh")}""".stripMargin
+    s"""WITH cpx AS (
+       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
+       |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+       |       generate_series(0, 1) f(ic)),
+       |cpxt AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
+       |cpxh AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1),
+       |tgt AS (
+       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
+       |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
+       |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
+       |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+       |       generate_series(0, 1) f(oc2)),
+       |w1_0 AS (
+       |  SELECT oc, ic, dy, dx,
+       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/8
+       |      AS wt
+       |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
+       |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
+       |b1_0 AS (SELECT oc, CAST(oc AS DOUBLE)/8 AS bt
+       |         FROM generate_series(0, 2) t(oc)),
+       |w2_0 AS (SELECT oc2, ic,
+       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
+       |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic)),
+       |b2_0 AS (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
+       |         FROM generate_series(0, 1) t(oc2)),
+       |${candSql("a", "33554432")},
+       |${candSql("b", "67108864")},
+       |hl AS (SELECT 'a' AS cand, l FROM loss_aH
+       |       UNION ALL SELECT 'b', l FROM loss_bH),
+       |win AS (SELECT cand FROM hl ORDER BY l, cand LIMIT 1),
+       |wts AS (
+       |  SELECT 'a' AS cand, 'w' AS kind, 0 AS li,
+       |    ((oc*2 + ic)*3 + dy+1)*3 + dx+1 AS idx, wt AS v FROM w1_a2
+       |  UNION ALL SELECT 'a', 'b', 0, oc, bt FROM b1_a2
+       |  UNION ALL SELECT 'a', 'w', 1, oc2*3 + ic, wt FROM w2_a2
+       |  UNION ALL SELECT 'a', 'b', 1, oc2, bt FROM b2_a2
+       |  UNION ALL SELECT 'b', 'w', 0,
+       |    ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_b2
+       |  UNION ALL SELECT 'b', 'b', 0, oc, bt FROM b1_b2
+       |  UNION ALL SELECT 'b', 'w', 1, oc2*3 + ic, wt FROM w2_b2
+       |  UNION ALL SELECT 'b', 'b', 1, oc2, bt FROM b2_b2)
+       |SELECT cand, kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v
+       |FROM (
+       |  SELECT 'a' AS cand, 'train' AS kind, 0 AS li, 0 AS idx, l AS v
+       |  FROM loss_a0
+       |  UNION ALL SELECT 'a', 'train', 0, 1, l FROM loss_a1
+       |  UNION ALL SELECT 'b', 'train', 0, 0, l FROM loss_b0
+       |  UNION ALL SELECT 'b', 'train', 0, 1, l FROM loss_b1
+       |  UNION ALL SELECT cand, 'hold', 0, 0, l FROM hl
+       |  UNION ALL SELECT cand, 'winner', 0, 0, CAST(1 AS DOUBLE) FROM win
+       |  UNION ALL SELECT w.cand, w.kind, w.li, w.idx, w.v
+       |  FROM wts w JOIN win USING (cand))""".stripMargin
+  }
 
   /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
     * with any nonzero mask pixel becomes all ones; per-image one-count

@@ -86,6 +86,38 @@ class ConvTrainSpec extends AnyFunSuite {
     assert(losses(1) < losses(0), s"binary net did not descend: $losses")
   }
 
+  test("gridSearch: single candidate == trainSeg on the train split; " +
+       "holdout = sum of chipLoss; winner deterministic") {
+    val chips = fixtureChips(1)
+    val train = chips.filter(ch => !ConvTrain.isHoldout(ch))
+    val hold = chips.filter(ch => ConvTrain.isHoldout(ch)).collect()
+    assert(train.count() == 8 && hold.length == 7) // 5x3 grid, even parity trains
+    val lr = math.pow(2.0, -25)
+    val (win1, all1) = ConvTrain.gridSearch(chips, ConvNet.fixtureNet,
+      Seq(ConvTrain.Candidate("only", lr)), epochs = 2)
+    val (refNet, refLosses) = ConvTrain.trainSeg(train, ConvNet.fixtureNet,
+      epochs = 2, lr = lr)
+    assert(win1.trainLosses == refLosses)
+    win1.net.layers.zip(refNet.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights))
+      assert(java.util.Arrays.equals(a.bias, b.bias))
+    }
+    val expectedHold = hold.map(ch =>
+      ConvTrain.chipLoss(ch, refNet, math.pow(2.0, 8))).sum
+    assert(win1.holdoutLoss == expectedHold)
+    assert(all1.length == 1)
+    // two candidates: the winner is the argmin holdout, ties to input order
+    val (win2, all2) = ConvTrain.gridSearch(chips, ConvNet.fixtureNet,
+      Seq(ConvTrain.Candidate("a", lr), ConvTrain.Candidate("b", lr / 2)),
+      epochs = 2)
+    assert(all2.length == 2)
+    assert(win2.holdoutLoss == all2.map(_.holdoutLoss).min)
+    val (winTie, _) = ConvTrain.gridSearch(chips, ConvNet.fixtureNet,
+      Seq(ConvTrain.Candidate("x", lr), ConvTrain.Candidate("y", lr)),
+      epochs = 1)
+    assert(winTie.name == "x", "equal candidates must tie to input order")
+  }
+
   test("gradient shuffle carries only (li, idx, v) scalars") {
     val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
     // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
