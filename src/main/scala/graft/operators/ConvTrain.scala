@@ -302,6 +302,37 @@ object ConvTrain {
     loss
   }
 
+  /** Mini-batch SGD — the torch-DataLoader loop shape (convnet.py's
+    * per-batch optimizer steps) distributed per batch: chips are
+    * assigned to `batches` deterministic batches by chip-grid index
+    * ((cx/w + cy/h) mod batches — a fixed, replayable shard, the
+    * relational analog of a seeded sampler), and every batch runs the
+    * same broadcast/partial-gradient/scalar-shuffle job as a full
+    * epoch, stepping the weights after each. batches = 1 degrades to
+    * trainSeg exactly. Returns per-BATCH losses (epochs x batches,
+    * measured at each step's starting weights). */
+  def trainSegBatched(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
+                      batches: Int, lr: Double, gradBits: Int = 8)
+                     (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
+    require(epochs >= 1 && batches >= 1)
+    val parts = (0 until batches).map(b =>
+      chips.filter(ch => (ch.cx / ch.w + ch.cy / ch.h) % batches == b))
+    var net = net0
+    val losses = Seq.newBuilder[Double]
+    var e = 0
+    while (e < epochs) {
+      var b = 0
+      while (b < batches) {
+        val (n2, l2) = trainSeg(parts(b), net, epochs = 1, lr, gradBits)
+        net = n2
+        losses ++= l2
+        b += 1
+      }
+      e += 1
+    }
+    (net, losses.result())
+  }
+
   /** One hyper-parameter candidate: a learning rate (power of two) and
     * a quantization grain. */
   final case class Candidate(name: String, lr: Double, gradBits: Int = 8)

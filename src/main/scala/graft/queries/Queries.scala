@@ -3042,13 +3042,21 @@ object Queries {
     sgdFwdSql(suf, wIn, src) + ",\n" + sgdBwdSql(suf, wIn, wOut, lrDenom, src)
   }
 
-  val qTrainSegSql: String =
-    s"""WITH cpx AS (
+  /** Shared oracle preamble: the single-image chip-pixel relation, the
+    * one-hot target relation, the initial fixture weights, and (when
+    * `paritySplit`) the even/odd chip-grid-parity subsets. */
+  private def sgdPreambleSql(paritySplit: Boolean): String = {
+    val parity = if (paritySplit)
+      """,
+        |cpxt AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
+        |cpxh AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1)""".stripMargin
+    else ""
+    s"""cpx AS (
        |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
        |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
        |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
        |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
-       |       generate_series(0, 1) f(ic)),
+       |       generate_series(0, 1) f(ic))$parity,
        |tgt AS (
        |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
        |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
@@ -3069,7 +3077,11 @@ object Queries {
        |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
        |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic)),
        |b2_0 AS (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
-       |         FROM generate_series(0, 1) t(oc2)),
+       |         FROM generate_series(0, 1) t(oc2))""".stripMargin
+  }
+
+  val qTrainSegSql: String =
+    s"""WITH ${sgdPreambleSql(paritySplit = false)},
        |${trainEpochSql(0)},
        |${trainEpochSql(1)}
        |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v FROM (
@@ -3116,35 +3128,7 @@ object Queries {
       s"""${trainEpochSql(0, lrDenom, "cpxt", tag)},
          |${trainEpochSql(1, lrDenom, "cpxt", tag)},
          |${sgdFwdSql(s"${tag}H", s"${tag}2", "cpxh")}""".stripMargin
-    s"""WITH cpx AS (
-       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
-       |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
-       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
-       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
-       |       generate_series(0, 1) f(ic)),
-       |cpxt AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
-       |cpxh AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1),
-       |tgt AS (
-       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
-       |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
-       |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
-       |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
-       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
-       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
-       |       generate_series(0, 1) f(oc2)),
-       |w1_0 AS (
-       |  SELECT oc, ic, dy, dx,
-       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/8
-       |      AS wt
-       |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
-       |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
-       |b1_0 AS (SELECT oc, CAST(oc AS DOUBLE)/8 AS bt
-       |         FROM generate_series(0, 2) t(oc)),
-       |w2_0 AS (SELECT oc2, ic,
-       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
-       |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic)),
-       |b2_0 AS (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
-       |         FROM generate_series(0, 1) t(oc2)),
+    s"""WITH ${sgdPreambleSql(paritySplit = true)},
        |${candSql("a", "33554432")},
        |${candSql("b", "67108864")},
        |hl AS (SELECT 'a' AS cand, l FROM loss_aH
@@ -3173,6 +3157,41 @@ object Queries {
        |  UNION ALL SELECT w.cand, w.kind, w.li, w.idx, w.v
        |  FROM wts w JOIN win USING (cand))""".stripMargin
   }
+
+  /** q_train_minibatch — the torch-DataLoader loop shape
+    * (ConvTrain.trainSegBatched): ONE epoch of 2 deterministic
+    * mini-batches (even chip-grid parity first, then odd), weights
+    * stepped after each. The oracle replays both sequential batch
+    * steps: forward+backprop+update on the even subset, then the same
+    * on the odd subset FROM the stepped weights. */
+  def qTrainMinibatch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (net, losses) = ConvTrain.trainSegBatched(chips, ConvNet.fixtureNet,
+      epochs = 1, batches = 2, lr = math.pow(2.0, -25))
+    val lossRows = losses.zipWithIndex.map { case (l, b) => ("loss", b, 0, l) }
+    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
+  }
+
+  val qTrainMinibatchSql: String =
+    s"""WITH ${sgdPreambleSql(paritySplit = true)},
+       |${trainEpochSql(0, "33554432", "cpxt", "m")},
+       |${trainEpochSql(1, "33554432", "cpxh", "m")}
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_m0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_m1
+       |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_m2
+       |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_m2
+       |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_m2
+       |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_m2)""".stripMargin
 
   /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
     * with any nonzero mask pixel becomes all ones; per-image one-count

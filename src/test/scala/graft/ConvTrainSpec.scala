@@ -118,6 +118,26 @@ class ConvTrainSpec extends AnyFunSuite {
     assert(winTie.name == "x", "equal candidates must tie to input order")
   }
 
+  test("trainSegBatched: batches=1 == trainSeg; 2 batches = 2 steps") {
+    val chips = fixtureChips(1)
+    val lr = math.pow(2.0, -25)
+    val (n1, l1) = ConvTrain.trainSegBatched(chips, ConvNet.fixtureNet,
+      epochs = 2, batches = 1, lr = lr)
+    val (nRef, lRef) = ConvTrain.trainSeg(chips, ConvNet.fixtureNet,
+      epochs = 2, lr = lr)
+    assert(l1 == lRef)
+    n1.layers.zip(nRef.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights))
+      assert(java.util.Arrays.equals(a.bias, b.bias))
+    }
+    val (n2, l2) = ConvTrain.trainSegBatched(chips, ConvNet.fixtureNet,
+      epochs = 1, batches = 2, lr = lr)
+    assert(l2.length == 2)
+    // the second step trains FROM the first step's weights, so the
+    // result differs from one full-batch step over everything
+    assert(!n2.layers.head.weights.sameElements(nRef.layers.head.weights))
+  }
+
   test("gradient shuffle carries only (li, idx, v) scalars") {
     val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
     // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
