@@ -201,19 +201,41 @@ object ConvTrain {
     loss
   }
 
-  /** Full-batch SGD over a chips table. Returns the trained net and the
-    * per-epoch loss (the loss is measured at the epoch's STARTING
-    * weights — it is the objective the epoch's gradient step descends).
-    * `lr` should be a power of two so the snapped update stays on the
-    * dyadic grid; `gradBits` is the quantization grain (2^-gradBits). */
-  def trainSeg(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
-               lr: Double, gradBits: Int = 8)
-              (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
-    import spark.implicits._
+  /** Optimizer for the distributed training loop. The STEP is always
+    * driver-side scalar math on the aggregated (exact) gradients, then
+    * snapped to the dyadic grid — so any optimizer here keeps training
+    * bit-deterministic at every parallelism. */
+  sealed trait Optimizer
+  /** Plain SGD; `lr` should be a power of two. */
+  final case class Sgd(lr: Double) extends Optimizer
+  /** torch.optim.Adam with torch defaults — the reference's actual
+    * optimizer (convnet.py:327). Bias-correction powers beta^t are
+    * tracked by repeated multiplication (NOT pow(), whose rounding is
+    * implementation-defined), and sqrt/divide are IEEE correctly
+    * rounded, so the update is replayable to the bit by the q_train_adam
+    * oracle. */
+  final case class Adam(lr: Double, beta1: Double = 0.9,
+                        beta2: Double = 0.999, eps: Double = 1e-8)
+      extends Optimizer
+
+  /** Full-batch gradient descent over a chips table with the given
+    * optimizer. Returns the trained net and the per-epoch loss (the
+    * loss is measured at the epoch's STARTING weights — it is the
+    * objective the epoch's step descends). `gradBits` is the
+    * quantization grain (2^-gradBits). */
+  def trainSegOpt(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
+                  opt: Optimizer, gradBits: Int = 8)
+                 (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
     require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
     val gradScale = math.pow(2.0, gradBits)
     var net = net0
     val losses = Seq.newBuilder[Double]
+    // Adam first/second moments per layer over [weights ++ bias]
+    val mom1 = net0.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    val mom2 = net0.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    var p1 = 1.0; var p2 = 1.0 // beta1^t, beta2^t via repeated multiply
     var e = 0
     while (e < epochs) {
       val (df, bc) = gradRows(chips, net, gradScale)
@@ -227,20 +249,38 @@ object ConvTrain {
         else grads(li)(r.getInt(1)) = r.getDouble(2)
       }
       losses += loss
+      opt match {
+        case Adam(_, b1, b2, _) => p1 *= b1; p2 *= b2
+        case _ =>
+      }
+      def step(li: Int, i: Int): Double = opt match {
+        case Sgd(lr) => lr * grads(li)(i)
+        case Adam(lr, b1, b2, eps) =>
+          val g = grads(li)(i)
+          val m = b1 * mom1(li)(i) + (1 - b1) * g
+          val v = b2 * mom2(li)(i) + (1 - b2) * g * g
+          mom1(li)(i) = m; mom2(li)(i) = v
+          lr * (m / (1 - p1)) / (math.sqrt(v / (1 - p2)) + eps)
+      }
       net = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
-        val g = grads(li)
         val wl = l.weights.length
         l.copy(
           weights = Array.tabulate(wl)(i =>
-            snap(l.weights(i) - lr * g(i), gradScale).toFloat),
+            snap(l.weights(i) - step(li, i), gradScale).toFloat),
           bias = Array.tabulate(l.bias.length)(i =>
-            snap(l.bias(i) - lr * g(wl + i), gradScale).toFloat))
+            snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
       }, net.classes)
       bc.destroy()
       e += 1
     }
     (net, losses.result())
   }
+
+  /** Full-batch SGD (the common case). */
+  def trainSeg(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
+               lr: Double, gradBits: Int = 8)
+              (implicit spark: SparkSession): (SegNet, Seq[Double]) =
+    trainSegOpt(chips, net0, epochs, Sgd(lr), gradBits)
 
   /** One epoch's gradient aggregation: per-PARTITION accumulators emit
     * (layer, idx, v) rows — bias entries at idx >= weights.length, the

@@ -2982,11 +2982,8 @@ object Queries {
        |    AND t.lx = s.lx AND t.ly = s.ly AND t.oc2 = s.oc2),
        |loss_$suf AS (SELECT 0.5 * sum(rq * rq) AS l FROM r_$suf)""".stripMargin
 
-  /** Backprop + floor-snapped update CTEs: gradients from r_/h1_`$suf`
-    * over `$src`, weights w*_`$wIn` stepped by lr = 1/`$lrDenom` into
-    * w*_`$wOut`. */
-  private def sgdBwdSql(suf: String, wIn: String, wOut: String,
-                        lrDenom: String, src: String): String =
+  /** Backprop gradient CTEs from r_/h1_`$suf` over `$src` (no update). */
+  private def sgdGradSql(suf: String, wIn: String, src: String): String =
     s"""gw2_$suf AS (
        |  SELECT r.oc2, h.oc AS ic, sum(r.rq * h.hv) AS g
        |  FROM r_$suf r JOIN h1_$suf h ON h.cx = r.cx AND h.cy = r.cy
@@ -3010,8 +3007,13 @@ object Queries {
        |    AND q.lx = greatest(0, least(15, d.lx + w.dx))
        |    AND q.ly = greatest(0, least(15, d.ly + w.dy))
        |  GROUP BY 1, 2, 3, 4),
-       |gb1_$suf AS (SELECT oc, sum(dv) AS g FROM d1g_$suf GROUP BY 1),
-       |w1_$wOut AS (
+       |gb1_$suf AS (SELECT oc, sum(dv) AS g FROM d1g_$suf GROUP BY 1)""".stripMargin
+
+  /** Floor-snapped SGD step: weights w*_`$wIn` minus gradients/`$lrDenom`
+    * into w*_`$wOut`. */
+  private def sgdStepSql(suf: String, wIn: String, wOut: String,
+                         lrDenom: String): String =
+    s"""w1_$wOut AS (
        |  SELECT w.oc, w.ic, w.dy, w.dx,
        |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS wt
@@ -3033,13 +3035,48 @@ object Queries {
        |         AS DOUBLE) AS bt
        |  FROM b2_$wIn b JOIN gb2_$suf g ON g.oc2 = b.oc2)""".stripMargin
 
+  /** Floor-snapped Adam step mirroring ConvTrain's exact arithmetic:
+    * m/v updates written as the SAME double operations (0.9 literals,
+    * beta^t by repeated multiplication — never pow()), step =
+    * (lr * mHat) / (sqrt(vHat) + eps). `first` = t==1 (zero moments);
+    * `p1`/`p2` are the beta^t product expressions. Each weight CTE
+    * carries (value, m, v) forward for the next epoch. */
+  private def adamStepSql(suf: String, wIn: String, wOut: String,
+                          first: Boolean, p1: String, p2: String,
+                          lr: String): String = {
+    def grp(out: String, in: String, grad: String, keys: Seq[String],
+            vc: String): String = {
+      val keyList = keys.map(k => s"w.$k").mkString(", ")
+      val joinCond = keys.map(k => s"g.$k = w.$k").mkString(" AND ")
+      val mExpr = if (first) "(1 - 0.9) * g.g"
+                  else "0.9 * w.m + (1 - 0.9) * g.g"
+      val vExpr = if (first) "(1 - 0.999) * g.g * g.g"
+                  else "0.999 * w.v + (1 - 0.999) * g.g * g.g"
+      s"""$out AS (
+         |  SELECT $keyList,
+         |    CAST(CAST(floor((w.$vc - ($lr * (($mExpr) / (1 - $p1)))
+         |      / (sqrt(($vExpr) / (1 - $p2)) + 1e-8)) * 256) / 256 AS FLOAT)
+         |      AS DOUBLE) AS $vc,
+         |    $mExpr AS m, $vExpr AS v
+         |  FROM $in w JOIN $grad g ON $joinCond)""".stripMargin
+    }
+    Seq(
+      grp(s"w1_$wOut", s"w1_$wIn", s"gw1_$suf",
+        Seq("oc", "ic", "dy", "dx"), "wt"),
+      grp(s"b1_$wOut", s"b1_$wIn", s"gb1_$suf", Seq("oc"), "bt"),
+      grp(s"w2_$wOut", s"w2_$wIn", s"gw2_$suf", Seq("oc2", "ic"), "wt"),
+      grp(s"b2_$wOut", s"b2_$wIn", s"gb2_$suf", Seq("oc2"), "bt")
+    ).mkString(",\n")
+  }
+
   /** One SGD epoch: forward + backprop + update. */
   private def trainEpochSql(e: Int, lrDenom: String = "33554432",
                             src: String = "cpx", tag: String = ""): String = {
     val suf = s"$tag$e"
     val wIn = if (e == 0) "0" else s"$tag$e"
     val wOut = s"$tag${e + 1}"
-    sgdFwdSql(suf, wIn, src) + ",\n" + sgdBwdSql(suf, wIn, wOut, lrDenom, src)
+    sgdFwdSql(suf, wIn, src) + ",\n" + sgdGradSql(suf, wIn, src) + ",\n" +
+      sgdStepSql(suf, wIn, wOut, lrDenom)
   }
 
   /** Shared oracle preamble: the single-image chip-pixel relation, the
@@ -3192,6 +3229,48 @@ object Queries {
        |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_m2
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_m2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_m2)""".stripMargin
+
+  /** q_train_adam — the reference's ACTUAL optimizer
+    * (torch.optim.Adam, convnet.py:327) in the distributed loop:
+    * 2 epochs of Adam (torch defaults) over the fixture chips. The
+    * moment math is driver-side scalar ops on exact gradients with
+    * beta^t tracked by repeated multiplication and IEEE-correctly-
+    * rounded sqrt/divide, so the oracle replays both epochs' m/v
+    * states, bias corrections, and snapped steps to the bit. */
+  def qTrainAdam(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNet,
+      epochs = 2, ConvTrain.Adam(lr = 0.015625))
+    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
+    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
+  }
+
+  val qTrainAdamSql: String =
+    s"""WITH ${sgdPreambleSql(paritySplit = false)},
+       |${sgdFwdSql("d0", "0", "cpx")},
+       |${sgdGradSql("d0", "0", "cpx")},
+       |${adamStepSql("d0", "0", "d1", first = true,
+                      p1 = "0.9", p2 = "0.999", lr = "0.015625")},
+       |${sgdFwdSql("d1", "d1", "cpx")},
+       |${sgdGradSql("d1", "d1", "cpx")},
+       |${adamStepSql("d1", "d1", "d2", first = false,
+                      p1 = "0.9*0.9", p2 = "0.999*0.999", lr = "0.015625")}
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_d0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_d1
+       |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_d2
+       |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_d2
+       |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_d2
+       |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_d2)""".stripMargin
 
   /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
     * with any nonzero mask pixel becomes all ones; per-image one-count

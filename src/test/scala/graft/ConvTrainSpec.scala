@@ -138,6 +138,27 @@ class ConvTrainSpec extends AnyFunSuite {
     assert(!n2.layers.head.weights.sameElements(nRef.layers.head.weights))
   }
 
+  test("Adam (torch defaults): descends, parallelism-invariant, sign-bounded step") {
+    val chips = fixtureChips(1)
+    val adam = ConvTrain.Adam(lr = 0.015625)
+    val (n1, l1) = ConvTrain.trainSegOpt(chips.repartition(1),
+      ConvNet.fixtureNet, epochs = 3, adam)
+    val (n7, l7) = ConvTrain.trainSegOpt(chips.repartition(7),
+      ConvNet.fixtureNet, epochs = 3, adam)
+    assert(l1 == l7, s"Adam not parallelism-invariant: $l1 vs $l7")
+    n1.layers.zip(n7.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights))
+      assert(java.util.Arrays.equals(a.bias, b.bias))
+    }
+    assert(l1(2) < l1(0), s"Adam did not descend: $l1")
+    // bias-corrected first step is ~lr * sign(g): every weight moved at
+    // most lr + one snap grain from its start
+    n1.layers.head.weights.zip(ConvNet.fixtureNet.layers.head.weights)
+      .foreach { case (w, w0) =>
+        assert(math.abs(w - w0) <= 3 * (0.015625 + 1.0 / 256) + 1e-9,
+          s"step left the Adam trust region: $w0 -> $w") }
+  }
+
   test("gradient shuffle carries only (li, idx, v) scalars") {
     val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
     // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
