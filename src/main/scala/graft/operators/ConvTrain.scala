@@ -106,18 +106,81 @@ object ConvTrain {
     outs
   }
 
+  /** Training loss. SquaredError keeps the DuckDB oracle bit-exact;
+    * CrossEntropy is the torch loss (softmax CE with the
+    * ignore_index analog: mask values outside `classes` contribute
+    * nothing; a single-logit net uses sigmoid BCE on mask > 0) —
+    * exp/log are deterministic within the JVM, so parallelism
+    * invariance holds, but not correctly rounded across engines, so
+    * CE correctness is spec-gated (finite differences), not oracled. */
+  sealed trait Loss
+  case object SquaredError extends Loss
+  case object CrossEntropy extends Loss
+
   /** One-hot target for output channel oc at a mask value. */
   @inline private def target(classes: Array[Int], outC: Int,
                              oc: Int, mv: Float): Double =
     if (outC == 1) { if (mv > 0) 1.0 else 0.0 }
     else if (classes(oc) == mv.toInt) 1.0 else 0.0
 
+  /** Per-pixel loss + residuals (the loss gradient wrt the logits at
+    * one pixel), snapped to the grid. Writes residuals into `d`,
+    * returns the pixel's loss. */
+  private def pixelResiduals(loss: Loss, classes: Array[Int], outC: Int,
+                             logits: Array[Array[Float]], p: Int, mv: Float,
+                             gradScale: Double, d: Array[Array[Double]])
+      : Double = loss match {
+    case SquaredError =>
+      var l = 0.0
+      var oc = 0
+      while (oc < outC) {
+        val rq = snap(logits(oc)(p) - target(classes, outC, oc, mv), gradScale)
+        d(oc)(p) = rq
+        l += 0.5 * rq * rq
+        oc += 1
+      }
+      l
+    case CrossEntropy if outC == 1 =>
+      val t = if (mv > 0) 1.0 else 0.0
+      val s = logits(0)(p).toDouble
+      val pr = 1.0 / (1.0 + math.exp(-s))
+      d(0)(p) = snap(pr - t, gradScale)
+      -(t * math.log(math.max(pr, 1e-300)) +
+        (1 - t) * math.log(math.max(1 - pr, 1e-300)))
+    case CrossEntropy =>
+      val ti = {
+        var i = -1; var c = 0
+        while (c < outC && i < 0) { if (classes(c) == mv.toInt) i = c; c += 1 }
+        i
+      }
+      if (ti < 0) { // torch ignore_index analog: unmapped mask value
+        var oc = 0
+        while (oc < outC) { d(oc)(p) = 0.0; oc += 1 }
+        0.0
+      } else {
+        var mx = Double.NegativeInfinity
+        var oc = 0
+        while (oc < outC) { val v = logits(oc)(p).toDouble; if (v > mx) mx = v; oc += 1 }
+        var z = 0.0
+        oc = 0
+        while (oc < outC) { z += math.exp(logits(oc)(p) - mx); oc += 1 }
+        oc = 0
+        while (oc < outC) {
+          val pr = math.exp(logits(oc)(p) - mx) / z
+          d(oc)(p) = snap(pr - (if (oc == ti) 1.0 else 0.0), gradScale)
+          oc += 1
+        }
+        -(logits(ti)(p) - mx - math.log(z))
+      }
+  }
+
   /** Forward + backprop for one chip; gradients accumulate into
     * gW/gB (per layer, ConvLayer's flattened [outC][inC][k][k] weight
-    * layout). Returns the chip's loss 0.5 * sum(rq^2). */
+    * layout). Returns the chip's loss. */
   private[graft] def chipGrad(ch: ChipRow, net: SegNet, gradScale: Double,
                               gW: Array[Array[Double]],
-                              gB: Array[Array[Double]]): Double = {
+                              gB: Array[Array[Double]],
+                              lossFn: Loss = SquaredError): Double = {
     val w = ch.w; val h = ch.h; val n = w * h
     val layers = net.layers.toArray
     val outs = forwardAll(ch.bands, w, h, net)
@@ -125,18 +188,12 @@ object ConvTrain {
     val outC = layers.last.outC
     // snapped residuals = loss gradient wrt the final logits
     var loss = 0.0
-    var delta = Array.tabulate(outC) { oc =>
-      val plane = last(oc)
-      val d = new Array[Double](n)
-      var p = 0
-      while (p < n) {
-        val rq = snap(plane(p) - target(net.classes, outC, oc, ch.mask(p)),
-          gradScale)
-        d(p) = rq
-        loss += 0.5 * rq * rq
-        p += 1
-      }
-      d
+    var delta: Array[Array[Double]] = Array.fill(outC)(new Array[Double](n))
+    var p0 = 0
+    while (p0 < n) {
+      loss += pixelResiduals(lossFn, net.classes, outC, last, p0, ch.mask(p0),
+        gradScale, delta)
+      p0 += 1
     }
     var li = layers.length - 1
     while (li >= 0) {
@@ -224,7 +281,8 @@ object ConvTrain {
     * objective the epoch's step descends). `gradBits` is the
     * quantization grain (2^-gradBits). */
   def trainSegOpt(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
-                  opt: Optimizer, gradBits: Int = 8)
+                  opt: Optimizer, gradBits: Int = 8,
+                  lossFn: Loss = SquaredError)
                  (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
     require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
     val gradScale = math.pow(2.0, gradBits)
@@ -238,7 +296,7 @@ object ConvTrain {
     var p1 = 1.0; var p2 = 1.0 // beta1^t, beta2^t via repeated multiply
     var e = 0
     while (e < epochs) {
-      val (df, bc) = gradRows(chips, net, gradScale)
+      val (df, bc) = gradRows(chips, net, gradScale, lossFn)
       val parts = df.collect() // O(params) by construction
       var loss = 0.0
       val grads = net.layers.map(l =>
@@ -288,7 +346,8 @@ object ConvTrain {
     * O(partitions x params) doubles, never pixels or activations.
     * Returns the aggregated frame plus the weight broadcast (caller
     * destroys it after consuming the frame). */
-  private def gradRows(chips: Dataset[ChipRow], net: SegNet, gradScale: Double)
+  private def gradRows(chips: Dataset[ChipRow], net: SegNet, gradScale: Double,
+                       lossFn: Loss = SquaredError)
                       (implicit spark: SparkSession)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
     import spark.implicits._
@@ -299,7 +358,9 @@ object ConvTrain {
       val gB = nt.layers.map(l => new Array[Double](l.bias.length)).toArray
       var loss = 0.0
       var any = false
-      while (it.hasNext) { loss += chipGrad(it.next(), nt, gradScale, gW, gB); any = true }
+      while (it.hasNext) {
+        loss += chipGrad(it.next(), nt, gradScale, gW, gB, lossFn); any = true
+      }
       if (!any) Iterator.empty
       else Iterator.single((-1, 0, loss)) ++
         gW.iterator.zipWithIndex.flatMap { case (g, li) =>
@@ -320,24 +381,20 @@ object ConvTrain {
     gradRows(chips, net, math.pow(2.0, gradBits))._1
       .orderBy(col("li"), col("idx"))
 
-  /** Snapped-residual loss only (no backprop) — the holdout metric. */
-  private[graft] def chipLoss(ch: ChipRow, net: SegNet, gradScale: Double): Double = {
+  /** Loss only (no backprop) — the holdout metric. */
+  private[graft] def chipLoss(ch: ChipRow, net: SegNet, gradScale: Double,
+                              lossFn: Loss = SquaredError): Double = {
     val n = ch.w * ch.h
     val outs = forwardAll(ch.bands, ch.w, ch.h, net)
     val last = outs(net.layers.length - 1)
     val outC = net.layers.last.outC
+    val d = Array.fill(outC)(new Array[Double](n)) // residual scratch
     var loss = 0.0
-    var oc = 0
-    while (oc < outC) {
-      val plane = last(oc)
-      var p = 0
-      while (p < n) {
-        val rq = snap(plane(p) - target(net.classes, outC, oc, ch.mask(p)),
-          gradScale)
-        loss += 0.5 * rq * rq
-        p += 1
-      }
-      oc += 1
+    var p = 0
+    while (p < n) {
+      loss += pixelResiduals(lossFn, net.classes, outC, last, p, ch.mask(p),
+        gradScale, d)
+      p += 1
     }
     loss
   }

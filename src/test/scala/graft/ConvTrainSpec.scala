@@ -159,6 +159,51 @@ class ConvTrainSpec extends AnyFunSuite {
           s"step left the Adam trust region: $w0 -> $w") }
   }
 
+  test("cross-entropy: finite-difference gradients, descent, invariance") {
+    val net = ConvNet.fixtureNet
+    val ch = oneChip
+    val scale = math.pow(2.0, 20)
+    def ceLoss(nt: graft.operators.SegNet): Double = {
+      val gW = nt.layers.map(l => new Array[Double](l.weights.length)).toArray
+      val gB = nt.layers.map(l => new Array[Double](l.bias.length)).toArray
+      ConvTrain.chipGrad(ch, nt, scale, gW, gB, ConvTrain.CrossEntropy)
+    }
+    val gW = net.layers.map(l => new Array[Double](l.weights.length)).toArray
+    val gB = net.layers.map(l => new Array[Double](l.bias.length)).toArray
+    ConvTrain.chipGrad(ch, net, scale, gW, gB, ConvTrain.CrossEntropy)
+    val eps = 1f / 64f
+    Seq((0, 3), (0, 20), (1, 2), (1, 5)).foreach { case (li, wi) =>
+      def withW(d: Float) = graft.operators.SegNet(
+        net.layers.zipWithIndex.map { case (l, i) =>
+          if (i != li) l
+          else l.copy(weights = l.weights.updated(wi, l.weights(wi) + d))
+        }, net.classes)
+      val numeric = (ceLoss(withW(eps)) - ceLoss(withW(-eps))) / (2.0 * eps)
+      val tol = math.max(0.5, math.abs(numeric)) * 3e-2
+      assert(math.abs(numeric - gW(li)(wi)) <= tol,
+        s"CE grad layer $li w$wi: analytic ${gW(li)(wi)} vs numeric $numeric")
+    }
+    // descent + parallelism invariance (exp/log deterministic in-JVM)
+    val chips = fixtureChips(1)
+    val opt = ConvTrain.Sgd(math.pow(2.0, -14))
+    val (n1, l1) = ConvTrain.trainSegOpt(chips.repartition(1),
+      ConvNet.fixtureNet, epochs = 2, opt, lossFn = ConvTrain.CrossEntropy)
+    val (n7, l7) = ConvTrain.trainSegOpt(chips.repartition(7),
+      ConvNet.fixtureNet, epochs = 2, opt, lossFn = ConvTrain.CrossEntropy)
+    assert(l1 == l7)
+    n1.layers.zip(n7.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights)) }
+    assert(l1(1) < l1(0), s"CE did not descend: $l1")
+    // ignore_index analog: a mask value outside classes contributes
+    // zero loss and zero gradient
+    val allIgnored = ch.copy(mask = ch.mask.map(_ => 9f))
+    val gW0 = net.layers.map(l => new Array[Double](l.weights.length)).toArray
+    val gB0 = net.layers.map(l => new Array[Double](l.bias.length)).toArray
+    val lIgn = ConvTrain.chipGrad(allIgnored, net, scale, gW0, gB0,
+      ConvTrain.CrossEntropy)
+    assert(lIgn == 0.0 && gW0.forall(_.forall(_ == 0.0)))
+  }
+
   test("gradient shuffle carries only (li, idx, v) scalars") {
     val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
     // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
