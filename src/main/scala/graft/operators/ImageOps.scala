@@ -84,17 +84,23 @@ object ImageOps {
     * `band_names` array column — the GDAL `SetDescription` analog over
     * the opaque payload. Reference zip semantics: names pair with bands
     * 1..count, extra names drop, unnamed trailing bands keep "". Band
-    * count comes from the codec header alone (no pixel decode), so this
-    * is a narrow O(1)-per-row map — no shuffle, payload untouched. */
+    * count comes from the codec header alone (no pixel decode) via
+    * pure built-in column math (mirrors PixelCodec.bandCount: raw-le =
+    * len/4wh, rle = first header byte, qnt8 = len/(8+wh)) — the whole
+    * op stays inside WholeStageCodegen, no UDF, no shuffle, payload
+    * untouched. */
   def setBandNames(images: Dataset[ImageRow], names: Seq[String])
                   (implicit spark: SparkSession): DataFrame = {
-    val nameArr = names.toArray
-    val withNames = udf { (bytes: Array[Byte], fmt: String, w: Int, h: Int) =>
-      val nb = PixelCodec.bandCount(bytes, fmt, w, h)
-      Array.tabulate(nb)(b => if (b < nameArr.length) nameArr(b) else "")
-    }
+    val px = col("w").cast("long") * col("h")
+    val nb = when(col("fmt") === PixelCodec.FmtRawLe,
+        (length(col("bytes")).cast("long") / (lit(4L) * px)).cast("long"))
+      .when(col("fmt") === PixelCodec.FmtRle,
+        conv(hex(substring(col("bytes"), 1, 1)), 16, 10).cast("long"))
+      .otherwise((length(col("bytes")).cast("long") / (lit(8L) + px)).cast("long"))
+    val nameArr = array(names.map(lit): _*)
     images.withColumn("band_names",
-      withNames(col("bytes"), col("fmt"), col("w"), col("h")))
+      transform(sequence(lit(1L), nb),
+        i => coalesce(try_element_at(nameArr, i.cast("int")), lit(""))))
   }
 
   /** Resize by integer factor (box average) — the multimodal "resize"

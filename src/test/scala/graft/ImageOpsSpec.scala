@@ -181,6 +181,10 @@ class ImageOpsSpec extends AnyFunSuite {
     val short = ImageOps.setBandNames(ds, Seq("only"))
       .select("band_names").collect()
     short.foreach(r => assert(r.getSeq[String](0) == Seq("only", "")))
+    // pure built-in column math: no UDF in the plan (stays codegen'd)
+    val plan = ImageOps.setBandNames(ds, Seq("red", "green"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"setBandNames must not use a UDF:\n$plan")
     // payload untouched: no decode happened, bytes identical
     val pre = ds.select("image_id", "bytes").as[(String, Array[Byte])]
       .collect().toMap
