@@ -147,8 +147,8 @@ object Bench {
     // host throttles erratically above ~16 threads and varies wildly
     // BETWEEN JVM sessions (documented in BENCH.md with raw probes), so
     // session-per-level measurements would mostly measure host noise.
-    // Within one session the same job at K=4 and K=16 concurrent tasks is
-    // a clean N-vs-4N comparison; best-of-3 interleaved runs per level.
+    // Within one session the same job at two widths is a clean N-vs-4N
+    // comparison; 5 back-to-back (small, big) pairs, median pair ratio.
     val (path, pixels) = materializeImages(spark, nImages)
     spark.stop()
     // N=1 vs 4N=4: both levels sit far below the sandbox host's

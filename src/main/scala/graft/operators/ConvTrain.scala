@@ -298,6 +298,10 @@ object ConvTrain {
     while (e < epochs) {
       val (df, bc) = gradRows(chips, net, gradScale, lossFn)
       val parts = df.collect() // O(params) by construction
+      // an empty epoch would record a fabricated 0.0 loss AND still
+      // snap-quantize the weights — fail loudly instead
+      require(parts.nonEmpty,
+        "training epoch saw zero chips (empty dataset or batch)")
       var loss = 0.0
       val grads = net.layers.map(l =>
         new Array[Double](l.weights.length + l.bias.length)).toArray
@@ -538,6 +542,10 @@ object ConvTrain {
     }.toDF("ci", "v").groupBy("ci").agg(sum("v").as("v"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     bcF.destroy()
+    // an empty holdout would give every candidate a fabricated perfect
+    // 0.0 and silently select the first — fail loudly instead
+    require(holdLoss.nonEmpty,
+      "holdout split is empty — cannot select a candidate")
     val results = cands.indices.map { ci =>
       CandidateResult(cands(ci).name, cands(ci).lr, cands(ci).gradBits,
         lossTrails(ci).result(), holdLoss.getOrElse(ci, 0.0), nets(ci))

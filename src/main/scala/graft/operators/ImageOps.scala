@@ -98,9 +98,13 @@ object ImageOps {
         conv(hex(substring(col("bytes"), 1, 1)), 16, 10).cast("long"))
       .otherwise((length(col("bytes")).cast("long") / (lit(8L) + px)).cast("long"))
     val nameArr = array(names.map(lit): _*)
+    // nb >= 1 guard: sequence(1, 0) would count DOWN ([1, 0]) for a
+    // zero-band payload (legal: encode(fmt, w, h, Array()) is empty),
+    // and an empty RLE header makes nb NULL — both become []
     images.withColumn("band_names",
-      transform(sequence(lit(1L), nb),
+      when(nb >= 1, transform(sequence(lit(1L), nb),
         i => coalesce(try_element_at(nameArr, i.cast("int")), lit(""))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Resize by integer factor (box average) — the multimodal "resize"

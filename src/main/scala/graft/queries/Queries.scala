@@ -1334,8 +1334,11 @@ object Queries {
   def qVrt(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_vrt").getAbsolutePath
+    // session-unique path: a fixed dir would race concurrent sessions
+    // (overwrite-and-scan interleaving between, e.g., the verify
+    // harness and a dev-lever bench on one host)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vrt_${spark.sparkContext.applicationId}").getAbsolutePath
     gridImages(spark, 4, 1).write.mode("overwrite").parquet(s"$base/a")
     gridImages(spark, 8, 1).write.mode("overwrite").parquet(s"$base/b")
     ImageOps.openMosaic(spark, Seq(s"$base/a", s"$base/b"))

@@ -204,6 +204,23 @@ class ConvTrainSpec extends AnyFunSuite {
     assert(lIgn == 0.0 && gW0.forall(_.forall(_ == 0.0)))
   }
 
+  test("empty epoch and empty holdout fail loudly, never fabricate 0.0") {
+    val chips = fixtureChips(1)
+    val none = chips.filter(_ => false)
+    val exEpoch = intercept[IllegalArgumentException] {
+      ConvTrain.trainSeg(none, ConvNet.fixtureNet, epochs = 1,
+        lr = math.pow(2.0, -25))
+    }
+    assert(exEpoch.getMessage.contains("zero chips"))
+    // a holdout-empty split: only even-parity chips survive
+    val evenOnly = chips.filter(ch => !ConvTrain.isHoldout(ch))
+    val exHold = intercept[IllegalArgumentException] {
+      ConvTrain.gridSearch(evenOnly, ConvNet.fixtureNet,
+        Seq(ConvTrain.Candidate("a", math.pow(2.0, -25))), epochs = 1)
+    }
+    assert(exHold.getMessage.contains("holdout"))
+  }
+
   test("gradient shuffle carries only (li, idx, v) scalars") {
     val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
     // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
