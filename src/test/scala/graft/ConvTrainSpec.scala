@@ -204,6 +204,24 @@ class ConvTrainSpec extends AnyFunSuite {
     assert(lIgn == 0.0 && gW0.forall(_.forall(_ == 0.0)))
   }
 
+  test("gridSearch Spark-job count is independent of K (one pass/epoch)") {
+    val chips = fixtureChips(1)
+    val sc = spark.sparkContext
+    def jobsFor(k: Int, group: String): Int = {
+      val cands = (1 to k).map(i =>
+        ConvTrain.Candidate(s"c$i", math.pow(2.0, -24 - i)))
+      sc.setJobGroup(group, s"grid search K=$k", interruptOnCancel = false)
+      try ConvTrain.gridSearch(chips, ConvNet.fixtureNet, cands, epochs = 2)
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j1 = jobsFor(1, "gs-k1")
+    val j4 = jobsFor(4, "gs-k4")
+    assert(j1 == j4,
+      s"4-candidate search ran $j4 jobs vs $j1 for one candidate — " +
+        "candidates must share each epoch's data pass, not add passes")
+  }
+
   test("empty epoch and empty holdout fail loudly, never fabricate 0.0") {
     val chips = fixtureChips(1)
     val none = chips.filter(_ => false)
