@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import graft.ImageRow
+import graft.{ImageRow, MultiTileRow, TileRow}
 import graft.core.PixelCodec
 
 /**
@@ -36,8 +36,8 @@ import graft.core.PixelCodec
  * the principal moment axis is the meaningful edge normal.
  *
  * Spark shape: a per-image bounded kernel exactly like [[Edge]] — the
- * FFT is whole-window; big rasters run it per haloed tile like every
- * other windowed kernel.
+ * FFT is whole-window; big rasters run it per haloed tile via
+ * [[phaseCongTiles]] (overlap-save over the tiler output).
  */
 object PhaseCong {
 
@@ -123,12 +123,24 @@ object PhaseCong {
       : (Array[Double], Array[Double]) = {
     val pw = nextPow2(w); val ph = nextPow2(h)
     val n = pw * ph
-    // forward FFT of the (zero-padded) image
+    // forward FFT of the image, padded to pow2 with reflect-101
+    // (mirror about the last sample, edge not repeated): zero padding
+    // would plant an artificial cliff at the window boundary whose
+    // log-Gabor response leaks deep into the interior — fatal for the
+    // overlap-save tiled path. Pow2 inputs take no padding at all, so
+    // this is bit-identical to the unpadded transform there. The
+    // mirror index 2(w-1)-x stays in range because nextPow2(w) <= 2w-2
+    // for every w >= 2 (and w = 1 pads nothing).
     val fr = new Array[Double](n); val fi = new Array[Double](n)
     var y = 0
-    while (y < h) {
+    while (y < ph) {
+      val sy = if (y < h) y else 2 * (h - 1) - y
       var x = 0
-      while (x < w) { fr(y * pw + x) = img(y * w + x); x += 1 }
+      while (x < pw) {
+        val sx = if (x < w) x else 2 * (w - 1) - x
+        fr(y * pw + x) = img(sy * w + sx)
+        x += 1
+      }
       y += 1
     }
     fft2(fr, fi, pw, ph, inverse = false)
@@ -254,6 +266,72 @@ object PhaseCong {
       y += 1
     }
     (m, ori)
+  }
+
+  /** Tiled phase congruency — the big-raster path the scaladoc above
+    * promises: each core tile's (M, ori) maps are computed from its
+    * haloed window (overlap-save with a finite halo), cropped back to
+    * the core, and emitted as [[TileRow]]s (band 0 = M, band 1 = ori)
+    * ready for the engine's raster machinery (assemble / mask / zonal).
+    * Zero-shuffle: one flatMap over the tiler output, consecutive-cell
+    * dedupe exactly like ConvNet.segPredictTiles — gated in
+    * PlanShapeSpec.
+    *
+    * Semantics at tile boundaries: the log-Gabor bank has unbounded
+    * (decaying) spatial support, so unlike the CNN's finite-support
+    * convolutions a multi-tile run is not bit-identical to one whole-
+    * image FFT — the window truncation error decays with `halo`
+    * (PhaseCongSpec measures it on a multi-tile fixture and gates the
+    * bound; a single-tile image reproduces [[phasecong]] bit-for-bit
+    * through this path). The Rayleigh noise threshold is estimated from
+    * the haloed window's own smallest-scale amplitude median — Kovesi's
+    * estimator applied per window, i.e. locally adaptive, which is the
+    * behavior a 100k×100k heterogeneous raster wants (one global median
+    * would need a second full pass and mis-threshold regions whose
+    * noise floor differs from the global one). */
+  def phaseCongTiles(tiles: Dataset[MultiTileRow], tileSize: Int, halo: Int,
+                     band: Int = 0, nscale: Int = 4, norient: Int = 6,
+                     k: Double = 2.0)
+                    (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    tiles.mapPartitions { it =>
+      var lastKey: (String, Int, Int) = null
+      it.flatMap { t =>
+        val key = (t.image_id, t.tx, t.ty)
+        if (key == lastKey) Iterator.empty // same tile, another overlapped cell
+        else {
+          lastKey = key
+          val (m, ori) = phasecong(t.bands(band), t.tw, t.th,
+            nscale = nscale, norient = norient, k = k)
+          // core offset inside the haloed window = the part of `halo`
+          // actually available on the low side (image-clipped)
+          val offX = math.min(halo, t.tx * tileSize)
+          val offY = math.min(halo, t.ty * tileSize)
+          val coreW = math.min(t.tw - offX, tileSize)
+          val coreH = math.min(t.th - offY, tileSize)
+          def crop(src: Array[Double]): Array[Float] = {
+            val out = new Array[Float](coreW * coreH)
+            var r = 0
+            while (r < coreH) {
+              var c = 0
+              while (c < coreW) {
+                out(r * coreW + c) = src((offY + r) * t.tw + offX + c).toFloat
+                c += 1
+              }
+              r += 1
+            }
+            out
+          }
+          val xm = t.x_min + offX * t.px
+          val ym = t.y_max - offY * t.px
+          Iterator(
+            TileRow(t.image_id, t.cell_id, t.tx, t.ty, xm, ym, t.px,
+              band = 0, pixels = crop(m), tw = coreW, th = coreH, t.nodata),
+            TileRow(t.image_id, t.cell_id, t.tx, t.ty, xm, ym, t.px,
+              band = 1, pixels = crop(ori), tw = coreW, th = coreH, t.nodata))
+        }
+      }
+    }
   }
 
   /** do_phasecong (utilities.py:1086-1108): M rescaled to uint8 range,

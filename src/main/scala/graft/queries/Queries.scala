@@ -3711,6 +3711,136 @@ object Queries {
        |FROM mfin GROUP BY 1""".stripMargin
   }
 
+  /** q_phasecong_tiled — the big-raster overlap-save path
+    * (PhaseCong.phaseCongTiles): 16x16 fixtures tiled at tileSize=8
+    * with halo=4, so every core tile's M map is computed from its own
+    * 12x12 haloed window (padded to 16x16) with a per-window Rayleigh
+    * noise threshold. The oracle replays the per-tile chain — four
+    * windowed DFTs per image, each with its own tau — and quantizes M
+    * to REAL exactly where the engine's TileRow payload does, so the
+    * float roundings cancel instead of accumulating against the margin. */
+  def qPhasecongTiled(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = spark.createDataset(GridImages.pcImages(4).toSeq)(
+      Encoders.product[ImageRow])
+    val tiles = Tiler.multiTiles(imgs, tileSize = 8,
+      cellRes = Tiler.resForCellSize(64.0), halo = 4)
+    PhaseCong.phaseCongTiles(tiles, tileSize = 8, halo = 4,
+        nscale = 2, norient = 2)
+      .filter(col("band") === 0).as[graft.TileRow]
+      .flatMap { t =>
+        t.pixels.iterator.zipWithIndex.map { case (v, p) =>
+          val gx = t.tx * 8 + p % t.tw
+          val gy = t.ty * 8 + p / t.tw
+          (t.image_id, v.toDouble, v.toDouble * (gx * 31 + gy * 7))
+        }
+      }.toDF("image_id", "m", "mp")
+      .groupBy("image_id")
+      .agg(round(sum("m"), 3).as("m_mass"), round(sum("mp"), 3).as("m_pos"))
+  }
+
+  val qPhasecongTiledSql: String = {
+    val sigTh = "(pi()/2/1.3)"     // sigmaTheta for norient=2
+    val logSig2 = "(2*ln(0.55)*ln(0.55))"
+    s"""WITH win AS (
+       |  SELECT i, tx, ty, greatest(0, tx*8 - 4) AS hx0,
+       |    greatest(0, ty*8 - 4) AS hy0
+       |  FROM generate_series(0, 3) t(i), generate_series(0, 1) a(tx),
+       |       generate_series(0, 1) b(ty)),
+       |img AS (
+       |  -- 12x12 haloed window padded to 16x16 with reflect-101
+       |  -- (mirror about sample 11, edge not repeated) — the engine's
+       |  -- pow2 padding for non-pow2 windows
+       |  SELECT i, tx, ty, lx, ly,
+       |    CAST(((hx0 + CASE WHEN lx < 12 THEN lx ELSE 22 - lx END)*7
+       |        + (hy0 + CASE WHEN ly < 12 THEN ly ELSE 22 - ly END)*13
+       |        + i*17) % 97 AS DOUBLE) AS f
+       |  FROM win, generate_series(0, 15) c(lx), generate_series(0, 15) d(ly)),
+       |fq AS (
+       |  SELECT u, v,
+       |    (CASE WHEN u <= 8 THEN u ELSE u - 16 END) / 16.0 AS fu,
+       |    (CASE WHEN v <= 8 THEN v ELSE v - 16 END) / 16.0 AS fv
+       |  FROM generate_series(0, 15) a(u), generate_series(0, 15) b(v)),
+       |ft AS (
+       |  SELECT i, tx, ty, u, v,
+       |    sum(f * cos(-2*pi()*(u*lx + v*ly)/16.0)) AS fr,
+       |    sum(f * sin(-2*pi()*(u*lx + v*ly)/16.0)) AS fi
+       |  FROM img CROSS JOIN fq
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |flt AS (
+       |  SELECT q.u, q.v, s, o,
+       |    CASE WHEN q.u = 0 AND q.v = 0 THEN 0.0 ELSE
+       |      exp(-pow(ln(sqrt(fu*fu + fv*fv) /
+       |            (CASE WHEN s = 0 THEN (1.0/3.0) ELSE (1.0/(3.0*2.1)) END)), 2)
+       |          / $logSig2)
+       |      * exp(-pow(abs(atan2(sin(atan2(-fv, fu) - o*pi()/2),
+       |                           cos(atan2(-fv, fu) - o*pi()/2))), 2)
+       |            / (2*$sigTh*$sigTh)) END AS hf
+       |  FROM fq q, generate_series(0, 1) ts(s), generate_series(0, 1) tb(o)),
+       |eo AS (
+       |  SELECT ft.i, ft.tx, ft.ty, flt.s, flt.o, px.lx, px.ly,
+       |    sum((fr*hf) * cos(2*pi()*(ft.u*px.lx + ft.v*px.ly)/16.0)
+       |      - (fi*hf) * sin(2*pi()*(ft.u*px.lx + ft.v*px.ly)/16.0)) / 256.0 AS e,
+       |    sum((fr*hf) * sin(2*pi()*(ft.u*px.lx + ft.v*px.ly)/16.0)
+       |      + (fi*hf) * cos(2*pi()*(ft.u*px.lx + ft.v*px.ly)/16.0)) / 256.0 AS od
+       |  FROM ft JOIN flt ON ft.u = flt.u AND ft.v = flt.v
+       |  CROSS JOIN (SELECT a.lx, b.ly FROM generate_series(0, 15) a(lx),
+       |              generate_series(0, 15) b(ly)) px
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |orient AS (
+       |  SELECT i, tx, ty, o, lx, ly,
+       |    sum(e) AS sume, sum(od) AS sumo,
+       |    sum(sqrt(e*e + od*od)) AS suman,
+       |    max(sqrt(e*e + od*od)) AS maxan,
+       |    sum(CASE WHEN s = 0 THEN sqrt(e*e + od*od) END) AS an0
+       |  FROM eo GROUP BY 1, 2, 3, 4, 5, 6),
+       |tau AS (
+       |  SELECT i, tx, ty, o, quantile_cont(an0, 0.5) / sqrt(ln(4)) AS tau
+       |  FROM orient GROUP BY 1, 2, 3, 4),
+       |nt AS (
+       |  SELECT i, tx, ty, o,
+       |    (tau * (1 - pow(1/2.1, 2)) / (1 - 1/2.1)) * (sqrt(pi()/2)
+       |      + 2.0 * sqrt((4 - pi())/2)) / 1.7 AS t
+       |  FROM tau),
+       |mean AS (
+       |  SELECT i, tx, ty, o, lx, ly, suman, maxan,
+       |    sume / (sqrt(sume*sume + sumo*sumo) + 1e-4) AS me,
+       |    sumo / (sqrt(sume*sume + sumo*sumo) + 1e-4) AS mo
+       |  FROM orient),
+       |dev AS (
+       |  SELECT r.i, r.tx, r.ty, r.o, r.lx, r.ly,
+       |    any_value(r.suman) AS suman, any_value(r.maxan) AS maxan,
+       |    sum(eo.e * r.me + eo.od * r.mo
+       |        - abs(eo.e * r.mo - eo.od * r.me)) AS energy
+       |  FROM mean r JOIN eo ON eo.i = r.i AND eo.tx = r.tx
+       |    AND eo.ty = r.ty AND eo.o = r.o AND eo.lx = r.lx AND eo.ly = r.ly
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |pc AS (
+       |  SELECT d.i, d.tx, d.ty, d.o, d.lx, d.ly,
+       |    (1.0 / (1 + exp(10 * (0.5 - (d.suman / (d.maxan + 1e-4) - 1)))))
+       |    * greatest(d.energy - nt.t, 0) / (d.suman + 1e-4) AS pcv
+       |  FROM dev d JOIN nt ON nt.i = d.i AND nt.tx = d.tx
+       |    AND nt.ty = d.ty AND nt.o = d.o),
+       |mm AS (
+       |  SELECT i, tx, ty, lx, ly,
+       |    max(CASE WHEN o = 0 THEN pcv*pcv END) AS cx2,
+       |    max(CASE WHEN o = 1 THEN pcv*pcv END) AS cy2
+       |  FROM pc GROUP BY 1, 2, 3, 4, 5),
+       |mfin AS (
+       |  SELECT i, tx, ty, lx, ly,
+       |    CAST((cy2 + cx2 + sqrt((cx2 - cy2)*(cx2 - cy2)) + 1e-4) / 2
+       |         AS REAL) AS m
+       |  FROM mm
+       |  WHERE lx >= tx*4 AND lx < tx*4 + 8
+       |    AND ly >= ty*4 AND ly < ty*4 + 8)
+       |SELECT printf('g%03d', i) AS image_id,
+       |  round(sum(CAST(m AS DOUBLE)), 3) AS m_mass,
+       |  round(sum(CAST(m AS DOUBLE)
+       |            * ((tx*4 + lx)*31 + (ty*4 + ly)*7)), 3) AS m_pos
+       |FROM mfin GROUP BY 1""".stripMargin
+  }
+
   val qSessionsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       |o AS (SELECT user_id, t,

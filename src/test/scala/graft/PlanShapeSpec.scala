@@ -125,6 +125,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val cn = plan(graft.operators.ConvNet.segPredictTiles(
       Tiler.multiTiles(images, 64, cellRes, halo = net.halo), net, 64).toDF())
     assert(!cn.contains("Exchange"), s"segPredictTiles must not shuffle pixels:\n$cn")
+    // tiled phase congruency rides the same shape: decode -> haloed
+    // tiles -> per-tile FFT kernel, one flatMap chain, zero shuffles
+    val pc = plan(graft.operators.PhaseCong.phaseCongTiles(
+      Tiler.multiTiles(images, 64, cellRes, halo = 16), tileSize = 64,
+      halo = 16, nscale = 2, norient = 2).toDF())
+    assert(!pc.contains("Exchange"), s"phaseCongTiles must not shuffle pixels:\n$pc")
   }
 
   test("round-4 distributed builds: shuffles carry summaries, never pixels") {
