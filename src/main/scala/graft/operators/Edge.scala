@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import graft.ImageRow
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{ImageRow, MultiTileRow}
 import graft.core.PixelCodec
 
 /**
@@ -14,9 +15,10 @@ import graft.core.PixelCodec
  * Spark shape: a per-image typed map (executors decode, filter, encode;
  * nothing leaves the row), exactly like the other whole-image kernels in
  * [[ImageOps]] — zero shuffle, codegen-friendly surroundings. For
- * rasters larger than one row's budget, run it per halo-tile
- * ([[Tiler.tiles]] with halo = sobelRadius + gaussianRadius(sigma)) and
- * reassemble; the kernel below is pure on (array, w, h).
+ * rasters larger than one row's budget, [[cannyTiles]] runs the same
+ * kernel per haloed tile (bit-exact — finite support) with hysteresis
+ * as distributed connected components; the kernel is pure on
+ * (array, w, h).
  *
  * Deterministic semantics (documented, spec-pinned in EdgeSpec):
  *  - optional separable Gaussian blur, truncate 4.0, replicate padding;
@@ -92,9 +94,13 @@ object Edge {
     out
   }
 
-  /** The pure Canny kernel: returns a 0/1 mask (row-major w*h). */
-  def cannyMask(v: Array[Float], w: Int, h: Int, sigma: Double,
-                lowT: Double, highT: Double): Array[Float] = {
+  /** Stages 1-3 of the pure kernel (blur, Sobel, NMS, double
+    * threshold): the per-pixel class map — 0 = not-edge, 1 = weak,
+    * 2 = strong. Shared verbatim by [[cannyMask]] (whole-image BFS
+    * hysteresis) and [[cannyTiles]] (distributed hysteresis), so the
+    * two paths cannot drift. */
+  def cannyCls(v: Array[Float], w: Int, h: Int, sigma: Double,
+               lowT: Double, highT: Double): Array[Byte] = {
     val img = gaussianBlur(v, w, h, sigma)
     @inline def at(x: Int, y: Int): Double =
       img(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
@@ -140,6 +146,13 @@ object Edge {
       }
       y += 1
     }
+    cls
+  }
+
+  /** The pure Canny kernel: returns a 0/1 mask (row-major w*h). */
+  def cannyMask(v: Array[Float], w: Int, h: Int, sigma: Double,
+                lowT: Double, highT: Double): Array[Float] = {
+    val cls = cannyCls(v, w, h, sigma, lowT, highT)
     // hysteresis: BFS from strong pixels through weak, 8-connectivity
     val out = new Array[Float](w * h)
     val stack = new java.util.ArrayDeque[Int]()
@@ -168,6 +181,91 @@ object Edge {
       p += 1
     }
     out
+  }
+
+  /** Distributed Canny for rasters too big for one row: per-tile
+    * gradient + NMS over haloed tiler windows, then hysteresis as
+    * distributed connected components instead of a whole-image BFS.
+    * Emits the kept edge pixels (image_id, x, y).
+    *
+    * EXACT, not approximate: every stage has finite support
+    * (gaussianRadius(sigma) for the blur, +1 Sobel, +1 the NMS
+    * neighbors), so with halo >= gaussianRadius + 2 each core pixel's
+    * class (weak/strong) is bit-identical to the whole-image kernel —
+    * enforced by a fail-fast require and spec-gated against
+    * [[cannyMask]] on multi-tile images. The BFS flood fill "keep
+    * every weak pixel 8-connected to a strong one" is exactly
+    * "component contains a strong pixel" over the sparse weak|strong
+    * pixel graph, which [[Components.connected]] (Kiveris alternating-
+    * star) solves in O(log n) bounded-shuffle rounds — edge-pixel id
+    * pairs are all that ever shuffles; the dense pixel payloads never
+    * leave the tile flatMap. */
+  def cannyTiles(tiles: Dataset[MultiTileRow], tileSize: Int, halo: Int,
+                 lowT: Double, highT: Double, sigma: Double = 0.0,
+                 band: Int = 0)
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(halo >= gaussianRadius(sigma) + 2,
+      s"halo $halo < gaussianRadius($sigma) + 2: tile cores would read " +
+        "replicate-padded halo values and drift from the whole-image kernel")
+    val cand0 = tiles.mapPartitions { it =>
+      var lastKey: (String, Int, Int) = null
+      it.flatMap { t =>
+        val key = (t.image_id, t.tx, t.ty)
+        if (key == lastKey) Iterator.empty // same tile, another overlapped cell
+        else {
+          lastKey = key
+          val cls = cannyCls(t.bands(band), t.tw, t.th, sigma, lowT, highT)
+          val offX = math.min(halo, t.tx * tileSize)
+          val offY = math.min(halo, t.ty * tileSize)
+          val coreW = math.min(t.tw - offX, tileSize)
+          val coreH = math.min(t.th - offY, tileSize)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Int, Boolean)]
+          var r = 0
+          while (r < coreH) {
+            var c = 0
+            while (c < coreW) {
+              val v = cls((offY + r) * t.tw + offX + c)
+              if (v != 0)
+                out += ((t.image_id, t.tx * tileSize + c,
+                  t.ty * tileSize + r, v == 2))
+              c += 1
+            }
+            r += 1
+          }
+          out
+        }
+      }
+    }.toDF("image_id", "x", "y", "strong")
+    // the sparse candidate set feeds four downstream joins — checkpoint
+    // once so the per-tile kernel runs once, not four times (and the
+    // shuffled relations downstream are candidate rows, never tiles)
+    val cand = cand0.localCheckpoint()
+    val c = cand.withColumn("id",
+      concat_ws(":", col("image_id"), col("x"), col("y")))
+    // 8-neighbor adjacency: each pixel probes its 4 FORWARD neighbors,
+    // so every undirected pair appears exactly once
+    val dirs = Seq((1, 0), (-1, 1), (0, 1), (1, 1))
+    val probes = c
+      .withColumn("d", explode(array(dirs.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+      .select(col("image_id"), (col("x") + col("d.dx")).as("nx"),
+        (col("y") + col("d.dy")).as("ny"), col("id").as("src"))
+    val edges = probes
+      .join(c.select(col("image_id"), col("x").as("nx"),
+        col("y").as("ny"), col("id").as("dst")), Seq("image_id", "nx", "ny"))
+      .select("src", "dst")
+    val cc = Components.connected(edges, "src", "dst") // (id, component)
+    val strongIds = c.where(col("strong")).select("id")
+    val keptComps = cc.join(strongIds, "id").select("component").distinct()
+    val keptViaCc = cc.join(keptComps, "component").select("id")
+    // a strong pixel with no weak/strong neighbor never enters the edge
+    // list — it is its own kept component
+    val isolatedStrong = strongIds.join(cc, Seq("id"), "left_anti")
+    keptViaCc.union(isolatedStrong)
+      .join(c, "id")
+      .select(col("image_id"), col("x"), col("y"))
   }
 
   /** Canny over the image table: one binary-mask image row out per input

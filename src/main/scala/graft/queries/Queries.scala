@@ -2475,6 +2475,27 @@ object Queries {
        |  CAST(sum(x) AS BIGINT) AS xsum, CAST(sum(y) AS BIGINT) AS ysum
        |FROM edges GROUP BY 1""".stripMargin
 
+  /** q_canny_tiled — the distributed big-raster Canny
+    * (Edge.cannyTiles): the SAME fixture and the SAME closed-form
+    * oracle as q_canny, because the tiled path is bit-exact — per-tile
+    * finite-support kernels on haloed windows plus hysteresis as
+    * connected components (Components.connected) reproduce the
+    * whole-image flood fill pixel-for-pixel. 80x48 images at
+    * tileSize=32 run a genuine 3x2 multi-tile layout. */
+  def qCannyTiled(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ds = spark.createDataset(GridImages.edgeImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    val tiles = Tiler.multiTiles(ds, tileSize = 32,
+      cellRes = Tiler.resForCellSize(64.0), halo = 4)
+    Edge.cannyTiles(tiles, tileSize = 32, halo = 4, lowT = 20, highT = 40)
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_edge"),
+        sum("x").cast("long").as("xsum"), sum("y").cast("long").as("ysum"))
+  }
+
+  val qCannyTiledSql: String = qCannySql
+
   /** Hough line peaks (houghseg core, utilities.py:58-108): canny edges
     * -> relational vote accumulator -> NMS peaks over axis-exact angles
     * {0, pi/2}. The peak set is closed-form on the step fixture (5 peaks

@@ -129,4 +129,57 @@ class EdgeSpec extends AnyFunSuite {
     val b = Edge.gaussianBlur(flat, 40, 20, sigma = 2.0)
     assert(b.forall(x => math.abs(x - 7.0) < 1e-9))
   }
+
+  /** The distributed path must equal the whole-image kernel pixel-for-
+    * pixel: finite support makes the tiled cls map exact, and CC-based
+    * hysteresis is set-equal to the BFS flood fill. */
+  private def tiledEqualsWhole(images: Seq[graft.ImageRow], tileSize: Int,
+                               halo: Int, lowT: Double, highT: Double,
+                               sigma: Double): Unit = {
+    import graft.operators.Tiler
+    val ds = spark.createDataset(images)(
+      org.apache.spark.sql.Encoders.product[graft.ImageRow])
+    val tiles = Tiler.multiTiles(ds, tileSize,
+      Tiler.resForCellSize(64.0), halo = halo)
+    val got = Edge.cannyTiles(tiles, tileSize, halo, lowT, highT, sigma)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val want = images.flatMap { im =>
+      val pix = PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
+      val mask = Edge.cannyMask(pix, im.w, im.h, sigma, lowT, highT)
+      mask.iterator.zipWithIndex.collect {
+        case (v, p) if v > 0 => (im.image_id, p % im.w, p / im.w)
+      }
+    }.toSet
+    assert(want.nonEmpty, "fixture produced no edges — vacuous parity")
+    assert(got == want,
+      s"tiled != whole: missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+  }
+
+  test("cannyTiles == whole-image canny on the multi-tile step fixture (sigma=0)") {
+    tiledEqualsWhole(GridImages.edgeImages(4), tileSize = 32, halo = 4,
+      lowT = 20, highT = 40, sigma = 0.0)
+  }
+
+  test("cannyTiles == whole-image canny with a blurred kernel (sigma=1.4, halo=r+2)") {
+    val imgs = (0 until 3).map { i =>
+      val b0 = Array.tabulate(GridImages.W * GridImages.H) { p =>
+        GridImages.value(i.toLong, 0, p % GridImages.W, p / GridImages.W)
+      }
+      graft.operators.ImageOps.fromArray(f"g$i%03d", Array(b0),
+        GridImages.W, GridImages.H, 0, GridImages.H, 1.0, PixelCodec.FmtRawLe)
+    }
+    val halo = Edge.gaussianRadius(1.4) + 2
+    tiledEqualsWhole(imgs, tileSize = 32, halo = halo,
+      lowT = 15, highT = 35, sigma = 1.4)
+  }
+
+  test("cannyTiles fails fast on a halo smaller than the kernel support") {
+    import graft.operators.Tiler
+    val ds = spark.createDataset(GridImages.edgeImages(1))(
+      org.apache.spark.sql.Encoders.product[graft.ImageRow])
+    val tiles = Tiler.multiTiles(ds, 32, Tiler.resForCellSize(64.0), halo = 1)
+    assertThrows[IllegalArgumentException] {
+      Edge.cannyTiles(tiles, 32, halo = 1, lowT = 20, highT = 40)
+    }
+  }
 }

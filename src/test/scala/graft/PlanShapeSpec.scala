@@ -131,6 +131,15 @@ class PlanShapeSpec extends AnyFunSuite {
       Tiler.multiTiles(images, 64, cellRes, halo = 16), tileSize = 64,
       halo = 16, nscale = 2, norient = 2).toDF())
     assert(!pc.contains("Exchange"), s"phaseCongTiles must not shuffle pixels:\n$pc")
+    // distributed Canny: the dense tile payloads die inside the
+    // candidate flatMap (checkpointed); every exchange in the hysteresis
+    // graph carries sparse (image_id, x, y, strong, id) rows only
+    val ct = plan(graft.operators.Edge.cannyTiles(
+      Tiler.multiTiles(images, 64, cellRes, halo = 4), tileSize = 64,
+      halo = 4, lowT = 20, highT = 40))
+    assert(ct.contains("Exchange"), "cannyTiles hysteresis should shuffle candidate ids")
+    assert(!ct.contains("bands") && !ct.contains("pixels") && !ct.contains("bytes"),
+      s"pixel payloads crossed into the hysteresis graph:\n$ct")
   }
 
   test("round-4 distributed builds: shuffles carry summaries, never pixels") {
