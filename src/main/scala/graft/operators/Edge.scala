@@ -238,9 +238,20 @@ object Edge {
         }
       }
     }.toDF("image_id", "x", "y", "strong")
+    hysteresis8(cand0).select(col("image_id"), col("x"), col("y"))
+  }
+
+  /** Distributed double-threshold hysteresis: keeps every input pixel
+    * whose 8-connected component (through weak-or-strong pixels of the
+    * same image) contains a strong pixel — exactly the BFS flood fill,
+    * solved as connected components over the SPARSE candidate graph.
+    * Input needs (image_id, x, y, strong) columns; extra columns ride
+    * through to the kept output rows. Shared by [[cannyTiles]] and
+    * [[PhaseCong.phaseCongEdgesTiles]]. */
+  private[operators] def hysteresis8(cand0: DataFrame): DataFrame = {
     // the sparse candidate set feeds four downstream joins — checkpoint
-    // once so the per-tile kernel runs once, not four times (and the
-    // shuffled relations downstream are candidate rows, never tiles)
+    // once so the upstream per-tile kernel runs once, not four times
+    // (and the shuffled relations downstream are candidate rows only)
     val cand = cand0.localCheckpoint()
     val c = cand.withColumn("id",
       concat_ws(":", col("image_id"), col("x"), col("y")))
@@ -265,7 +276,7 @@ object Edge {
     val isolatedStrong = strongIds.join(cc, Seq("id"), "left_anti")
     keptViaCc.union(isolatedStrong)
       .join(c, "id")
-      .select(col("image_id"), col("x"), col("y"))
+      .drop("id")
   }
 
   /** Canny over the image table: one binary-mask image row out per input

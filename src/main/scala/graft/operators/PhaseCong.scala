@@ -334,6 +334,110 @@ object PhaseCong {
     }
   }
 
+  /** The FULL do_phasecong chain, distributed — the tiled counterpart
+    * of [[phaseCongEdges]] for rasters too big for one row:
+    *
+    *  1. per-tile [[phasecong]] on the haloed window (the M/ori stage of
+    *     [[phaseCongTiles]]), keeping the window M map so the NMS apron
+    *     reads stay local to the tile;
+    *  2. the per-image rescale extrema as ONE summary aggregate (two
+    *     doubles per image shuffle) broadcast-joined back;
+    *  3. per-tile NMS with the identical 4-sector rule — apron M values
+    *     come from the tile's own window (documented: M is already
+    *     window-approximate at boundaries, see [[phaseCongTiles]]);
+    *  4. hysteresis as distributed connected components
+    *     ([[Edge.hysteresis8]]) — candidate id pairs are all that
+    *     shuffles — then the reference's zero-pixel mask.
+    *
+    * A single-tile image reproduces [[phaseCongEdges]] exactly
+    * (spec-gated). */
+  def phaseCongEdgesTiles(tiles: Dataset[MultiTileRow], tileSize: Int,
+                          halo: Int, band: Int = 0, nscale: Int = 4,
+                          norient: Int = 6, k: Double = 2.0,
+                          lowT: Double = 50.0, hiT: Double = 100.0)
+                         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    require(halo >= 1, s"halo $halo < 1: NMS needs a 1-px apron")
+    val stage1 = tiles.mapPartitions { it =>
+      var lastKey: (String, Int, Int) = null
+      it.flatMap { t =>
+        val key = (t.image_id, t.tx, t.ty)
+        if (key == lastKey) Iterator.empty
+        else {
+          lastKey = key
+          val (m, ori) = phasecong(t.bands(band), t.tw, t.th,
+            nscale = nscale, norient = norient, k = k)
+          val offX = math.min(halo, t.tx * tileSize)
+          val offY = math.min(halo, t.ty * tileSize)
+          val coreW = math.min(t.tw - offX, tileSize)
+          val coreH = math.min(t.th - offY, tileSize)
+          val oriCore = new Array[Double](coreW * coreH)
+          val pixCore = new Array[Float](coreW * coreH)
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var r = 0
+          while (r < coreH) {
+            var c = 0
+            while (c < coreW) {
+              val q = (offY + r) * t.tw + offX + c
+              oriCore(r * coreW + c) = ori(q)
+              pixCore(r * coreW + c) = t.bands(band)(q)
+              val v = m(q)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              c += 1
+            }
+            r += 1
+          }
+          Iterator(PcEdgeTile(t.image_id, t.tx, t.ty, t.tw, t.th,
+            offX, offY, coreW, coreH, m, oriCore, pixCore, mn, mx))
+        }
+      }
+    }.localCheckpoint() // read twice: the extrema aggregate + the NMS pass
+    val stats = stage1.groupBy("image_id")
+      .agg(min("mMin").as("mn"), max("mMax").as("mx"))
+      .as[(String, Double, Double)]
+    val joined = stage1.joinWith(broadcast(stats),
+      stage1.col("image_id") === stats.col("image_id"))
+    val cand = joined.flatMap { case (t, (_, mn, mx)) =>
+      // rescale_intensity over the ASSEMBLED core M (global extrema)
+      val range = if (mx > mn) mx - mn else 1.0
+      @inline def at(xx: Int, yy: Int): Double =
+        if (xx < 0 || yy < 0 || xx >= t.winW || yy >= t.winH) 0.0
+        else (t.mWin(yy * t.winW + xx) - mn) / range * 255.0
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Int, Int, Boolean, Boolean)]
+      var r = 0
+      while (r < t.coreH) {
+        var c = 0
+        while (c < t.coreW) {
+          val wx = t.offX + c; val wy = t.offY + r
+          val v = at(wx, wy)
+          val a = {
+            var d = t.oriCore(r * t.coreW + c) % math.Pi
+            if (d < 0) d += math.Pi
+            d
+          }
+          val (n1, n2) =
+            if (a < math.Pi / 8 || a >= 7 * math.Pi / 8) (at(wx + 1, wy), at(wx - 1, wy))
+            else if (a < 3 * math.Pi / 8) (at(wx + 1, wy + 1), at(wx - 1, wy - 1))
+            else if (a < 5 * math.Pi / 8) (at(wx, wy + 1), at(wx, wy - 1))
+            else (at(wx - 1, wy + 1), at(wx + 1, wy - 1))
+          val nms = if (v >= n1 && v >= n2) v else 0.0
+          if (nms >= lowT)
+            out += ((t.image_id, t.tx * tileSize + c, t.ty * tileSize + r,
+              nms >= hiT, t.pixCore(r * t.coreW + c) != 0f))
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }.toDF("image_id", "x", "y", "strong", "pixnz")
+    Edge.hysteresis8(cand)
+      .where(col("pixnz"))
+      .select(col("image_id"), col("x"), col("y"))
+  }
+
   /** do_phasecong (utilities.py:1086-1108): M rescaled to uint8 range,
     * NMS along the principal axis, hysteresis, zeros masked out. Emits
     * edge pixels (image_id, x, y). */
@@ -417,3 +521,12 @@ object PhaseCong {
     }.toDF("image_id", "x", "y")
   }
 }
+
+/** Stage-1 row of the tiled phase-edges chain: one haloed window's full
+  * M map (NMS apron reads stay window-local), the core's ori and raw
+  * pixels, and the core M extrema feeding the global rescale aggregate. */
+final case class PcEdgeTile(
+    image_id: String, tx: Int, ty: Int,
+    winW: Int, winH: Int, offX: Int, offY: Int, coreW: Int, coreH: Int,
+    mWin: Array[Double], oriCore: Array[Double], pixCore: Array[Float],
+    mMin: Double, mMax: Double)

@@ -191,4 +191,46 @@ class PhaseCongSpec extends AnyFunSuite {
     assert(e16 < e8, s"error must decay with halo: $e16 !< $e8")
     assert(e16 < 0.15, s"halo=16 mean relative error $e16")
   }
+
+  test("phaseCongEdgesTiles: single-tile image equals phaseCongEdges exactly") {
+    import graft.operators.Tiler
+    val w = 32; val h = 32
+    val step = Array.tabulate(w * h)(p => if (p % w >= 16) 100f else 20f)
+    val img = ImageOps.fromArray("p1", Array(step), w, h, 0, 0, 1.0, PixelCodec.FmtRawLe)
+    val ds = spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val whole = PhaseCong.phaseCongEdges(ds, nscale = 3, norient = 4,
+      lowT = 60, hiT = 120).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val tiles = Tiler.multiTiles(ds, 32, Tiler.resForCellSize(64.0), halo = 4)
+    val tiled = PhaseCong.phaseCongEdgesTiles(tiles, tileSize = 32, halo = 4,
+      nscale = 3, norient = 4, lowT = 60, hiT = 120).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(whole.nonEmpty, "fixture produced no edges — vacuous parity")
+    assert(tiled == whole,
+      s"missing ${(whole -- tiled).take(5)}, extra ${(tiled -- whole).take(5)}")
+  }
+
+  test("phaseCongEdgesTiles: multi-tile step edge survives and stays continuous") {
+    import graft.operators.Tiler
+    val w = 64; val h = 64
+    val step = Array.tabulate(w * h)(p => if (p % w >= 24) 100f else 20f)
+    val img = ImageOps.fromArray("p2", Array(step), w, h, 0, 64, 1.0, PixelCodec.FmtRawLe)
+    val ds = spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val edges = PhaseCong.phaseCongEdgesTiles(
+      Tiler.multiTiles(ds, 32, Tiler.resForCellSize(64.0), halo = 16),
+      tileSize = 32, halo = 16, nscale = 3, norient = 4,
+      lowT = 60, hiT = 120).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(edges.nonEmpty)
+    // every edge pixel hugs the planted step (or the wrapless borders)
+    edges.foreach { case (x, _) =>
+      assert((x >= 22 && x <= 26) || x >= 60 || x <= 3, s"stray edge at x=$x")
+    }
+    // and the step line crosses the tile seam rows without a gap —
+    // the distributed hysteresis stitched the two tile halves
+    val ys = edges.filter { case (x, _) => x >= 22 && x <= 26 }.map(_._2).toSet
+    for (y <- 8 to 56) assert(ys.contains(y), s"gap at row $y")
+  }
 }

@@ -140,6 +140,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ct.contains("Exchange"), "cannyTiles hysteresis should shuffle candidate ids")
     assert(!ct.contains("bands") && !ct.contains("pixels") && !ct.contains("bytes"),
       s"pixel payloads crossed into the hysteresis graph:\n$ct")
+    // full tiled phase-edge chain: the rescale extrema aggregate is the
+    // only exchange over window payloads' lineage, and it partial-aggs
+    // map-side so only (image_id, mn, mx) scalars shuffle
+    val pe = plan(graft.operators.PhaseCong.phaseCongEdgesTiles(
+      Tiler.multiTiles(images, 64, cellRes, halo = 16), tileSize = 64,
+      halo = 16, nscale = 2, norient = 2))
+    assert(!pe.contains("bands") && !pe.contains("bytes"),
+      s"tile payloads crossed into the edge chain plan:\n$pe")
+    assert(!pe.contains("mWin") || {
+      val ex = pe.indexOf("Exchange hashpartitioning(image_id")
+      ex < 0 || pe.indexOf("partial_min", ex) > ex
+    }, s"window M payloads must not cross the extrema exchange:\n$pe")
   }
 
   test("round-4 distributed builds: shuffles carry summaries, never pixels") {
