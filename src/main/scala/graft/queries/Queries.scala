@@ -2496,6 +2496,87 @@ object Queries {
 
   val qCannyTiledSql: String = qCannySql
 
+  /** q_mb2array — the windowed multiband read (mb2array,
+    * raster.py:290-342): `Tiler.tiles` with a halo IS the windowed
+    * read — each row is a clipped (x0-halo, y0-halo, +tile+halo) pixel
+    * window sliced per band out of the decoded image. The oracle
+    * recomputes every window's dims and pixel sum from the closed-form
+    * value formula over the same clipped ranges. */
+  def qMb2Array(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val tiles = Tiler.tiles(gridImages(spark, 4, 2), 32,
+      Tiler.resForCellSize(64.0), halo = 8)
+    tiles.map { t =>
+      var sum = 0.0
+      var i = 0
+      while (i < t.pixels.length) { sum += t.pixels(i); i += 1 }
+      (t.image_id, t.tx, t.ty, t.band, t.tw, t.th, sum)
+    }.toDF("image_id", "tx", "ty", "band", "win_w", "win_h", "psum")
+      // duplicate (tile x overlapped-cell) rows carry bit-identical
+      // values — distinct is exact, not a float hazard
+      .distinct()
+      .withColumn("psum", round(col("psum"), 1))
+  }
+
+  val qMb2ArraySql: String =
+    """WITH t AS (
+      |  SELECT i, b, tx, ty
+      |  FROM generate_series(0, 3) t(i), generate_series(0, 1) tb(b),
+      |       generate_series(0, 2) a(tx), generate_series(0, 1) c(ty)),
+      |w AS (
+      |  SELECT i, b, tx, ty,
+      |    greatest(0, tx*32 - 8) AS wx0, least(80, tx*32 + 40) AS wx1,
+      |    greatest(0, ty*32 - 8) AS wy0, least(48, ty*32 + 40) AS wy1
+      |  FROM t)
+      |SELECT printf('g%03d', i) AS image_id, CAST(tx AS INT) AS tx,
+      |  CAST(ty AS INT) AS ty, CAST(b AS INT) AS band,
+      |  CAST(wx1 - wx0 AS INT) AS win_w, CAST(wy1 - wy0 AS INT) AS win_h,
+      |  round(sum(CAST((x*7 + y*13 + b*31 + i*17) % 97 AS DOUBLE)), 1) AS psum
+      |FROM w, generate_series(0, 79) gx(x), generate_series(0, 47) gy(y)
+      |WHERE x >= wx0 AND x < wx1 AND y >= wy0 AND y < wy1
+      |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_bbox2raster — array + bbox -> raster row (bbox2raster,
+    * raster.py:209-282): fromArray builds the geotransform from the
+    * bbox/pixel-size contract; the query round-trips the codec and
+    * re-derives the world bbox, the oracle recomputes both from the
+    * closed-form formula. Alternating raw-le/rle formats keep the
+    * lossless-codec invariant under oracle check too. */
+  def qBbox2Raster(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val imgs = (0 until 6).map { i =>
+      val fmt = if (i % 2 == 0) graft.core.PixelCodec.FmtRawLe
+                else graft.core.PixelCodec.FmtRle
+      val b = Array.tabulate(2)(bd => Array.tabulate(24 * 16)(p =>
+        GridImages.value(i.toLong, bd, p % 24, p / 24)))
+      ImageOps.fromArray(f"b$i%03d", b, 24, 16, i * 100.0, i * 50.0, 2.0, fmt)
+    }
+    spark.createDataset(imgs)(Encoders.product[ImageRow]).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      val s0 = dec.bands(0).foldLeft(0.0)(_ + _)
+      val s1 = dec.bands(1).foldLeft(0.0)(_ + _)
+      val x1 = im.x_min + im.w * im.px
+      val y0 = im.y_max - im.h * im.px
+      (im.image_id, im.x_min, y0, x1, im.y_max, im.px, s0, s1)
+    }.toDF("image_id", "x_min", "y_min", "x_max", "y_max", "px",
+      "b0_sum", "b1_sum")
+      .withColumn("b0_sum", round(col("b0_sum"), 1))
+      .withColumn("b1_sum", round(col("b1_sum"), 1))
+  }
+
+  val qBbox2RasterSql: String =
+    """SELECT printf('b%03d', i) AS image_id,
+      |  CAST(i*100 AS DOUBLE) AS x_min, CAST(i*50 - 32 AS DOUBLE) AS y_min,
+      |  CAST(i*100 + 48 AS DOUBLE) AS x_max, CAST(i*50 AS DOUBLE) AS y_max,
+      |  CAST(2.0 AS DOUBLE) AS px,
+      |  round(sum(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE)), 1) AS b0_sum,
+      |  round(sum(CAST((x*7 + y*13 + 31 + i*17) % 97 AS DOUBLE)), 1) AS b1_sum
+      |FROM generate_series(0, 5) t(i), generate_series(0, 23) gx(x),
+      |     generate_series(0, 15) gy(y)
+      |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   /** Hough line peaks (houghseg core, utilities.py:58-108): canny edges
     * -> relational vote accumulator -> NMS peaks over axis-exact angles
     * {0, pi/2}. The peak set is closed-form on the step fixture (5 peaks
