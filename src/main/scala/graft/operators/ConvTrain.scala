@@ -344,6 +344,137 @@ object ConvTrain {
               (implicit spark: SparkSession): (SegNet, Seq[Double]) =
     trainSegOpt(chips, net0, epochs, Sgd(lr), gradBits)
 
+  /** One epoch's ledger from the checkpointed loop. */
+  final case class EpochLog(epoch: Int, loss: Double, valIou: Double,
+                            lr: Double, checkpointed: Boolean)
+
+  /** Macro-averaged per-class IoU of `net`'s chip predictions against
+    * the chip masks — the reference's validation `iou_score`
+    * (convnet.py:365-368). Distributed exactly like the gradient pass:
+    * weights broadcast, every partition folds its chips into ONE
+    * per-class (inter, n_pred, n_mask) count triple, the exchange
+    * carries 3 longs per (partition, class), the driver reduces
+    * O(classes) rows. Counts are integers, so the score is
+    * parallelism-invariant to the bit. */
+  def iouChips(chips: Dataset[ChipRow], net: SegNet)
+              (implicit spark: SparkSession): Double = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    val rows = chips.mapPartitions { it =>
+      val nt = bc.value
+      val classes = nt.classes
+      val inter = new Array[Long](classes.length)
+      val nPred = new Array[Long](classes.length)
+      val nMask = new Array[Long](classes.length)
+      it.foreach { ch =>
+        val planes = forwardAll(ch.bands, ch.w, ch.h, nt).last
+        var p = 0
+        while (p < ch.w * ch.h) {
+          val pv = ConvNet.decide(planes, p, classes)
+          val mv = ch.mask(p)
+          var c = 0
+          while (c < classes.length) {
+            val ip = pv == classes(c); val im = mv == classes(c)
+            if (ip && im) inter(c) += 1
+            if (ip) nPred(c) += 1
+            if (im) nMask(c) += 1
+            c += 1
+          }
+          p += 1
+        }
+      }
+      classes.indices.iterator.map(c => (c, inter(c), nPred(c), nMask(c)))
+    }.toDF("c", "inter", "np", "nm")
+      .groupBy("c")
+      .agg(sum("inter").as("inter"), sum("np").as("np"), sum("nm").as("nm"))
+      .collect() // O(classes) rows by construction
+    bc.destroy()
+    val ious = rows.map { r =>
+      val inter = r.getLong(1); val uni = r.getLong(2) + r.getLong(3) - inter
+      if (uni == 0L) 1.0 else inter.toDouble / uni
+    }
+    if (ious.isEmpty) 0.0 else ious.sum / ious.length
+  }
+
+  /** The reference's FULL training loop (convnet.py:327-374): train on
+    * the non-holdout chips, score validation IoU after every epoch,
+    * CHECKPOINT the weights whenever the score beats the best so far
+    * (`if max_score < valid_logs['iou_score']: torch.save`), and drop
+    * the learning rate to `lrDropTo` at epoch `lrDropEpoch` (the
+    * reference hard-codes epoch 25 -> 1e-5). Returns the BEST
+    * checkpoint (the reference reloads it for test evaluation) — or the
+    * final weights if no epoch ever beat the initial max_score of 0, a
+    * fail-safe where the reference's `torch.load` would crash — plus
+    * the per-epoch ledger. Adam moments persist across the lr drop,
+    * exactly as mutating `param_groups[0]['lr']` does in torch. */
+  def trainSegCheckpoint(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
+                         opt: Optimizer, gradBits: Int = 8,
+                         lossFn: Loss = SquaredError,
+                         lrDropEpoch: Int = 25, lrDropTo: Double = 1e-5,
+                         isVal: ChipRow => Boolean = isHoldout)
+                        (implicit spark: SparkSession)
+      : (SegNet, Seq[EpochLog]) = {
+    require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
+    val train = chips.filter(ch => !isVal(ch))
+    val valid = chips.filter(ch => isVal(ch))
+    val gradScale = math.pow(2.0, gradBits)
+    var net = net0
+    var lr = opt match { case Sgd(l) => l; case Adam(l, _, _, _) => l }
+    var best = net0
+    var bestScore = 0.0
+    var everSaved = false
+    val logs = Seq.newBuilder[EpochLog]
+    val mom1 = net0.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    val mom2 = net0.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    var p1 = 1.0; var p2 = 1.0
+    var e = 0
+    while (e < epochs) {
+      if (e == lrDropEpoch) lr = lrDropTo
+      val (df, bc) = gradRows(train, net, gradScale, lossFn)
+      val parts = df.collect() // O(params) by construction
+      require(parts.nonEmpty,
+        "training epoch saw zero chips (empty train split)")
+      var loss = 0.0
+      val grads = net.layers.map(l =>
+        new Array[Double](l.weights.length + l.bias.length)).toArray
+      parts.foreach { r =>
+        val li = r.getInt(0)
+        if (li < 0) loss = r.getDouble(2)
+        else grads(li)(r.getInt(1)) = r.getDouble(2)
+      }
+      opt match {
+        case Adam(_, b1, b2, _) => p1 *= b1; p2 *= b2
+        case _ =>
+      }
+      def step(li: Int, i: Int): Double = opt match {
+        case Sgd(_) => lr * grads(li)(i)
+        case Adam(_, b1, b2, eps) =>
+          val g = grads(li)(i)
+          val m = b1 * mom1(li)(i) + (1 - b1) * g
+          val v = b2 * mom2(li)(i) + (1 - b2) * g * g
+          mom1(li)(i) = m; mom2(li)(i) = v
+          lr * (m / (1 - p1)) / (math.sqrt(v / (1 - p2)) + eps)
+      }
+      net = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
+        val wl = l.weights.length
+        l.copy(
+          weights = Array.tabulate(wl)(i =>
+            snap(l.weights(i) - step(li, i), gradScale).toFloat),
+          bias = Array.tabulate(l.bias.length)(i =>
+            snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
+      }, net.classes)
+      bc.destroy()
+      val score = iouChips(valid, net)
+      val saved = score > bestScore
+      if (saved) { bestScore = score; best = net; everSaved = true }
+      logs += EpochLog(e, loss, score, lr, saved)
+      e += 1
+    }
+    (if (everSaved) best else net, logs.result())
+  }
+
   /** One epoch's gradient aggregation: per-PARTITION accumulators emit
     * (layer, idx, v) rows — bias entries at idx >= weights.length, the
     * partition's loss at layer -1 — so the exchange carries

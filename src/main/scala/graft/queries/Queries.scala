@@ -2876,10 +2876,12 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum("pw").as("sx"))
   }
 
-  val qCnnSegSql: String =
-    s"""WITH ${GridImages.pxSql(6, 2)},
-       |$cnnWeightSql,
-       |h1 AS (
+  /** Whole-image fixture-net forward + per-pixel convert_pred labels
+    * over the `px` relation: CTEs h1 (relu layer, image-clamped taps),
+    * s2 (1x1 head), cls (highest-channel-wins label) — shared by
+    * q_cnn_seg and q_iou_seg. */
+  private def cnnSegClsSql: String =
+    s"""h1 AS (
        |  SELECT p.i, p.x, p.y, w.oc,
        |    greatest(0.0, sum(w.wt * q.v) + CAST(w.oc AS DOUBLE)/8) AS hv
        |  FROM (SELECT DISTINCT i, x, y FROM px) p, w1 w, px q
@@ -2897,7 +2899,12 @@ object Queries {
        |    CASE WHEN max(CASE WHEN oc2 = 1 THEN sv END)
        |          >= max(CASE WHEN oc2 = 0 THEN sv END)
        |         THEN 2 ELSE 1 END AS cls
-       |  FROM s2 GROUP BY i, x, y)
+       |  FROM s2 GROUP BY i, x, y)""".stripMargin
+
+  val qCnnSegSql: String =
+    s"""WITH ${GridImages.pxSql(6, 2)},
+       |$cnnWeightSql,
+       |$cnnSegClsSql
        |SELECT printf('g%03d', i) AS image_id, CAST(cls AS INT) AS cls,
        |  count(*) AS n, CAST(sum(x*31 + y*7) AS BIGINT) AS sx
        |FROM cls GROUP BY 1, 2""".stripMargin
@@ -3065,7 +3072,7 @@ object Queries {
     * loss_`$suf` from weight CTEs suffixed `$wIn` over chip-pixel
     * relation `$src` (grain 2^-8). */
   private def sgdFwdSql(suf: String, wIn: String, src: String): String =
-    s"""h1_$suf AS (
+    s"""h1_$suf AS MATERIALIZED (
        |  SELECT p.cx, p.cy, p.lx, p.ly, w.oc,
        |    CAST(greatest(0.0, sum(w.wt * q.v) + any_value(b.bt)) AS FLOAT) AS hv
        |  FROM (SELECT DISTINCT cx, cy, lx, ly FROM $src) p, w1_$wIn w, $src q,
@@ -3074,67 +3081,67 @@ object Queries {
        |    AND q.lx = greatest(0, least(15, p.lx + w.dx))
        |    AND q.ly = greatest(0, least(15, p.ly + w.dy))
        |  GROUP BY p.cx, p.cy, p.lx, p.ly, w.oc),
-       |s2_$suf AS (
+       |s2_$suf AS MATERIALIZED (
        |  SELECT h.cx, h.cy, h.lx, h.ly, w.oc2,
        |    CAST(sum(w.wt * h.hv) + any_value(b.bt) AS FLOAT) AS sv
        |  FROM h1_$suf h, w2_$wIn w, b2_$wIn b
        |  WHERE w.ic = h.oc AND b.oc2 = w.oc2
        |  GROUP BY h.cx, h.cy, h.lx, h.ly, w.oc2),
-       |r_$suf AS (
+       |r_$suf AS MATERIALIZED (
        |  SELECT s.cx, s.cy, s.lx, s.ly, s.oc2,
        |    floor((CAST(s.sv AS DOUBLE) - t.t) * 256) / 256 AS rq
        |  FROM s2_$suf s JOIN tgt t ON t.cx = s.cx AND t.cy = s.cy
        |    AND t.lx = s.lx AND t.ly = s.ly AND t.oc2 = s.oc2),
-       |loss_$suf AS (SELECT 0.5 * sum(rq * rq) AS l FROM r_$suf)""".stripMargin
+       |loss_$suf AS MATERIALIZED (SELECT 0.5 * sum(rq * rq) AS l FROM r_$suf)""".stripMargin
 
   /** Backprop gradient CTEs from r_/h1_`$suf` over `$src` (no update). */
   private def sgdGradSql(suf: String, wIn: String, src: String): String =
-    s"""gw2_$suf AS (
+    s"""gw2_$suf AS MATERIALIZED (
        |  SELECT r.oc2, h.oc AS ic, sum(r.rq * h.hv) AS g
        |  FROM r_$suf r JOIN h1_$suf h ON h.cx = r.cx AND h.cy = r.cy
        |    AND h.lx = r.lx AND h.ly = r.ly
        |  GROUP BY 1, 2),
-       |gb2_$suf AS (SELECT oc2, sum(rq) AS g FROM r_$suf GROUP BY 1),
-       |d1_$suf AS (
+       |gb2_$suf AS MATERIALIZED (SELECT oc2, sum(rq) AS g FROM r_$suf GROUP BY 1),
+       |d1_$suf AS MATERIALIZED (
        |  SELECT r.cx, r.cy, r.lx, r.ly, w.ic AS oc, sum(r.rq * w.wt) AS dv
        |  FROM r_$suf r, w2_$wIn w
        |  WHERE w.oc2 = r.oc2
        |  GROUP BY 1, 2, 3, 4, 5),
-       |d1g_$suf AS (
+       |d1g_$suf AS MATERIALIZED (
        |  SELECT d.cx, d.cy, d.lx, d.ly, d.oc,
        |    CASE WHEN h.hv > 0 THEN d.dv ELSE CAST(0 AS DOUBLE) END AS dv
        |  FROM d1_$suf d JOIN h1_$suf h ON h.cx = d.cx AND h.cy = d.cy
        |    AND h.lx = d.lx AND h.ly = d.ly AND h.oc = d.oc),
-       |gw1_$suf AS (
+       |gw1_$suf AS MATERIALIZED (
        |  SELECT d.oc, w.ic, w.dy, w.dx, sum(d.dv * q.v) AS g
        |  FROM d1g_$suf d, (SELECT DISTINCT ic, dy, dx FROM w1_0) w, $src q
        |  WHERE q.cx = d.cx AND q.cy = d.cy AND q.ic = w.ic
        |    AND q.lx = greatest(0, least(15, d.lx + w.dx))
        |    AND q.ly = greatest(0, least(15, d.ly + w.dy))
        |  GROUP BY 1, 2, 3, 4),
-       |gb1_$suf AS (SELECT oc, sum(dv) AS g FROM d1g_$suf GROUP BY 1)""".stripMargin
+       |gb1_$suf AS MATERIALIZED (SELECT oc, sum(dv) AS g FROM d1g_$suf GROUP BY 1)""".stripMargin
 
   /** Floor-snapped SGD step: weights w*_`$wIn` minus gradients/`$lrDenom`
     * into w*_`$wOut`. */
   private def sgdStepSql(suf: String, wIn: String, wOut: String,
                          lrDenom: String): String =
-    s"""w1_$wOut AS (
+    s"""w1_$wOut AS MATERIALIZED (
        |  SELECT w.oc, w.ic, w.dy, w.dx,
        |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS wt
        |  FROM w1_$wIn w JOIN gw1_$suf g ON g.oc = w.oc AND g.ic = w.ic
        |    AND g.dy = w.dy AND g.dx = w.dx),
-       |b1_$wOut AS (
+       |b1_$wOut AS MATERIALIZED (
        |  SELECT b.oc,
        |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS bt
        |  FROM b1_$wIn b JOIN gb1_$suf g ON g.oc = b.oc),
-       |w2_$wOut AS (
+       |w2_$wOut AS MATERIALIZED (
        |  SELECT w.oc2, w.ic,
        |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS wt
        |  FROM w2_$wIn w JOIN gw2_$suf g ON g.oc2 = w.oc2 AND g.ic = w.ic),
-       |b2_$wOut AS (
+       |b2_$wOut AS MATERIALIZED (
        |  SELECT b.oc2,
        |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
        |         AS DOUBLE) AS bt
@@ -3157,7 +3164,7 @@ object Queries {
                   else "0.9 * w.m + (1 - 0.9) * g.g"
       val vExpr = if (first) "(1 - 0.999) * g.g * g.g"
                   else "0.999 * w.v + (1 - 0.999) * g.g * g.g"
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT $keyList,
          |    CAST(CAST(floor((w.$vc - ($lr * (($mExpr) / (1 - $p1)))
          |      / (sqrt(($vExpr) / (1 - $p2)) + 1e-8)) * 256) / 256 AS FLOAT)
@@ -3190,16 +3197,16 @@ object Queries {
   private def sgdPreambleSql(paritySplit: Boolean): String = {
     val parity = if (paritySplit)
       """,
-        |cpxt AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
-        |cpxh AS (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1)""".stripMargin
+        |cpxt AS MATERIALIZED (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
+        |cpxh AS MATERIALIZED (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1)""".stripMargin
     else ""
-    s"""cpx AS (
+    s"""cpx AS MATERIALIZED (
        |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
        |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
        |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
        |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
        |       generate_series(0, 1) f(ic))$parity,
-       |tgt AS (
+       |tgt AS MATERIALIZED (
        |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
        |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
        |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
@@ -3207,18 +3214,18 @@ object Queries {
        |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
        |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
        |       generate_series(0, 1) f(oc2)),
-       |w1_0 AS (
+       |w1_0 AS MATERIALIZED (
        |  SELECT oc, ic, dy, dx,
        |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/8
        |      AS wt
        |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
        |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
-       |b1_0 AS (SELECT oc, CAST(oc AS DOUBLE)/8 AS bt
+       |b1_0 AS MATERIALIZED (SELECT oc, CAST(oc AS DOUBLE)/8 AS bt
        |         FROM generate_series(0, 2) t(oc)),
-       |w2_0 AS (SELECT oc2, ic,
+       |w2_0 AS MATERIALIZED (SELECT oc2, ic,
        |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
        |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic)),
-       |b2_0 AS (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
+       |b2_0 AS MATERIALIZED (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
        |         FROM generate_series(0, 1) t(oc2))""".stripMargin
   }
 
@@ -3376,6 +3383,259 @@ object Queries {
        |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_d2
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_d2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_d2)""".stripMargin
+
+  /** q_train_checkpoint — the reference's FULL training loop
+    * (convnet.py:327-374): 3 epochs of SGD on the even-parity train
+    * split, validation IoU on the odd-parity holdout after every epoch,
+    * best-IoU checkpointing (`if max_score < valid_logs['iou_score']:
+    * torch.save`), and the hard-coded lr drop (epoch 2 here, mirroring
+    * the reference's epoch-25 -> 1e-5). Output: the per-epoch ledger
+    * (loss, val IoU, lr, checkpointed flag) plus every weight of the
+    * returned BEST checkpoint. The oracle replays all three epochs'
+    * forward/backprop/update on the train subset, all three validation
+    * forwards + convert_pred argmax + macro IoU on the holdout, the
+    * strictly-greater running-max flags, and the best-epoch weight
+    * selection — to the bit. */
+  def qTrainCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (best, logs) = ConvTrain.trainSegCheckpoint(chips, ConvNet.fixtureNet,
+      epochs = 3, ConvTrain.Sgd(math.pow(2.0, -25)), lrDropEpoch = 2,
+      lrDropTo = math.pow(2.0, -26))
+    val logRows = logs.flatMap { l =>
+      Seq(("loss", l.epoch, 0, l.loss), ("iou", l.epoch, 0, l.valIou),
+        ("lr", l.epoch, 0, l.lr),
+        ("ckpt", l.epoch, 0, if (l.checkpointed) 1.0 else 0.0))
+    }
+    val wRows = best.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (logRows ++ wRows).toDF("kind", "li", "idx", "v")
+  }
+
+  /** Validation IoU CTEs for epoch `e` of the checkpoint oracle: pv_v$e
+    * pivots s2_v$e into the convert_pred label (channel 1 wins ties =
+    * highest index, label = classes(best) in {1,2}); iou_v$e folds the
+    * per-class (inter, n_pred, n_mask) counts over the holdout pixels
+    * into the macro-averaged score. */
+  private def ckptIouSql(e: Int): String =
+    s"""pv_v$e AS MATERIALIZED (
+       |  SELECT cx, cy, lx, ly,
+       |    CASE WHEN max(CASE WHEN oc2 = 1 THEN sv END)
+       |          >= max(CASE WHEN oc2 = 0 THEN sv END)
+       |         THEN 2 ELSE 1 END AS pv
+       |  FROM s2_v$e GROUP BY 1, 2, 3, 4),
+       |iou_v$e AS MATERIALIZED (
+       |  SELECT avg(CASE WHEN n_pred + n_mask - inter = 0 THEN 1.0
+       |                  ELSE CAST(inter AS DOUBLE)/(n_pred + n_mask - inter)
+       |             END) AS iou
+       |  FROM (
+       |    SELECT t.c,
+       |      sum(CASE WHEN p.pv = t.c AND m.mv = t.c THEN 1 ELSE 0 END) AS inter,
+       |      sum(CASE WHEN p.pv = t.c THEN 1 ELSE 0 END) AS n_pred,
+       |      sum(CASE WHEN m.mv = t.c THEN 1 ELSE 0 END) AS n_mask
+       |    FROM pv_v$e p JOIN mvh m ON m.cx = p.cx AND m.cy = p.cy
+       |      AND m.lx = p.lx AND m.ly = p.ly,
+       |      (VALUES (1), (2)) t(c)
+       |    GROUP BY t.c))""".stripMargin
+
+  val qTrainCheckpointSql: String = {
+    def wts(be: Int): String =
+      s"""SELECT $be AS be, 'w' AS kind, 0 AS li,
+         |  ((oc*2 + ic)*3 + dy+1)*3 + dx+1 AS idx, wt AS v FROM w1_c$be
+         |UNION ALL SELECT $be, 'b', 0, oc, bt FROM b1_c$be
+         |UNION ALL SELECT $be, 'w', 1, oc2*3 + ic, wt FROM w2_c$be
+         |UNION ALL SELECT $be, 'b', 1, oc2, bt FROM b2_c$be""".stripMargin
+    s"""WITH ${sgdPreambleSql(paritySplit = true)},
+       |mvh AS (
+       |  SELECT DISTINCT cx, cy, lx, ly,
+       |    CASE WHEN ((cx+lx) // 16 + (cy+ly) // 12) % 4 = 0
+       |         THEN ((cx+lx) // 8 + (cy+ly) // 6) % 3 + 1 ELSE 0 END AS mv
+       |  FROM cpxh),
+       |${trainEpochSql(0, "33554432", "cpxt", "c")},
+       |${trainEpochSql(1, "33554432", "cpxt", "c")},
+       |${trainEpochSql(2, "67108864", "cpxt", "c")},
+       |${sgdFwdSql("v0", "c1", "cpxh")},
+       |${ckptIouSql(0)},
+       |${sgdFwdSql("v1", "c2", "cpxh")},
+       |${ckptIouSql(1)},
+       |${sgdFwdSql("v2", "c3", "cpxh")},
+       |${ckptIouSql(2)},
+       |scores AS MATERIALIZED (
+       |  SELECT 0 AS e, iou FROM iou_v0
+       |  UNION ALL SELECT 1, iou FROM iou_v1
+       |  UNION ALL SELECT 2, iou FROM iou_v2),
+       |led AS MATERIALIZED (
+       |  SELECT e, iou,
+       |    CASE WHEN iou > coalesce(max(iou) OVER (ORDER BY e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         THEN 1.0 ELSE 0.0 END AS ck
+       |  FROM scores),
+       |bsel AS MATERIALIZED (
+       |  SELECT coalesce(max(CASE WHEN ck = 1.0 THEN e END) + 1, 3) AS be
+       |  FROM led),
+       |wall AS (
+       |${wts(1)}
+       |UNION ALL ${wts(2)}
+       |UNION ALL ${wts(3)})
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_c0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_c1
+       |  UNION ALL SELECT 'loss', 2, 0, l FROM loss_c2
+       |  UNION ALL SELECT 'iou', e, 0, iou FROM led
+       |  UNION ALL SELECT 'lr', e, 0,
+       |    CASE WHEN e < 2 THEN 1.0/33554432 ELSE 1.0/67108864 END FROM led
+       |  UNION ALL SELECT 'ckpt', e, 0, ck FROM led
+       |  UNION ALL SELECT w.kind, w.li, w.idx, w.v
+       |  FROM wall w JOIN bsel ON w.be = bsel.be)""".stripMargin
+  }
+
+  /** q_augment — get_training_augmentation (convnet.py:233-242):
+    * HorizontalFlip(p=1) -> VerticalFlip(p=1) -> RandomRotate90 with the
+    * deterministic lattice k -> PadIfNeeded(20, 20, reflect-101), over
+    * the fixture chips, dumped per pixel (bands AND mask — they must
+    * move together). The oracle replays the composed index permutation
+    * (hflip then vflip is rot180, so the chain is rot90 by k+2) and the
+    * reflect-101 border reads in closed form. */
+  def qAugment(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    Augment.trainingAugmentation(chips, minSize = 20).flatMap { ch =>
+      val planes = ch.bands.zipWithIndex.map { case (b, i) => (s"b$i", b) } :+
+        (("m", ch.mask))
+      planes.iterator.flatMap { case (pl, arr) =>
+        (0 until ch.w * ch.h).iterator.map { p =>
+          (ch.cx, ch.cy, pl, p % ch.w, p / ch.w, arr(p).toDouble)
+        }
+      }
+    }.toDF("cx", "cy", "plane", "x", "y", "v")
+  }
+
+  val qAugmentSql: String =
+    s"""WITH cells AS (
+       |  SELECT bx*16 AS cx, by*16 AS cy, (bx + by + 2) % 4 AS kk
+       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by)),
+       |pos AS (
+       |  SELECT cx, cy, kk, x, y,
+       |    CASE WHEN x < 2 THEN 2 - x WHEN x >= 18 THEN 32 - x
+       |         ELSE x - 2 END AS rx,
+       |    CASE WHEN y < 2 THEN 2 - y WHEN y >= 18 THEN 32 - y
+       |         ELSE y - 2 END AS ry
+       |  FROM cells, generate_series(0, 19) gx(x), generate_series(0, 19) gy(y)),
+       |src AS (
+       |  SELECT cx, cy, x, y,
+       |    cx + CASE kk WHEN 0 THEN rx WHEN 1 THEN 15 - ry
+       |                 WHEN 2 THEN 15 - rx ELSE ry END AS gx,
+       |    cy + CASE kk WHEN 0 THEN ry WHEN 1 THEN rx
+       |                 WHEN 2 THEN 15 - ry ELSE 15 - rx END AS gy
+       |  FROM pos)
+       |SELECT CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, plane,
+       |  CAST(x AS INT) AS x, CAST(y AS INT) AS y, v FROM (
+       |  SELECT s.cx, s.cy, 'b' || b AS plane, s.x, s.y,
+       |    CAST((s.gx*7 + s.gy*13 + b*31) % 97 AS DOUBLE) AS v
+       |  FROM src s, generate_series(0, 1) t(b)
+       |  UNION ALL
+       |  SELECT s.cx, s.cy, 'm', s.x, s.y,
+       |    CASE WHEN (s.gx // 16 + s.gy // 12) % 4 = 0
+       |         THEN CAST((s.gx // 8 + s.gy // 6) % 3 + 1 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END
+       |  FROM src s)""".stripMargin
+
+  /** q_cv2norm — cv2norm (convnet.py:258-262): whole-image min-max
+    * normalization to [0,1], ONE (mn, mx) over ALL bands jointly. The
+    * divide runs in double and rounds once to float; the oracle replays
+    * it with CAST(... AS FLOAT) — bit-exact on both engines. */
+  def qCv2norm(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    Augment.cv2norm(gridImages(spark, 3, 2)).flatMap { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      dec.bands.iterator.zipWithIndex.flatMap { case (b, bi) =>
+        b.iterator.zipWithIndex.map { case (v, p) =>
+          (im.image_id, bi, p % im.w, p / im.w, v.toDouble)
+        }
+      }
+    }.toDF("image_id", "b", "x", "y", "v")
+  }
+
+  val qCv2normSql: String =
+    s"""WITH ${GridImages.pxSql(3, 2)},
+       |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM px GROUP BY i)
+       |SELECT p.image_id, CAST(p.b AS INT) AS b,
+       |  CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+       |  CAST(CAST(CASE WHEN m.mx = m.mn THEN 0
+       |                 ELSE (p.v - m.mn) / (m.mx - m.mn) END AS FLOAT)
+       |       AS DOUBLE) AS v
+       |FROM px p JOIN mm m ON m.i = p.i""".stripMargin
+
+  /** q_cv2norm_tiles — the 100 TB shape of cv2norm: per-image (mn, mx)
+    * from tile partials (the ONLY exchange — two doubles per image),
+    * broadcast back onto the tiles, rescaled in place. Tiles through
+    * the REAL tiler; the oracle normalizes the regenerated pixels. */
+  def qCv2normTiles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val tiles = Tiler.tiles(gridImages(spark, 3, 1), 64,
+      Tiler.resForCellSize(64.0))
+    Augment.cv2normTiles(tiles).flatMap { t =>
+      t.pixels.iterator.zipWithIndex.map { case (v, p) =>
+        (t.image_id, t.tx * 64 + p % t.tw, t.ty * 64 + p / t.tw, v.toDouble)
+      }
+    }.toDF("image_id", "x", "y", "v")
+  }
+
+  val qCv2normTilesSql: String =
+    s"""WITH ${GridImages.pxSql(3, 1)},
+       |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM px GROUP BY i)
+       |SELECT p.image_id, CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+       |  CAST(CAST(CASE WHEN m.mx = m.mn THEN 0
+       |                 ELSE (p.v - m.mn) / (m.mx - m.mn) END AS FLOAT)
+       |       AS DOUBLE) AS v
+       |FROM px p JOIN mm m ON m.i = p.i""".stripMargin
+
+  /** q_iou_seg — the validation iou_score (convnet.py:365-374 via
+    * smp.utils.metrics.IoU): per-(image, class) intersection, predicted
+    * and mask counts, union and IoU of the fixture net's whole-image
+    * predictions against the mask rasters. The oracle replays the full
+    * forward pass (shared CTEs with q_cnn_seg) plus the count fold. */
+  def qIouSeg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val masks = spark.createDataset(GridImages.maskImages(2).toSeq)(
+      Encoders.product[ImageRow])
+    val pred = ConvNet.segPredict(gridImages(spark, 2, 2), ConvNet.fixtureNet)
+    Augment.iouSeg(pred, masks, Array(1, 2))
+  }
+
+  val qIouSegSql: String =
+    s"""WITH ${GridImages.pxSql(2, 2)},
+       |$cnnWeightSql,
+       |$cnnSegClsSql,
+       |${GridImages.maskSql(2)},
+       |cnt AS (
+       |  SELECT p.i, t.c,
+       |    sum(CASE WHEN p.cls = t.c AND m.mv = t.c THEN 1 ELSE 0 END) AS inter,
+       |    sum(CASE WHEN p.cls = t.c THEN 1 ELSE 0 END) AS n_pred,
+       |    sum(CASE WHEN m.mv = t.c THEN 1 ELSE 0 END) AS n_mask
+       |  FROM cls p JOIN mpx m ON m.i = p.i AND m.x = p.x AND m.y = p.y,
+       |       (VALUES (1), (2)) t(c)
+       |  GROUP BY 1, 2)
+       |SELECT printf('g%03d', i) AS image_id, CAST(c AS INT) AS cls,
+       |  CAST(inter AS BIGINT) AS inter, CAST(n_pred AS BIGINT) AS n_pred,
+       |  CAST(n_mask AS BIGINT) AS n_mask,
+       |  CAST(n_pred + n_mask - inter AS BIGINT) AS uni,
+       |  CASE WHEN n_pred + n_mask - inter = 0 THEN 1.0
+       |       ELSE CAST(inter AS DOUBLE) / (n_pred + n_mask - inter)
+       |  END AS iou
+       |FROM cnt""".stripMargin
 
   /** q_maskblock — maskblock (convutils.py:731-799): every 16x16 block
     * with any nonzero mask pixel becomes all ones; per-image one-count

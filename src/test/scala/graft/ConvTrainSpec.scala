@@ -256,4 +256,64 @@ class ConvTrainSpec extends AnyFunSuite {
     shuffles.foreach(l => assert(l.contains("li#"),
       s"shuffle not on the scalar gradient rows: $l"))
   }
+
+  test("trainSegCheckpoint: ledger, best-epoch weights, lr drop, invariance") {
+    val chips = fixtureChips(2)
+    val lr0 = math.pow(2.0, -25)
+    val (best, logs) = ConvTrain.trainSegCheckpoint(chips, ConvNet.fixtureNet,
+      epochs = 3, ConvTrain.Sgd(lr0), lrDropEpoch = 2,
+      lrDropTo = math.pow(2.0, -26))
+    assert(logs.map(_.epoch) == Seq(0, 1, 2))
+    // lr drop lands exactly at lrDropEpoch
+    assert(logs.map(_.lr) == Seq(lr0, lr0, math.pow(2.0, -26)))
+    // checkpointed flags replay the strictly-greater running max from 0
+    var running = 0.0
+    logs.foreach { l =>
+      assert(l.checkpointed == (l.valIou > running), s"flag wrong at $l")
+      if (l.valIou > running) running = l.valIou
+    }
+    // the returned net IS the weights after the first epoch attaining
+    // the max validation IoU: replay the loop with trainSegOpt on the
+    // train split epoch by epoch and compare
+    val train = chips.filter(ch => !ConvTrain.isHoldout(ch))
+    val valid = chips.filter(ch => ConvTrain.isHoldout(ch))
+    val nets = (1 to 3).map { e =>
+      // epochs 0,1 at lr0; epoch 2 at the dropped rate — replay manually
+      var n = ConvNet.fixtureNet
+      (0 until e).foreach { ep =>
+        val lr = if (ep >= 2) math.pow(2.0, -26) else lr0
+        n = ConvTrain.trainSeg(train, n, epochs = 1, lr)._1
+      }
+      n
+    }
+    val ious = nets.map(n => ConvTrain.iouChips(valid, n))
+    assert(logs.map(_.valIou) == ious)
+    val bestEpoch = ious.indices.minBy(i => (-ious(i), i))
+    if (ious(bestEpoch) > 0.0) {
+      best.layers.zip(nets(bestEpoch).layers).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a.weights, b.weights))
+        assert(java.util.Arrays.equals(a.bias, b.bias))
+      }
+    }
+    // parallelism invariance of the whole loop (quantized grads +
+    // integer IoU counts)
+    val (best7, logs7) = ConvTrain.trainSegCheckpoint(chips.repartition(7),
+      ConvNet.fixtureNet, epochs = 3, ConvTrain.Sgd(lr0), lrDropEpoch = 2,
+      lrDropTo = math.pow(2.0, -26))
+    assert(logs7 == logs)
+    best7.layers.zip(best.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights))
+    }
+  }
+
+  test("trainSegCheckpoint with Adam keeps moments across the lr drop") {
+    val chips = fixtureChips(1)
+    val (_, logs) = ConvTrain.trainSegCheckpoint(chips, ConvNet.fixtureNet,
+      epochs = 2, ConvTrain.Adam(lr = 0.015625), lrDropEpoch = 1,
+      lrDropTo = 0.0078125)
+    assert(logs.map(_.lr) == Seq(0.015625, 0.0078125))
+    // losses measured at each epoch's starting weights: epoch-1 loss is
+    // the post-step objective and must have descended
+    assert(logs(1).loss < logs(0).loss, s"no descent: $logs")
+  }
 }
