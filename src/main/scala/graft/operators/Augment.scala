@@ -154,9 +154,13 @@ object Augment {
   }
 
   /** The 100 TB shape of cv2norm for rasters too big for one row:
-    * per-image (mn, mx) from tile partials — the ONLY exchange, two
-    * doubles per image — broadcast-joined back onto the tiles, each
-    * tile rescaled in place. Input/output: single-band `TileRow`s. */
+    * per-image (mn, mx) from tile partials — the ONLY exchange carrying
+    * two doubles per image — joined back onto the tiles, each tile
+    * rescaled in place. The stats side is one row PER IMAGE, so its
+    * size is unbounded in the image count: no broadcast hint — AQE
+    * broadcasts it when it fits and falls back to a shuffle join on
+    * image_id (still stats-rows-only on the small side) when it
+    * doesn't. Input/output: single-band `TileRow`s. */
   def cv2normTiles(tiles: Dataset[graft.TileRow])
                   (implicit spark: SparkSession): Dataset[graft.TileRow] = {
     import spark.implicits._
@@ -174,7 +178,7 @@ object Augment {
     }.toDF("image_id", "mn", "mx")
       .groupBy("image_id").agg(min("mn").as("mn"), max("mx").as("mx"))
     implicit val enc = tiles.encoder
-    tiles.joinWith(broadcast(stats), tiles("image_id") === stats("image_id"))
+    tiles.joinWith(stats, tiles("image_id") === stats("image_id"))
       .map { case (t, st) =>
         val mn = st.getDouble(1); val rng = st.getDouble(2) - mn
         t.copy(pixels = t.pixels.map(v =>

@@ -3579,7 +3579,8 @@ object Queries {
 
   /** q_cv2norm_tiles — the 100 TB shape of cv2norm: per-image (mn, mx)
     * from tile partials (the ONLY exchange — two doubles per image),
-    * broadcast back onto the tiles, rescaled in place. Tiles through
+    * joined back onto the tiles (AQE broadcasts when the stats side
+    * fits), rescaled in place. Tiles through
     * the REAL tiler; the oracle normalizes the regenerated pixels. */
   def qCv2normTiles(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
