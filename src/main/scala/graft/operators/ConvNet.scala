@@ -68,6 +68,32 @@ object ConvNet {
       ConvLayer(2, 3, 1, w2, b2, relu = false)), Array(1, 2))
   }
 
+  /** Soft-prob-loss variant of fixtureNet: the same shapes with every
+    * weight at 1/64 scale instead of 1/8, so the logits land in ±8 and
+    * sigmoid/softmax neither saturates nor pins at 0.5 — the fixture
+    * the coupled-loss (Dice / LossBinary) oracles train. Still exact:
+    * 1/64 is dyadic, so the whole forward pass stays bit-replayable. */
+  def fixtureNetSoft: SegNet = {
+    val w1 = Array.tabulate(3 * 2 * 9)(i => ((i * 5) % 7 - 3) / 64f)
+    val b1 = Array.tabulate(3)(oc => oc / 64f)
+    val w2 = Array.tabulate(2 * 3)(i => ((i * 3) % 5 - 2) / 64f)
+    val b2 = Array.tabulate(2)(oc => (oc - 1) / 64f)
+    SegNet(Seq(ConvLayer(3, 2, 3, w1, b1, relu = true),
+      ConvLayer(2, 3, 1, w2, b2, relu = false)), Array(1, 2))
+  }
+
+  /** Single-logit variant (same 1/64 scale): conv3x3(2->3, relu) ->
+    * conv1x1(3->1) — the binary-loss fixture (LossBinary, sigmoid
+    * Dice). The one class targets mask > 0. */
+  def fixtureNetBinary: SegNet = {
+    val w1 = Array.tabulate(3 * 2 * 9)(i => ((i * 5) % 7 - 3) / 64f)
+    val b1 = Array.tabulate(3)(oc => oc / 64f)
+    val w2 = Array.tabulate(1 * 3)(i => ((i * 3) % 5 - 2) / 64f)
+    val b2 = Array((0 - 1) / 64f)
+    SegNet(Seq(ConvLayer(3, 2, 3, w1, b1, relu = true),
+      ConvLayer(1, 3, 1, w2, b2, relu = false)), Array(1))
+  }
+
   /** 3-band bench variant: conv3x3(3->4, relu) -> conv1x1(4->3) — the
     * throughput-measurement net for the north-rule image table. */
   def fixtureNet3: SegNet = {

@@ -32,12 +32,14 @@ import org.apache.spark.sql.functions.{col, sum}
  * q_train_seg DuckDB oracle replays both epochs to the last bit, and
  * the partition-invariance spec holds by construction, not by epsilon.
  *
- * Loss: 0.5 * sum of squared residuals between the final layer's
- * logits and one-hot targets from the chip mask (channel oc targets
- * class `net.classes(oc)`; a single-logit net targets mask > 0). The
- * torch reference trains with cross-entropy — the plumbing (broadcast,
- * partial gradients, scalar shuffle) is loss-agnostic; squared error
- * keeps the fixture oracle exact.
+ * Losses: SquaredError (0.5 * sum of squared residuals between the
+ * final logits and one-hot targets; channel oc targets class
+ * `net.classes(oc)`, a single-logit net targets mask > 0),
+ * CrossEntropy (torch's), Dice (smp.utils.losses.DiceLoss — the loss
+ * the reference ACTUALLY trains with, convnet.py:322), and loss.py's
+ * LossBinary / LossMulti BCE/NLL-minus-soft-Jaccard pair. The last
+ * three are batch-globally coupled — see the Loss trait scaladoc for
+ * the two-job epoch shape that keeps them distributed.
  */
 object ConvTrain {
 
@@ -112,10 +114,141 @@ object ConvTrain {
     * nothing; a single-logit net uses sigmoid BCE on mask > 0) —
     * exp/log are deterministic within the JVM, so parallelism
     * invariance holds, but not correctly rounded across engines, so
-    * CE correctness is spec-gated (finite differences), not oracled. */
+    * CE correctness is spec-gated (finite differences), not oracled.
+    *
+    * Dice / LossBinary / LossMulti are BATCH-GLOBALLY COUPLED: the
+    * per-pixel gradient depends on prob/target sums over the WHOLE
+    * batch, so a coupled epoch runs TWO jobs — a forward-only stats
+    * pass whose exchange carries O(partitions x classes) scalar rows
+    * (see batchStats), then the usual gradient pass with the reduced
+    * constants riding the task closure. Activations never shuffle;
+    * the coupling costs one extra forward, not a pixel exchange.
+    * Probabilities are snapped to the same dyadic grid as the
+    * residuals BEFORE summation, so every global stat is an exact,
+    * order-invariant double and training stays bit-identical at any
+    * parallelism — which is what lets the q_train_dice /
+    * q_train_lossb DuckDB oracles replay coupled-loss training. */
   sealed trait Loss
   case object SquaredError extends Loss
   case object CrossEntropy extends Loss
+  /** smp.utils.losses.DiceLoss() — the loss the reference ACTUALLY
+    * trains with (convnet.py:322): L = 1 - (2*I + eps)/(P + T + eps)
+    * where I = sum(prob*target), P = sum(prob), T = sum(target) over
+    * the whole batch and every channel (smp f_score, beta=1, its
+    * default eps=1.0). Probs follow create_model's activation contract
+    * (convnet.py:52,95-96): softmax2d across channels for a
+    * multi-class net, sigmoid for a single-logit net. */
+  final case class Dice(eps: Double = 1.0) extends Loss
+  /** loss.py:8-29 LossBinary: (1-w)*BCEWithLogits(mean)
+    * - w*ln((I+1e-15)/(U-I+1e-15)) with sigmoid probs, I = sum(o*t),
+    * U = sum(o)+sum(t). Single-logit nets only. */
+  final case class LossBinary(jaccardWeight: Double) extends Loss
+  /** loss.py:32-55 LossMulti: (1-w)*NLL(log_softmax, mean over the
+    * target-weight mass) - w*sum_c ln((I_c+1e-15)/(U_c-I_c+1e-15)).
+    * Mask values outside `classes` are the NLL ignore analog (zero
+    * loss term, excluded from the weight mass) but their softmax
+    * probs still count toward the per-class jaccard sums, exactly as
+    * the reference's formula sums jaccard_output over every pixel.
+    * Spec-gated (finite differences), like CrossEntropy. */
+  final case class LossMulti(jaccardWeight: Double,
+                             classWeights: Array[Double] = null) extends Loss
+
+  private[graft] def isCoupled(l: Loss): Boolean = l match {
+    case SquaredError | CrossEntropy => false
+    case _ => true
+  }
+
+  /** Batch-global snapped-prob sums for the coupled losses, per output
+    * channel, plus the pixel count and the NLL target-weight mass.
+    * Every entry is an exact sum of dyadics — order-invariant. */
+  final case class BatchStats(i: Array[Double], p: Array[Double],
+                              t: Array[Double], n: Long, wSum: Double)
+
+  /** Per-epoch constants derived from BatchStats driver-side. Exact
+    * inputs through one fixed correctly-rounded op sequence — an SQL
+    * oracle reproduces every field to the bit. */
+  private[graft] final case class CoupledCtx(
+      nn: Double, dd: Double,                   // dice: 2*I+eps, P+T+eps
+      iEps: Array[Double], uEps: Array[Double], // jaccard: I_c+e, U_c-I_c+e
+      nD: Double, wSum: Double)
+
+  private[graft] def coupledCtx(lossFn: Loss, st: BatchStats): CoupledCtx =
+    lossFn match {
+      case Dice(eps) =>
+        CoupledCtx(2.0 * st.i.sum + eps, st.p.sum + st.t.sum + eps,
+          null, null, st.n.toDouble, st.wSum)
+      case LossBinary(_) | LossMulti(_, _) =>
+        val eps = 1e-15
+        val ie = Array.tabulate(st.i.length)(c => st.i(c) + eps)
+        val ue = Array.tabulate(st.i.length)(c =>
+          st.p(c) + st.t(c) - st.i(c) + eps)
+        CoupledCtx(0.0, 0.0, ie, ue, st.n.toDouble, st.wSum)
+      case _ => null
+    }
+
+  /** Test hook: observes every pre-snap value so specs can prove the
+    * oracle fixtures stay far from dyadic grid boundaries — then a
+    * 1-ulp exp()/ln() difference between the JVM and DuckDB provably
+    * cannot flip a floor(). Distances are in grid units. */
+  private[graft] final class BoundaryProbe(scale: Double) {
+    var minDist: Double = Double.MaxValue
+    def observe(v: Double): Unit = {
+      val x = v * scale
+      val f = x - math.floor(x)
+      val d = math.min(f, 1.0 - f)
+      if (d < minDist) minDist = d
+    }
+  }
+
+  /** Snapped activation probs for one pixel of the coupled losses:
+    * sigmoid per channel (single-logit Dice, LossBinary) or softmax2d
+    * across channels (multi-class Dice, LossMulti). Writes probs into
+    * `pq`; for softmax also writes aux(0) = channel max, aux(1) = the
+    * exp-sum, which LossMulti's stable -ln p_t needs. The channel
+    * z-sum runs in ascending channel order — for the 2-channel oracle
+    * fixtures two-term addition is order-exact by IEEE commutativity. */
+  @inline private def snapProbs(lossFn: Loss, logits: Array[Array[Float]],
+                                p: Int, outC: Int, gradScale: Double,
+                                pq: Array[Double], aux: Array[Double],
+                                probe: BoundaryProbe): Unit = lossFn match {
+    case LossBinary(_) | Dice(_) if outC == 1 =>
+      val o = 1.0 / (1.0 + math.exp(-logits(0)(p).toDouble))
+      // logit 0 gives EXACTLY 0.5 (exp(0) = 1 is exact in every IEEE
+      // libm), so it can't drift across engines — skip the probe
+      if (probe != null && logits(0)(p) != 0f) probe.observe(o)
+      pq(0) = snap(o, gradScale)
+    case _ => // softmax2d
+      var mx = Double.NegativeInfinity
+      var allEq = true
+      var c = 0
+      while (c < outC) {
+        val v = logits(c)(p).toDouble
+        if (v != logits(0)(p).toDouble) allEq = false
+        if (v > mx) mx = v; c += 1
+      }
+      var z = 0.0
+      c = 0
+      while (c < outC) { z += math.exp(logits(c)(p).toDouble - mx); c += 1 }
+      c = 0
+      while (c < outC) {
+        val pr = math.exp(logits(c)(p).toDouble - mx) / z
+        // all-equal logits give pr = 1/outC via exp(0) = 1 exactly —
+        // engine-portable by IEEE, so exclude from the drift probe
+        if (probe != null && !allEq) probe.observe(pr)
+        pq(c) = snap(pr, gradScale)
+        c += 1
+      }
+      if (aux != null) { aux(0) = mx; aux(1) = z }
+  }
+
+  @inline private def classIndex(classes: Array[Int], mv: Float): Int = {
+    var i = -1; var c = 0
+    while (c < classes.length && i < 0) {
+      if (classes(c) == mv.toInt) i = c
+      c += 1
+    }
+    i
+  }
 
   /** One-hot target for output channel oc at a mask value. */
   @inline private def target(classes: Array[Int], outC: Int,
@@ -128,7 +261,11 @@ object ConvTrain {
     * returns the pixel's loss. */
   private def pixelResiduals(loss: Loss, classes: Array[Int], outC: Int,
                              logits: Array[Array[Float]], p: Int, mv: Float,
-                             gradScale: Double, d: Array[Array[Double]])
+                             gradScale: Double, d: Array[Array[Double]],
+                             ctx: CoupledCtx = null,
+                             pq: Array[Double] = null,
+                             aux: Array[Double] = null,
+                             probe: BoundaryProbe = null)
       : Double = loss match {
     case SquaredError =>
       var l = 0.0
@@ -172,6 +309,76 @@ object ConvTrain {
         }
         -(logits(ti)(p) - mx - math.log(z))
       }
+    case Dice(_) if outC == 1 =>
+      snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
+      val tv = target(classes, outC, 0, mv)
+      val oq = pq(0)
+      // the residual is exact arithmetic over the snapped prob — no
+      // transcendental between here and the floor, so no probe needed
+      val r = -((2.0 * tv * ctx.dd - ctx.nn) / (ctx.dd * ctx.dd)) *
+        (oq * (1.0 - oq))
+      d(0)(p) = snap(r, gradScale)
+      0.0 // the dice loss is global; assembled from the stats driver-side
+    case Dice(_) =>
+      snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
+      var k = 0
+      while (k < outC) {
+        var acc = 0.0
+        var c = 0
+        while (c < outC) {
+          val tv = target(classes, outC, c, mv)
+          val gc = -((2.0 * tv * ctx.dd - ctx.nn) / (ctx.dd * ctx.dd))
+          val dlt = if (c == k) 1.0 else 0.0
+          acc += gc * (pq(c) * (dlt - pq(k)))
+          c += 1
+        }
+        d(k)(p) = snap(acc, gradScale)
+        k += 1
+      }
+      0.0
+    case LossBinary(w) =>
+      snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
+      val s = logits(0)(p).toDouble
+      val tv = target(classes, outC, 0, mv)
+      val oq = pq(0)
+      val jg = (oq * (1.0 - oq)) *
+        (tv / ctx.iEps(0) - (1.0 - tv) / ctx.uEps(0))
+      val r = (1.0 - w) * ((oq - tv) / ctx.nD) - w * jg
+      d(0)(p) = snap(r, gradScale)
+      // torch's numerically-stable BCEWithLogits form, from the RAW
+      // logit (the quantized prob would hit ln(0) on saturation)
+      val bce = math.max(s, 0.0) - s * tv +
+        math.log(1.0 + math.exp(-math.abs(s)))
+      if (probe != null) probe.observe(bce)
+      snap(bce, gradScale) // driver applies (1-w)/n and the jaccard term
+    case LossMulti(w, cwArr) =>
+      snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
+      val ti = classIndex(classes, mv)
+      val wt = if (ti < 0) 0.0 else if (cwArr == null) 1.0 else cwArr(ti)
+      var k = 0
+      while (k < outC) {
+        var acc =
+          if (ti >= 0)
+            (1.0 - w) * ((wt / ctx.wSum) *
+              (pq(k) - (if (k == ti) 1.0 else 0.0)))
+          else 0.0
+        var c = 0
+        while (c < outC) {
+          val tin = if (ti == c) 1.0 else 0.0
+          val jc = tin / ctx.iEps(c) - (1.0 - tin) / ctx.uEps(c)
+          val dlt = if (c == k) 1.0 else 0.0
+          acc -= w * (pq(c) * (dlt - pq(k))) * jc
+          c += 1
+        }
+        d(k)(p) = snap(acc, gradScale)
+        k += 1
+      }
+      if (ti < 0) 0.0
+      else {
+        val nll = wt * (-(logits(ti)(p).toDouble - aux(0) - math.log(aux(1))))
+        if (probe != null) probe.observe(nll)
+        snap(nll, gradScale) // driver divides by the weight mass
+      }
   }
 
   /** Forward + backprop for one chip; gradients accumulate into
@@ -180,19 +387,25 @@ object ConvTrain {
   private[graft] def chipGrad(ch: ChipRow, net: SegNet, gradScale: Double,
                               gW: Array[Array[Double]],
                               gB: Array[Array[Double]],
-                              lossFn: Loss = SquaredError): Double = {
+                              lossFn: Loss = SquaredError,
+                              ctx: CoupledCtx = null,
+                              probe: BoundaryProbe = null): Double = {
     val w = ch.w; val h = ch.h; val n = w * h
     val layers = net.layers.toArray
     val outs = forwardAll(ch.bands, w, h, net)
     val last = outs(layers.length - 1)
     val outC = layers.last.outC
+    require(!isCoupled(lossFn) || ctx != null,
+      s"$lossFn is batch-globally coupled: run batchStats first")
+    val pq = if (isCoupled(lossFn)) new Array[Double](outC) else null
+    val aux = if (isCoupled(lossFn)) new Array[Double](2) else null
     // snapped residuals = loss gradient wrt the final logits
     var loss = 0.0
     var delta: Array[Array[Double]] = Array.fill(outC)(new Array[Double](n))
     var p0 = 0
     while (p0 < n) {
       loss += pixelResiduals(lossFn, net.classes, outC, last, p0, ch.mask(p0),
-        gradScale, delta)
+        gradScale, delta, ctx, pq, aux, probe)
       p0 += 1
     }
     var li = layers.length - 1
@@ -296,7 +509,10 @@ object ConvTrain {
     var p1 = 1.0; var p2 = 1.0 // beta1^t, beta2^t via repeated multiply
     var e = 0
     while (e < epochs) {
-      val (df, bc) = gradRows(chips, net, gradScale, lossFn)
+      val ctx = if (isCoupled(lossFn))
+        coupledCtx(lossFn, batchStats(chips, net, gradScale, lossFn))
+      else null
+      val (df, bc) = gradRows(chips, net, gradScale, lossFn, ctx)
       val parts = df.collect() // O(params) by construction
       // an empty epoch would record a fabricated 0.0 loss AND still
       // snap-quantize the weights — fail loudly instead
@@ -310,7 +526,7 @@ object ConvTrain {
         if (li < 0) loss = r.getDouble(2)
         else grads(li)(r.getInt(1)) = r.getDouble(2)
       }
-      losses += loss
+      losses += assembleLoss(lossFn, loss, ctx)
       opt match {
         case Adam(_, b1, b2, _) => p1 *= b1; p2 *= b2
         case _ =>
@@ -432,7 +648,10 @@ object ConvTrain {
     var e = 0
     while (e < epochs) {
       if (e == lrDropEpoch) lr = lrDropTo
-      val (df, bc) = gradRows(train, net, gradScale, lossFn)
+      val ctx = if (isCoupled(lossFn))
+        coupledCtx(lossFn, batchStats(train, net, gradScale, lossFn))
+      else null
+      val (df, bc) = gradRows(train, net, gradScale, lossFn, ctx)
       val parts = df.collect() // O(params) by construction
       require(parts.nonEmpty,
         "training epoch saw zero chips (empty train split)")
@@ -469,7 +688,7 @@ object ConvTrain {
       val score = iouChips(valid, net)
       val saved = score > bestScore
       if (saved) { bestScore = score; best = net; everSaved = true }
-      logs += EpochLog(e, loss, score, lr, saved)
+      logs += EpochLog(e, assembleLoss(lossFn, loss, ctx), score, lr, saved)
       e += 1
     }
     (if (everSaved) best else net, logs.result())
@@ -482,7 +701,7 @@ object ConvTrain {
     * Returns the aggregated frame plus the weight broadcast (caller
     * destroys it after consuming the frame). */
   private def gradRows(chips: Dataset[ChipRow], net: SegNet, gradScale: Double,
-                       lossFn: Loss = SquaredError)
+                       lossFn: Loss = SquaredError, ctx: CoupledCtx = null)
                       (implicit spark: SparkSession)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
     import spark.implicits._
@@ -494,7 +713,8 @@ object ConvTrain {
       var loss = 0.0
       var any = false
       while (it.hasNext) {
-        loss += chipGrad(it.next(), nt, gradScale, gW, gB, lossFn); any = true
+        loss += chipGrad(it.next(), nt, gradScale, gW, gB, lossFn, ctx)
+        any = true
       }
       if (!any) Iterator.empty
       else Iterator.single((-1, 0, loss)) ++
@@ -518,20 +738,145 @@ object ConvTrain {
 
   /** Loss only (no backprop) — the holdout metric. */
   private[graft] def chipLoss(ch: ChipRow, net: SegNet, gradScale: Double,
-                              lossFn: Loss = SquaredError): Double = {
+                              lossFn: Loss = SquaredError,
+                              ctx: CoupledCtx = null): Double = {
     val n = ch.w * ch.h
     val outs = forwardAll(ch.bands, ch.w, ch.h, net)
     val last = outs(net.layers.length - 1)
     val outC = net.layers.last.outC
+    require(!isCoupled(lossFn) || ctx != null,
+      s"$lossFn is batch-globally coupled: run batchStats first")
+    val pq = if (isCoupled(lossFn)) new Array[Double](outC) else null
+    val aux = if (isCoupled(lossFn)) new Array[Double](2) else null
     val d = Array.fill(outC)(new Array[Double](n)) // residual scratch
     var loss = 0.0
     var p = 0
     while (p < n) {
       loss += pixelResiduals(lossFn, net.classes, outC, last, p, ch.mask(p),
-        gradScale, d)
+        gradScale, d, ctx, pq, aux)
       p += 1
     }
     loss
+  }
+
+  /** One chip's contribution to the coupled-loss batch stats: forward
+    * only, snapped probs accumulated into the per-class (i, p, t)
+    * sums. Returns (pixel count, NLL weight mass). */
+  private[graft] def chipStats(ch: ChipRow, net: SegNet, gradScale: Double,
+                               lossFn: Loss, i: Array[Double],
+                               pSum: Array[Double], t: Array[Double],
+                               probe: BoundaryProbe = null): (Long, Double) = {
+    val n = ch.w * ch.h
+    val outs = forwardAll(ch.bands, ch.w, ch.h, net)
+    val last = outs(net.layers.length - 1)
+    val outC = net.layers.last.outC
+    val classes = net.classes
+    val cw = lossFn match { case LossMulti(_, w) => w; case _ => null }
+    val pq = new Array[Double](outC)
+    var wSum = 0.0
+    var p0 = 0
+    while (p0 < n) {
+      snapProbs(lossFn, last, p0, outC, gradScale, pq, null, probe)
+      val mv = ch.mask(p0)
+      var c = 0
+      while (c < outC) {
+        val tv = target(classes, outC, c, mv)
+        i(c) += pq(c) * tv
+        pSum(c) += pq(c)
+        t(c) += tv
+        c += 1
+      }
+      lossFn match {
+        case LossMulti(_, _) =>
+          val ti = classIndex(classes, mv)
+          if (ti >= 0) wSum += (if (cw == null) 1.0 else cw(ti))
+        case _ =>
+      }
+      p0 += 1
+    }
+    (n.toLong, wSum)
+  }
+
+  /** The coupled-loss stats pass as a plan (no job): per-partition
+    * forward-only accumulators emit one (c, i, p, t, n, w) row per
+    * class — the exchange carries O(partitions x classes) scalars,
+    * never pixels. n and w ride the c == 0 row only. */
+  private[graft] def statsRows(chips: Dataset[ChipRow], net: SegNet,
+                               gradScale: Double, lossFn: Loss)
+                              (implicit spark: SparkSession)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    val outC = net.layers.last.outC
+    val df = chips.mapPartitions { it =>
+      val nt = bc.value
+      val i = new Array[Double](outC)
+      val p = new Array[Double](outC)
+      val t = new Array[Double](outC)
+      var n = 0L; var w = 0.0
+      var any = false
+      while (it.hasNext) {
+        val (cn, cwm) = chipStats(it.next(), nt, gradScale, lossFn, i, p, t)
+        n += cn; w += cwm; any = true
+      }
+      if (!any) Iterator.empty
+      else (0 until outC).iterator.map(c =>
+        (c, i(c), p(c), t(c), if (c == 0) n else 0L, if (c == 0) w else 0.0))
+    }.toDF("c", "i", "p", "t", "n", "w")
+      .groupBy("c").agg(sum("i").as("i"), sum("p").as("p"),
+        sum("t").as("t"), sum("n").as("n"), sum("w").as("w"))
+    (df, bc)
+  }
+
+  /** Batch-global stats for a coupled loss: ONE forward-only job whose
+    * shuffle carries scalar partials; the driver collects O(classes)
+    * rows. */
+  private[graft] def batchStats(chips: Dataset[ChipRow], net: SegNet,
+                                gradScale: Double, lossFn: Loss)
+                               (implicit spark: SparkSession): BatchStats = {
+    val outC = net.layers.last.outC
+    lossFn match {
+      case LossBinary(_) => require(outC == 1,
+        "LossBinary (loss.py:8-29) is the single-logit loss")
+      case LossMulti(_, cw) =>
+        require(outC >= 2, "LossMulti needs a multi-channel net")
+        require(cw == null || cw.length == outC,
+          s"classWeights length ${if (cw == null) 0 else cw.length} != $outC")
+      case _ =>
+    }
+    val (df, bc) = statsRows(chips, net, gradScale, lossFn)
+    val rows = df.collect() // O(classes) rows by construction
+    bc.destroy()
+    require(rows.nonEmpty,
+      "coupled-loss stats pass saw zero chips (empty dataset or batch)")
+    val i = new Array[Double](outC)
+    val p = new Array[Double](outC)
+    val t = new Array[Double](outC)
+    var n = 0L; var w = 0.0
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      i(c) = r.getDouble(1); p(c) = r.getDouble(2); t(c) = r.getDouble(3)
+      n += r.getLong(4); w += r.getDouble(5)
+    }
+    BatchStats(i, p, t, n, w)
+  }
+
+  /** Epoch loss from the gradient pass's pixel-sum plus the global
+    * stats — the coupled losses' value is not a plain pixel sum. */
+  private[graft] def assembleLoss(lossFn: Loss, pixelSum: Double,
+                                  ctx: CoupledCtx): Double = lossFn match {
+    case Dice(_) => 1.0 - ctx.nn / ctx.dd
+    case LossBinary(w) =>
+      (1.0 - w) * (pixelSum / ctx.nD) -
+        w * math.log(ctx.iEps(0) / ctx.uEps(0))
+    case LossMulti(w, _) =>
+      var j = 0.0
+      var c = 0
+      while (c < ctx.iEps.length) {
+        j += math.log(ctx.iEps(c) / ctx.uEps(c)); c += 1
+      }
+      (1.0 - w) * (if (ctx.wSum > 0) pixelSum / ctx.wSum else 0.0) - w * j
+    case _ => pixelSum
   }
 
   /** Mini-batch SGD — the torch-DataLoader loop shape (convnet.py's

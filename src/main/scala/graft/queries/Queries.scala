@@ -3068,10 +3068,9 @@ object Queries {
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
-  /** Forward + snapped-residual CTEs of the SGD oracle: h1_/s2_/r_/
-    * loss_`$suf` from weight CTEs suffixed `$wIn` over chip-pixel
-    * relation `$src` (grain 2^-8). */
-  private def sgdFwdSql(suf: String, wIn: String, src: String): String =
+  /** Forward-only CTEs (h1_/s2_`$suf`): relu layer + logit layer from
+    * weight CTEs suffixed `$wIn` over chip-pixel relation `$src`. */
+  private def fwdCoreSql(suf: String, wIn: String, src: String): String =
     s"""h1_$suf AS MATERIALIZED (
        |  SELECT p.cx, p.cy, p.lx, p.ly, w.oc,
        |    CAST(greatest(0.0, sum(w.wt * q.v) + any_value(b.bt)) AS FLOAT) AS hv
@@ -3086,7 +3085,12 @@ object Queries {
        |    CAST(sum(w.wt * h.hv) + any_value(b.bt) AS FLOAT) AS sv
        |  FROM h1_$suf h, w2_$wIn w, b2_$wIn b
        |  WHERE w.ic = h.oc AND b.oc2 = w.oc2
-       |  GROUP BY h.cx, h.cy, h.lx, h.ly, w.oc2),
+       |  GROUP BY h.cx, h.cy, h.lx, h.ly, w.oc2)""".stripMargin
+
+  /** Forward + snapped squared-error residual CTEs of the SGD oracle:
+    * h1_/s2_/r_/loss_`$suf` (grain 2^-8). */
+  private def sgdFwdSql(suf: String, wIn: String, src: String): String =
+    s"""${fwdCoreSql(suf, wIn, src)},
        |r_$suf AS MATERIALIZED (
        |  SELECT s.cx, s.cy, s.lx, s.ly, s.oc2,
        |    floor((CAST(s.sv AS DOUBLE) - t.t) * 256) / 256 AS rq
@@ -3124,26 +3128,26 @@ object Queries {
   /** Floor-snapped SGD step: weights w*_`$wIn` minus gradients/`$lrDenom`
     * into w*_`$wOut`. */
   private def sgdStepSql(suf: String, wIn: String, wOut: String,
-                         lrDenom: String): String =
+                         lrDenom: String, snapS: String = "256"): String =
     s"""w1_$wOut AS MATERIALIZED (
        |  SELECT w.oc, w.ic, w.dy, w.dx,
-       |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * $snapS) / $snapS AS FLOAT)
        |         AS DOUBLE) AS wt
        |  FROM w1_$wIn w JOIN gw1_$suf g ON g.oc = w.oc AND g.ic = w.ic
        |    AND g.dy = w.dy AND g.dx = w.dx),
        |b1_$wOut AS MATERIALIZED (
        |  SELECT b.oc,
-       |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * $snapS) / $snapS AS FLOAT)
        |         AS DOUBLE) AS bt
        |  FROM b1_$wIn b JOIN gb1_$suf g ON g.oc = b.oc),
        |w2_$wOut AS MATERIALIZED (
        |  SELECT w.oc2, w.ic,
-       |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((w.wt - g.g/$lrDenom) * $snapS) / $snapS AS FLOAT)
        |         AS DOUBLE) AS wt
        |  FROM w2_$wIn w JOIN gw2_$suf g ON g.oc2 = w.oc2 AND g.ic = w.ic),
        |b2_$wOut AS MATERIALIZED (
        |  SELECT b.oc2,
-       |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * 256) / 256 AS FLOAT)
+       |    CAST(CAST(floor((b.bt - g.g/$lrDenom) * $snapS) / $snapS AS FLOAT)
        |         AS DOUBLE) AS bt
        |  FROM b2_$wIn b JOIN gb2_$suf g ON g.oc2 = b.oc2)""".stripMargin
 
@@ -3155,7 +3159,7 @@ object Queries {
     * carries (value, m, v) forward for the next epoch. */
   private def adamStepSql(suf: String, wIn: String, wOut: String,
                           first: Boolean, p1: String, p2: String,
-                          lr: String): String = {
+                          lr: String, snapS: String = "256"): String = {
     def grp(out: String, in: String, grad: String, keys: Seq[String],
             vc: String): String = {
       val keyList = keys.map(k => s"w.$k").mkString(", ")
@@ -3167,8 +3171,8 @@ object Queries {
       s"""$out AS MATERIALIZED (
          |  SELECT $keyList,
          |    CAST(CAST(floor((w.$vc - ($lr * (($mExpr) / (1 - $p1)))
-         |      / (sqrt(($vExpr) / (1 - $p2)) + 1e-8)) * 256) / 256 AS FLOAT)
-         |      AS DOUBLE) AS $vc,
+         |      / (sqrt(($vExpr) / (1 - $p2)) + 1e-8)) * $snapS) / $snapS
+         |      AS FLOAT) AS DOUBLE) AS $vc,
          |    $mExpr AS m, $vExpr AS v
          |  FROM $in w JOIN $grad g ON $joinCond)""".stripMargin
     }
@@ -3383,6 +3387,224 @@ object Queries {
        |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_d2
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_d2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_d2)""".stripMargin
+
+  /** Soft-fixture preamble for the coupled-loss oracles: the SAME chip
+    * pixels as sgdPreambleSql but every weight at 1/64 scale
+    * (ConvNet.fixtureNetSoft / fixtureNetBinary), so sigmoid/softmax
+    * neither saturates nor pins. `binary` = single-logit head
+    * (LossBinary / sigmoid Dice): oc2 range {0}, bias -1/64, target
+    * mask > 0. */
+  private def softPreambleSql(binary: Boolean): String = {
+    val oc2Max = if (binary) 0 else 1
+    val tgt =
+      if (binary)
+        """tgt AS MATERIALIZED (
+          |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, 0 AS oc2,
+          |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
+          |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+          |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+          |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly))""".stripMargin
+      else
+        """tgt AS MATERIALIZED (
+          |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
+          |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
+          |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
+          |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+          |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+          |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+          |       generate_series(0, 1) f(oc2))""".stripMargin
+    s"""cpx AS MATERIALIZED (
+       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
+       |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
+       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+       |       generate_series(0, 1) f(ic)),
+       |$tgt,
+       |w1_0 AS MATERIALIZED (
+       |  SELECT oc, ic, dy, dx,
+       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/64
+       |      AS wt
+       |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
+       |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
+       |b1_0 AS MATERIALIZED (SELECT oc, CAST(oc AS DOUBLE)/64 AS bt
+       |         FROM generate_series(0, 2) t(oc)),
+       |w2_0 AS MATERIALIZED (SELECT oc2, ic,
+       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/64 AS wt
+       |  FROM generate_series(0, $oc2Max) a(oc2), generate_series(0, 2) b(ic)),
+       |b2_0 AS MATERIALIZED (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/64 AS bt
+       |         FROM generate_series(0, $oc2Max) t(oc2))""".stripMargin
+  }
+
+  /** Dice (smp f_score beta=1, eps=1 — the loss the reference actually
+    * trains with, convnet.py:322) CTEs for epoch `$suf`: snapped
+    * softmax2d probs (grain 2^-20), the batch-global nn = 2I+1 and
+    * dd = P+T+1 scalars (exact order-invariant sums of dyadics), the
+    * snapped coupled residuals (rq replays pixelResiduals' exact
+    * double op sequence over the snapped probs — no transcendental
+    * between the probs and the floor), and the epoch loss 1 - nn/dd. */
+  private def diceSql(suf: String): String =
+    s"""zx_$suf AS MATERIALIZED (
+       |  SELECT cx, cy, lx, ly, max(CAST(sv AS DOUBLE)) AS mx
+       |  FROM s2_$suf GROUP BY 1, 2, 3, 4),
+       |zz_$suf AS MATERIALIZED (
+       |  SELECT s.cx, s.cy, s.lx, s.ly, any_value(z.mx) AS mx,
+       |    sum(exp(CAST(s.sv AS DOUBLE) - z.mx)) AS z
+       |  FROM s2_$suf s JOIN zx_$suf z ON z.cx = s.cx AND z.cy = s.cy
+       |    AND z.lx = s.lx AND z.ly = s.ly
+       |  GROUP BY 1, 2, 3, 4),
+       |pq_$suf AS MATERIALIZED (
+       |  SELECT s.cx, s.cy, s.lx, s.ly, s.oc2,
+       |    floor(exp(CAST(s.sv AS DOUBLE) - z.mx) / z.z * 1048576.0)
+       |      / 1048576.0 AS pq
+       |  FROM s2_$suf s JOIN zz_$suf z ON z.cx = s.cx AND z.cy = s.cy
+       |    AND z.lx = s.lx AND z.ly = s.ly),
+       |st_$suf AS MATERIALIZED (
+       |  SELECT 2.0 * sum(p.pq * t.t) + 1.0 AS nn,
+       |    sum(p.pq) + sum(t.t) + 1.0 AS dd
+       |  FROM pq_$suf p JOIN tgt t ON t.cx = p.cx AND t.cy = p.cy
+       |    AND t.lx = p.lx AND t.ly = p.ly AND t.oc2 = p.oc2),
+       |r_$suf AS MATERIALIZED (
+       |  SELECT k.cx, k.cy, k.lx, k.ly, k.oc2,
+       |    floor(sum(
+       |      (-((2.0 * t.t * st.dd - st.nn) / (st.dd * st.dd)))
+       |      * (c.pq * ((CASE WHEN c.oc2 = k.oc2 THEN 1.0 ELSE 0.0 END)
+       |                 - k.pq))) * 1048576.0) / 1048576.0 AS rq
+       |  FROM pq_$suf k
+       |  JOIN pq_$suf c ON c.cx = k.cx AND c.cy = k.cy AND c.lx = k.lx
+       |    AND c.ly = k.ly
+       |  JOIN tgt t ON t.cx = c.cx AND t.cy = c.cy AND t.lx = c.lx
+       |    AND t.ly = c.ly AND t.oc2 = c.oc2, st_$suf st
+       |  GROUP BY k.cx, k.cy, k.lx, k.ly, k.oc2, k.pq),
+       |loss_$suf AS MATERIALIZED (SELECT 1.0 - nn / dd AS l FROM st_$suf)""".stripMargin
+
+  /** LossBinary (loss.py:8-29, jaccard weight 0.5) CTEs for epoch
+    * `$suf`: snapped sigmoid probs, the batch-global I+eps / U-I+eps /
+    * n scalars, the snapped coupled residuals (same exact double op
+    * sequence as pixelResiduals), the snapped per-pixel
+    * BCEWithLogits sum, and the assembled epoch loss. */
+  private def lossbSql(suf: String): String =
+    s"""pq_$suf AS MATERIALIZED (
+       |  SELECT cx, cy, lx, ly, oc2, CAST(sv AS DOUBLE) AS s,
+       |    floor(1.0 / (1.0 + exp(-CAST(sv AS DOUBLE))) * 1048576.0)
+       |      / 1048576.0 AS pq
+       |  FROM s2_$suf),
+       |st_$suf AS MATERIALIZED (
+       |  SELECT sum(p.pq * t.t) + 1e-15 AS ie,
+       |    sum(p.pq) + sum(t.t) - sum(p.pq * t.t) + 1e-15 AS ue,
+       |    CAST(count(*) AS DOUBLE) AS nd
+       |  FROM pq_$suf p JOIN tgt t ON t.cx = p.cx AND t.cy = p.cy
+       |    AND t.lx = p.lx AND t.ly = p.ly AND t.oc2 = p.oc2),
+       |r_$suf AS MATERIALIZED (
+       |  SELECT p.cx, p.cy, p.lx, p.ly, p.oc2,
+       |    floor(((1.0 - 0.5) * ((p.pq - t.t) / st.nd)
+       |      - 0.5 * ((p.pq * (1.0 - p.pq))
+       |        * (t.t / st.ie - (1.0 - t.t) / st.ue))) * 1048576.0)
+       |      / 1048576.0 AS rq
+       |  FROM pq_$suf p JOIN tgt t ON t.cx = p.cx AND t.cy = p.cy
+       |    AND t.lx = p.lx AND t.ly = p.ly AND t.oc2 = p.oc2, st_$suf st),
+       |bce_$suf AS MATERIALIZED (
+       |  SELECT sum(floor((greatest(p.s, 0.0) - p.s * t.t
+       |    + ln(1.0 + exp(-abs(p.s)))) * 1048576.0) / 1048576.0) AS ps
+       |  FROM pq_$suf p JOIN tgt t ON t.cx = p.cx AND t.cy = p.cy
+       |    AND t.lx = p.lx AND t.ly = p.ly AND t.oc2 = p.oc2),
+       |loss_$suf AS MATERIALIZED (
+       |  SELECT (1.0 - 0.5) * (b.ps / st.nd) - 0.5 * ln(st.ie / st.ue) AS l
+       |  FROM bce_$suf b, st_$suf st)""".stripMargin
+
+  /** q_train_dice — coupled-loss training with the loss the reference
+    * ACTUALLY uses (smp DiceLoss + torch Adam, convnet.py:322,327):
+    * 2 epochs on the 1/64-scale softmax fixture at grain 2^-20. Each
+    * epoch is TWO distributed jobs — a forward-only stats pass whose
+    * exchange carries O(partitions x classes) scalar rows, then the
+    * gradient pass with the reduced nn/dd constants in the closure.
+    * Probs are snapped to the dyadic grid BEFORE summation, so every
+    * global stat is exact and order-invariant; ConvLossSpec proves by
+    * measurement that no pre-snap transcendental sits within 1e-7
+    * grid units of a floor() boundary, so the oracle's exp() replay
+    * cannot diverge. Output: per-epoch dice losses + every trained
+    * weight. */
+  def qTrainDice(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetSoft,
+      epochs = 2, ConvTrain.Adam(lr = math.pow(2.0, -10)), gradBits = 20,
+      lossFn = ConvTrain.Dice())
+    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
+    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
+  }
+
+  val qTrainDiceSql: String =
+    s"""WITH ${softPreambleSql(binary = false)},
+       |${fwdCoreSql("dc0", "0", "cpx")},
+       |${diceSql("dc0")},
+       |${sgdGradSql("dc0", "0", "cpx")},
+       |${adamStepSql("dc0", "0", "dc1", first = true,
+                      p1 = "0.9", p2 = "0.999", lr = "0.0009765625",
+                      snapS = "1048576")},
+       |${fwdCoreSql("dc1", "dc1", "cpx")},
+       |${diceSql("dc1")},
+       |${sgdGradSql("dc1", "dc1", "cpx")},
+       |${adamStepSql("dc1", "dc1", "dc2", first = false,
+                      p1 = "0.9*0.9", p2 = "0.999*0.999", lr = "0.0009765625",
+                      snapS = "1048576")}
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_dc0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_dc1
+       |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_dc2
+       |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_dc2
+       |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_dc2
+       |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_dc2)""".stripMargin
+
+  /** q_train_lossb — loss.py:8-29 LossBinary (BCEWithLogits minus the
+    * weighted soft-jaccard log) on the single-logit 1/64 fixture:
+    * 2 epochs of SGD at grain 2^-20, the same two-job coupled-epoch
+    * shape as q_train_dice. The final loss value crosses one ln() so
+    * it is rounded to 6 digits on both sides; weights are exact. */
+  def qTrainLossb(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetBinary,
+      epochs = 2, ConvTrain.Sgd(math.pow(2.0, -10)), gradBits = 20,
+      lossFn = ConvTrain.LossBinary(0.5))
+    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
+    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
+      .select(col("kind"), col("li"), col("idx"), round(col("v"), 6).as("v"))
+  }
+
+  val qTrainLossbSql: String =
+    s"""WITH ${softPreambleSql(binary = true)},
+       |${fwdCoreSql("lb0", "0", "cpx")},
+       |${lossbSql("lb0")},
+       |${sgdGradSql("lb0", "0", "cpx")},
+       |${sgdStepSql("lb0", "0", "lb1", lrDenom = "1024", snapS = "1048576")},
+       |${fwdCoreSql("lb1", "lb1", "cpx")},
+       |${lossbSql("lb1")},
+       |${sgdGradSql("lb1", "lb1", "cpx")},
+       |${sgdStepSql("lb1", "lb1", "lb2", lrDenom = "1024", snapS = "1048576")}
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx,
+       |  round(v, 6) AS v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_lb0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_lb1
+       |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_lb2
+       |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_lb2
+       |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_lb2
+       |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_lb2)""".stripMargin
 
   /** q_train_checkpoint — the reference's FULL training loop
     * (convnet.py:327-374): 3 epochs of SGD on the even-parity train
