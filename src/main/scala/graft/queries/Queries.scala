@@ -3442,7 +3442,7 @@ object Queries {
     * snapped coupled residuals (rq replays pixelResiduals' exact
     * double op sequence over the snapped probs — no transcendental
     * between the probs and the floor), and the epoch loss 1 - nn/dd. */
-  private def diceSql(suf: String): String =
+  private def softmaxSql(suf: String): String =
     s"""zx_$suf AS MATERIALIZED (
        |  SELECT cx, cy, lx, ly, max(CAST(sv AS DOUBLE)) AS mx
        |  FROM s2_$suf GROUP BY 1, 2, 3, 4),
@@ -3457,7 +3457,10 @@ object Queries {
        |    floor(exp(CAST(s.sv AS DOUBLE) - z.mx) / z.z * 1048576.0)
        |      / 1048576.0 AS pq
        |  FROM s2_$suf s JOIN zz_$suf z ON z.cx = s.cx AND z.cy = s.cy
-       |    AND z.lx = s.lx AND z.ly = s.ly),
+       |    AND z.lx = s.lx AND z.ly = s.ly)""".stripMargin
+
+  private def diceSql(suf: String): String =
+    s"""${softmaxSql(suf)},
        |st_$suf AS MATERIALIZED (
        |  SELECT 2.0 * sum(p.pq * t.t) + 1.0 AS nn,
        |    sum(p.pq) + sum(t.t) + 1.0 AS dd
@@ -3605,6 +3608,118 @@ object Queries {
        |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_lb2
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_lb2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_lb2)""".stripMargin
+
+  /** LossMulti (loss.py:32-55, jaccard weight 0.5, unweighted classes)
+    * CTEs for epoch `$suf` over the 2-channel softmax fixture. The
+    * residual accumulates SEQUENTIALLY in the engine (acc -= term_c,
+    * ascending c), so the SQL pivots the two channels per pixel and
+    * writes ((nll_part - term_0) - term_1) with the engine's exact
+    * double association — bit-identical pre-floor because every input
+    * is a snapped prob or an exact batch stat. Mask values outside
+    * {1,2} are the NLL ignore analog: zero NLL term, excluded from the
+    * weight mass, but their softmax probs still feed the jaccard sums
+    * (exactly the reference's formula). */
+  private def lossmSql(suf: String): String =
+    s"""${softmaxSql(suf)},
+       |stm_$suf AS MATERIALIZED (
+       |  SELECT
+       |    max(CASE WHEN oc2 = 0 THEN ie END) AS ie0,
+       |    max(CASE WHEN oc2 = 0 THEN ue END) AS ue0,
+       |    max(CASE WHEN oc2 = 1 THEN ie END) AS ie1,
+       |    max(CASE WHEN oc2 = 1 THEN ue END) AS ue1,
+       |    (SELECT sum(t) FROM tgt) AS wsum
+       |  FROM (
+       |    SELECT p.oc2, sum(p.pq * t.t) + 1e-15 AS ie,
+       |      sum(p.pq) + sum(t.t) - sum(p.pq * t.t) + 1e-15 AS ue
+       |    FROM pq_$suf p JOIN tgt t ON t.cx = p.cx AND t.cy = p.cy
+       |      AND t.lx = p.lx AND t.ly = p.ly AND t.oc2 = p.oc2
+       |    GROUP BY p.oc2)),
+       |pvt_$suf AS MATERIALIZED (
+       |  SELECT p0.cx, p0.cy, p0.lx, p0.ly,
+       |    p0.pq AS pq0, p1.pq AS pq1, t0.t AS t0, t1.t AS t1
+       |  FROM pq_$suf p0
+       |  JOIN pq_$suf p1 ON p1.cx = p0.cx AND p1.cy = p0.cy
+       |    AND p1.lx = p0.lx AND p1.ly = p0.ly AND p1.oc2 = 1
+       |  JOIN tgt t0 ON t0.cx = p0.cx AND t0.cy = p0.cy AND t0.lx = p0.lx
+       |    AND t0.ly = p0.ly AND t0.oc2 = 0
+       |  JOIN tgt t1 ON t1.cx = p0.cx AND t1.cy = p0.cy AND t1.lx = p0.lx
+       |    AND t1.ly = p0.ly AND t1.oc2 = 1
+       |  WHERE p0.oc2 = 0),
+       |r_$suf AS MATERIALIZED (
+       |  SELECT cx, cy, lx, ly, oc2,
+       |    floor(((CASE WHEN t0 + t1 > 0
+       |        THEN (1.0 - 0.5) * ((1.0 / wsum) * (pqk - tk))
+       |        ELSE 0.0 END
+       |      - (0.5 * (pq0 * ((CASE WHEN oc2 = 0 THEN 1.0 ELSE 0.0 END)
+       |                       - pqk)))
+       |        * (t0 / ie0 - (1.0 - t0) / ue0))
+       |      - (0.5 * (pq1 * ((CASE WHEN oc2 = 1 THEN 1.0 ELSE 0.0 END)
+       |                       - pqk)))
+       |        * (t1 / ie1 - (1.0 - t1) / ue1)) * 1048576.0)
+       |      / 1048576.0 AS rq
+       |  FROM (
+       |    SELECT v.cx, v.cy, v.lx, v.ly, k.oc2, v.pq0, v.pq1, v.t0, v.t1,
+       |      CASE WHEN k.oc2 = 0 THEN v.pq0 ELSE v.pq1 END AS pqk,
+       |      CASE WHEN k.oc2 = 0 THEN v.t0 ELSE v.t1 END AS tk,
+       |      st.ie0, st.ue0, st.ie1, st.ue1, st.wsum
+       |    FROM pvt_$suf v, (VALUES (0), (1)) k(oc2), stm_$suf st)),
+       |nll_$suf AS MATERIALIZED (
+       |  SELECT sum(floor((-(CAST(s.sv AS DOUBLE) - z.mx - ln(z.z)))
+       |    * 1048576.0) / 1048576.0) AS ps
+       |  FROM s2_$suf s
+       |  JOIN zz_$suf z ON z.cx = s.cx AND z.cy = s.cy AND z.lx = s.lx
+       |    AND z.ly = s.ly
+       |  JOIN tgt t ON t.cx = s.cx AND t.cy = s.cy AND t.lx = s.lx
+       |    AND t.ly = s.ly AND t.oc2 = s.oc2
+       |  WHERE t.t = 1.0),
+       |loss_$suf AS MATERIALIZED (
+       |  SELECT (1.0 - 0.5) * (n.ps / st.wsum)
+       |    - 0.5 * (ln(st.ie0 / st.ue0) + ln(st.ie1 / st.ue1)) AS l
+       |  FROM nll_$suf n, stm_$suf st)""".stripMargin
+
+  /** q_train_lossm — loss.py:32-55 LossMulti (NLL minus the per-class
+    * soft-jaccard logs, jaccard weight 0.5) on the 2-channel softmax
+    * fixture: 2 epochs of SGD at grain 2^-20, the same two-job coupled
+    * epoch as q_train_dice. With this the whole loss.py family plus
+    * the reference's actual DiceLoss is oracle-checked. The loss
+    * crosses ln() so both sides round to 6 digits; weights are exact. */
+  def qTrainLossm(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetSoft,
+      epochs = 2, ConvTrain.Sgd(math.pow(2.0, -10)), gradBits = 20,
+      lossFn = ConvTrain.LossMulti(0.5))
+    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
+    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+    (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
+      .select(col("kind"), col("li"), col("idx"), round(col("v"), 6).as("v"))
+  }
+
+  val qTrainLossmSql: String =
+    s"""WITH ${softPreambleSql(binary = false)},
+       |${fwdCoreSql("lm0", "0", "cpx")},
+       |${lossmSql("lm0")},
+       |${sgdGradSql("lm0", "0", "cpx")},
+       |${sgdStepSql("lm0", "0", "lm1", lrDenom = "1024", snapS = "1048576")},
+       |${fwdCoreSql("lm1", "lm1", "cpx")},
+       |${lossmSql("lm1")},
+       |${sgdGradSql("lm1", "lm1", "cpx")},
+       |${sgdStepSql("lm1", "lm1", "lm2", lrDenom = "1024", snapS = "1048576")}
+       |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx,
+       |  round(v, 6) AS v FROM (
+       |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_lm0
+       |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_lm1
+       |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_lm2
+       |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_lm2
+       |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_lm2
+       |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_lm2)""".stripMargin
 
   /** q_train_checkpoint — the reference's FULL training loop
     * (convnet.py:327-374): 3 epochs of SGD on the even-parity train

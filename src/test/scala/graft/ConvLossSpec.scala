@@ -286,6 +286,9 @@ class ConvLossSpec extends AnyFunSuite {
     val dLb = probeEpochs(ConvNet.fixtureNetBinary, ConvTrain.LossBinary(0.5),
       ConvTrain.Sgd(math.pow(2.0, -10)), epochs = 2)
     assert(dLb > 1e-7, s"lossb fixture too close to a snap boundary: $dLb")
+    val dLm = probeEpochs(ConvNet.fixtureNetSoft, ConvTrain.LossMulti(0.5),
+      ConvTrain.Sgd(math.pow(2.0, -10)), epochs = 2)
+    assert(dLm > 1e-7, s"lossm fixture too close to a snap boundary: $dLm")
   }
 
   test("coupled stats exchange carries scalar rows only (plan gate)") {
