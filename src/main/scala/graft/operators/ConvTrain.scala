@@ -887,9 +887,14 @@ object ConvTrain {
     * same broadcast/partial-gradient/scalar-shuffle job as a full
     * epoch, stepping the weights after each. batches = 1 degrades to
     * trainSeg exactly. Returns per-BATCH losses (epochs x batches,
-    * measured at each step's starting weights). */
+    * measured at each step's starting weights). A coupled `lossFn`
+    * (Dice / LossBinary / LossMulti) computes its global sums over
+    * EACH batch — exactly torch's per-batch DiceLoss semantics, where
+    * the intersection/union reduce over the DataLoader batch that
+    * feeds each optimizer step. */
   def trainSegBatched(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
-                      batches: Int, lr: Double, gradBits: Int = 8)
+                      batches: Int, lr: Double, gradBits: Int = 8,
+                      lossFn: Loss = SquaredError)
                      (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
     require(epochs >= 1 && batches >= 1)
     val parts = (0 until batches).map(b =>
@@ -900,7 +905,8 @@ object ConvTrain {
     while (e < epochs) {
       var b = 0
       while (b < batches) {
-        val (n2, l2) = trainSeg(parts(b), net, epochs = 1, lr, gradBits)
+        val (n2, l2) =
+          trainSegOpt(parts(b), net, epochs = 1, Sgd(lr), gradBits, lossFn)
         net = n2
         losses ++= l2
         b += 1

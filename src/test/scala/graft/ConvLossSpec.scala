@@ -291,6 +291,37 @@ class ConvLossSpec extends AnyFunSuite {
     assert(dLm > 1e-7, s"lossm fixture too close to a snap boundary: $dLm")
   }
 
+  test("mini-batch Dice couples per batch (torch DataLoader semantics)") {
+    val chips = fixtureChips()
+    val lr = math.pow(2.0, -10)
+    // batches = 1 is exactly the full-batch coupled loop
+    val (n1, l1) = ConvTrain.trainSegBatched(chips, ConvNet.fixtureNetSoft,
+      epochs = 1, batches = 1, lr, gradBits = 20, lossFn = ConvTrain.Dice())
+    val (nf, lf) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetSoft,
+      epochs = 1, ConvTrain.Sgd(lr), gradBits = 20,
+      lossFn = ConvTrain.Dice())
+    assert(l1 == lf)
+    n1.layers.zip(nf.layers).foreach { case (a, b) =>
+      assert(a.weights.sameElements(b.weights) && a.bias.sameElements(b.bias))
+    }
+    // 2 batches: the dice sums reduce over each batch separately, so
+    // the two per-batch losses differ from each other and from the
+    // full-batch loss (different denominators), and the result is
+    // still bit-identical at any parallelism
+    val (n2, l2) = ConvTrain.trainSegBatched(chips.repartition(1),
+      ConvNet.fixtureNetSoft, epochs = 1, batches = 2, lr, gradBits = 20,
+      lossFn = ConvTrain.Dice())
+    val (n7, l7) = ConvTrain.trainSegBatched(chips.repartition(7),
+      ConvNet.fixtureNetSoft, epochs = 1, batches = 2, lr, gradBits = 20,
+      lossFn = ConvTrain.Dice())
+    assert(l2 == l7 && l2.length == 2)
+    n2.layers.zip(n7.layers).foreach { case (a, b) =>
+      assert(a.weights.sameElements(b.weights) && a.bias.sameElements(b.bias))
+    }
+    assert(l2(0) != lf.head || l2(1) != lf.head,
+      "per-batch dice sums should differ from the full-batch loss")
+  }
+
   test("coupled stats exchange carries scalar rows only (plan gate)") {
     val (df, bc) = ConvTrain.statsRows(fixtureChips(), ConvNet.fixtureNetSoft,
       math.pow(2.0, 20), ConvTrain.Dice())
