@@ -68,31 +68,29 @@ object ConvNet {
       ConvLayer(2, 3, 1, w2, b2, relu = false)), Array(1, 2))
   }
 
-  /** Soft-prob-loss variant of fixtureNet: the same shapes with every
-    * weight at 1/64 scale instead of 1/8, so the logits land in ±8 and
-    * sigmoid/softmax neither saturates nor pins at 0.5 — the fixture
-    * the coupled-loss (Dice / LossBinary) oracles train. Still exact:
-    * 1/64 is dyadic, so the whole forward pass stays bit-replayable. */
-  def fixtureNetSoft: SegNet = {
+  /** Soft-prob fixture builder: fixtureNet's shapes and index formulas
+    * with every weight at 1/64 scale instead of 1/8, so the logits
+    * land in ±8 and sigmoid/softmax neither saturates nor pins — the
+    * fixtures the coupled-loss (Dice / LossBinary / LossMulti) oracles
+    * train. Still exact: 1/64 is dyadic, so the whole forward pass
+    * stays bit-replayable; softPreambleSql mirrors this ONE builder
+    * parameterized by the head width. */
+  private def softFixture(outC: Int): SegNet = {
     val w1 = Array.tabulate(3 * 2 * 9)(i => ((i * 5) % 7 - 3) / 64f)
     val b1 = Array.tabulate(3)(oc => oc / 64f)
-    val w2 = Array.tabulate(2 * 3)(i => ((i * 3) % 5 - 2) / 64f)
-    val b2 = Array.tabulate(2)(oc => (oc - 1) / 64f)
+    val w2 = Array.tabulate(outC * 3)(i => ((i * 3) % 5 - 2) / 64f)
+    val b2 = Array.tabulate(outC)(oc => (oc - 1) / 64f)
     SegNet(Seq(ConvLayer(3, 2, 3, w1, b1, relu = true),
-      ConvLayer(2, 3, 1, w2, b2, relu = false)), Array(1, 2))
+      ConvLayer(outC, 3, 1, w2, b2, relu = false)),
+      Array.tabulate(outC)(_ + 1))
   }
 
-  /** Single-logit variant (same 1/64 scale): conv3x3(2->3, relu) ->
-    * conv1x1(3->1) — the binary-loss fixture (LossBinary, sigmoid
-    * Dice). The one class targets mask > 0. */
-  def fixtureNetBinary: SegNet = {
-    val w1 = Array.tabulate(3 * 2 * 9)(i => ((i * 5) % 7 - 3) / 64f)
-    val b1 = Array.tabulate(3)(oc => oc / 64f)
-    val w2 = Array.tabulate(1 * 3)(i => ((i * 3) % 5 - 2) / 64f)
-    val b2 = Array((0 - 1) / 64f)
-    SegNet(Seq(ConvLayer(3, 2, 3, w1, b1, relu = true),
-      ConvLayer(1, 3, 1, w2, b2, relu = false)), Array(1))
-  }
+  /** 2-channel softmax coupled-loss fixture (classes 1, 2). */
+  def fixtureNetSoft: SegNet = softFixture(2)
+
+  /** Single-logit variant — the binary-loss fixture (LossBinary,
+    * sigmoid Dice). The one class targets mask > 0. */
+  def fixtureNetBinary: SegNet = softFixture(1)
 
   /** 3-band bench variant: conv3x3(3->4, relu) -> conv1x1(4->3) — the
     * throughput-measurement net for the north-rule image table. */

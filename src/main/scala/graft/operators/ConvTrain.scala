@@ -265,6 +265,7 @@ object ConvTrain {
                              ctx: CoupledCtx = null,
                              pq: Array[Double] = null,
                              aux: Array[Double] = null,
+                             gcs: Array[Double] = null,
                              probe: BoundaryProbe = null)
       : Double = loss match {
     case SquaredError =>
@@ -285,11 +286,7 @@ object ConvTrain {
       -(t * math.log(math.max(pr, 1e-300)) +
         (1 - t) * math.log(math.max(1 - pr, 1e-300)))
     case CrossEntropy =>
-      val ti = {
-        var i = -1; var c = 0
-        while (c < outC && i < 0) { if (classes(c) == mv.toInt) i = c; c += 1 }
-        i
-      }
+      val ti = classIndex(classes, mv)
       if (ti < 0) { // torch ignore_index analog: unmapped mask value
         var oc = 0
         while (oc < outC) { d(oc)(p) = 0.0; oc += 1 }
@@ -321,15 +318,20 @@ object ConvTrain {
       0.0 // the dice loss is global; assembled from the stats driver-side
     case Dice(_) =>
       snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
+      // gc depends on c only — hoist its division out of the k loop
+      var c0 = 0
+      while (c0 < outC) {
+        val tv = target(classes, outC, c0, mv)
+        gcs(c0) = -((2.0 * tv * ctx.dd - ctx.nn) / (ctx.dd * ctx.dd))
+        c0 += 1
+      }
       var k = 0
       while (k < outC) {
         var acc = 0.0
         var c = 0
         while (c < outC) {
-          val tv = target(classes, outC, c, mv)
-          val gc = -((2.0 * tv * ctx.dd - ctx.nn) / (ctx.dd * ctx.dd))
           val dlt = if (c == k) 1.0 else 0.0
-          acc += gc * (pq(c) * (dlt - pq(k)))
+          acc += gcs(c) * (pq(c) * (dlt - pq(k)))
           c += 1
         }
         d(k)(p) = snap(acc, gradScale)
@@ -355,6 +357,13 @@ object ConvTrain {
       snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
       val ti = classIndex(classes, mv)
       val wt = if (ti < 0) 0.0 else if (cwArr == null) 1.0 else cwArr(ti)
+      // jc depends on c only — hoist its divisions out of the k loop
+      var c0 = 0
+      while (c0 < outC) {
+        val tin = if (ti == c0) 1.0 else 0.0
+        gcs(c0) = tin / ctx.iEps(c0) - (1.0 - tin) / ctx.uEps(c0)
+        c0 += 1
+      }
       var k = 0
       while (k < outC) {
         var acc =
@@ -364,10 +373,8 @@ object ConvTrain {
           else 0.0
         var c = 0
         while (c < outC) {
-          val tin = if (ti == c) 1.0 else 0.0
-          val jc = tin / ctx.iEps(c) - (1.0 - tin) / ctx.uEps(c)
           val dlt = if (c == k) 1.0 else 0.0
-          acc -= w * (pq(c) * (dlt - pq(k))) * jc
+          acc -= w * (pq(c) * (dlt - pq(k))) * gcs(c)
           c += 1
         }
         d(k)(p) = snap(acc, gradScale)
@@ -399,13 +406,14 @@ object ConvTrain {
       s"$lossFn is batch-globally coupled: run batchStats first")
     val pq = if (isCoupled(lossFn)) new Array[Double](outC) else null
     val aux = if (isCoupled(lossFn)) new Array[Double](2) else null
+    val gcs = if (isCoupled(lossFn)) new Array[Double](outC) else null
     // snapped residuals = loss gradient wrt the final logits
     var loss = 0.0
     var delta: Array[Array[Double]] = Array.fill(outC)(new Array[Double](n))
     var p0 = 0
     while (p0 < n) {
       loss += pixelResiduals(lossFn, net.classes, outC, last, p0, ch.mask(p0),
-        gradScale, delta, ctx, pq, aux, probe)
+        gradScale, delta, ctx, pq, aux, gcs, probe)
       p0 += 1
     }
     var li = layers.length - 1
@@ -509,10 +517,13 @@ object ConvTrain {
     var p1 = 1.0; var p2 = 1.0 // beta1^t, beta2^t via repeated multiply
     var e = 0
     while (e < epochs) {
+      // ONE weight broadcast per epoch, shared by the coupled stats
+      // pass and the gradient pass
+      val bc = spark.sparkContext.broadcast(net)
       val ctx = if (isCoupled(lossFn))
-        coupledCtx(lossFn, batchStats(chips, net, gradScale, lossFn))
+        coupledCtx(lossFn, batchStats(chips, net, gradScale, lossFn, bc))
       else null
-      val (df, bc) = gradRows(chips, net, gradScale, lossFn, ctx)
+      val (df, _) = gradRows(chips, net, gradScale, lossFn, ctx, bc)
       val parts = df.collect() // O(params) by construction
       // an empty epoch would record a fabricated 0.0 loss AND still
       // snap-quantize the weights — fail loudly instead
@@ -648,10 +659,11 @@ object ConvTrain {
     var e = 0
     while (e < epochs) {
       if (e == lrDropEpoch) lr = lrDropTo
+      val bc = spark.sparkContext.broadcast(net)
       val ctx = if (isCoupled(lossFn))
-        coupledCtx(lossFn, batchStats(train, net, gradScale, lossFn))
+        coupledCtx(lossFn, batchStats(train, net, gradScale, lossFn, bc))
       else null
-      val (df, bc) = gradRows(train, net, gradScale, lossFn, ctx)
+      val (df, _) = gradRows(train, net, gradScale, lossFn, ctx, bc)
       val parts = df.collect() // O(params) by construction
       require(parts.nonEmpty,
         "training epoch saw zero chips (empty train split)")
@@ -701,11 +713,12 @@ object ConvTrain {
     * Returns the aggregated frame plus the weight broadcast (caller
     * destroys it after consuming the frame). */
   private def gradRows(chips: Dataset[ChipRow], net: SegNet, gradScale: Double,
-                       lossFn: Loss = SquaredError, ctx: CoupledCtx = null)
+                       lossFn: Loss = SquaredError, ctx: CoupledCtx = null,
+                       bcIn: org.apache.spark.broadcast.Broadcast[SegNet] = null)
                       (implicit spark: SparkSession)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(net)
+    val bc = if (bcIn != null) bcIn else spark.sparkContext.broadcast(net)
     val df = chips.mapPartitions { it =>
       val nt = bc.value
       val gW = nt.layers.map(l => new Array[Double](l.weights.length)).toArray
@@ -736,24 +749,25 @@ object ConvTrain {
     gradRows(chips, net, math.pow(2.0, gradBits))._1
       .orderBy(col("li"), col("idx"))
 
-  /** Loss only (no backprop) — the holdout metric. */
+  /** Loss only (no backprop) — the holdout metric. A per-CHIP loss is
+    * undefined for the coupled losses (their value is assembled from
+    * batch-global sums, not a pixel sum), so those fail fast here: use
+    * batchStats + assembleLoss for a coupled holdout score. */
   private[graft] def chipLoss(ch: ChipRow, net: SegNet, gradScale: Double,
-                              lossFn: Loss = SquaredError,
-                              ctx: CoupledCtx = null): Double = {
+                              lossFn: Loss = SquaredError): Double = {
+    require(!isCoupled(lossFn),
+      s"$lossFn is batch-globally coupled: a per-chip loss is undefined — " +
+        "assemble the batch loss from batchStats instead")
     val n = ch.w * ch.h
     val outs = forwardAll(ch.bands, ch.w, ch.h, net)
     val last = outs(net.layers.length - 1)
     val outC = net.layers.last.outC
-    require(!isCoupled(lossFn) || ctx != null,
-      s"$lossFn is batch-globally coupled: run batchStats first")
-    val pq = if (isCoupled(lossFn)) new Array[Double](outC) else null
-    val aux = if (isCoupled(lossFn)) new Array[Double](2) else null
     val d = Array.fill(outC)(new Array[Double](n)) // residual scratch
     var loss = 0.0
     var p = 0
     while (p < n) {
       loss += pixelResiduals(lossFn, net.classes, outC, last, p, ch.mask(p),
-        gradScale, d, ctx, pq, aux)
+        gradScale, d)
       p += 1
     }
     loss
@@ -802,11 +816,12 @@ object ConvTrain {
     * class — the exchange carries O(partitions x classes) scalars,
     * never pixels. n and w ride the c == 0 row only. */
   private[graft] def statsRows(chips: Dataset[ChipRow], net: SegNet,
-                               gradScale: Double, lossFn: Loss)
+                               gradScale: Double, lossFn: Loss,
+                               bcIn: org.apache.spark.broadcast.Broadcast[SegNet] = null)
                               (implicit spark: SparkSession)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(net)
+    val bc = if (bcIn != null) bcIn else spark.sparkContext.broadcast(net)
     val outC = net.layers.last.outC
     val df = chips.mapPartitions { it =>
       val nt = bc.value
@@ -832,7 +847,8 @@ object ConvTrain {
     * shuffle carries scalar partials; the driver collects O(classes)
     * rows. */
   private[graft] def batchStats(chips: Dataset[ChipRow], net: SegNet,
-                                gradScale: Double, lossFn: Loss)
+                                gradScale: Double, lossFn: Loss,
+                                bcIn: org.apache.spark.broadcast.Broadcast[SegNet] = null)
                                (implicit spark: SparkSession): BatchStats = {
     val outC = net.layers.last.outC
     lossFn match {
@@ -844,9 +860,9 @@ object ConvTrain {
           s"classWeights length ${if (cw == null) 0 else cw.length} != $outC")
       case _ =>
     }
-    val (df, bc) = statsRows(chips, net, gradScale, lossFn)
+    val (df, bc) = statsRows(chips, net, gradScale, lossFn, bcIn)
     val rows = df.collect() // O(classes) rows by construction
-    bc.destroy()
+    if (bcIn == null) bc.destroy()
     require(rows.nonEmpty,
       "coupled-loss stats pass saw zero chips (empty dataset or batch)")
     val i = new Array[Double](outC)
@@ -857,6 +873,15 @@ object ConvTrain {
       val c = r.getInt(0)
       i(c) = r.getDouble(1); p(c) = r.getDouble(2); t(c) = r.getDouble(3)
       n += r.getLong(4); w += r.getDouble(5)
+    }
+    lossFn match {
+      // wt / wSum in the NLL residual would be 0/0 = NaN and silently
+      // corrupt every weight while assembleLoss reports a clean 0 —
+      // refuse the batch instead (torch's weighted-mean NLL also NaNs)
+      case LossMulti(_, _) => require(w > 0,
+        "LossMulti saw zero target-weight mass in this batch (no in-class " +
+          "pixels, or classWeights zeroes out every present class)")
+      case _ =>
     }
     BatchStats(i, p, t, n, w)
   }

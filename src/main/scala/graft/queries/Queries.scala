@@ -3587,7 +3587,9 @@ object Queries {
         l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
     }
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
-      .select(col("kind"), col("li"), col("idx"), round(col("v"), 6).as("v"))
+      .select(col("kind"), col("li"), col("idx"),
+        when(col("kind") === "loss", round(col("v"), 6))
+          .otherwise(col("v")).as("v"))
   }
 
   val qTrainLossbSql: String =
@@ -3601,7 +3603,7 @@ object Queries {
        |${sgdGradSql("lb1", "lb1", "cpx")},
        |${sgdStepSql("lb1", "lb1", "lb2", lrDenom = "1024", snapS = "1048576")}
        |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx,
-       |  round(v, 6) AS v FROM (
+       |  CASE WHEN kind = 'loss' THEN round(v, 6) ELSE v END AS v FROM (
        |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_lb0
        |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_lb1
        |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_lb2
@@ -3699,7 +3701,9 @@ object Queries {
         l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
     }
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
-      .select(col("kind"), col("li"), col("idx"), round(col("v"), 6).as("v"))
+      .select(col("kind"), col("li"), col("idx"),
+        when(col("kind") === "loss", round(col("v"), 6))
+          .otherwise(col("v")).as("v"))
   }
 
   val qTrainLossmSql: String =
@@ -3713,7 +3717,7 @@ object Queries {
        |${sgdGradSql("lm1", "lm1", "cpx")},
        |${sgdStepSql("lm1", "lm1", "lm2", lrDenom = "1024", snapS = "1048576")}
        |SELECT kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx,
-       |  round(v, 6) AS v FROM (
+       |  CASE WHEN kind = 'loss' THEN round(v, 6) ELSE v END AS v FROM (
        |  SELECT 'loss' AS kind, 0 AS li, 0 AS idx, l AS v FROM loss_lm0
        |  UNION ALL SELECT 'loss', 1, 0, l FROM loss_lm1
        |  UNION ALL SELECT 'w', 0, ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_lm2

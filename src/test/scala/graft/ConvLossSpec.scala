@@ -238,6 +238,13 @@ class ConvLossSpec extends AnyFunSuite {
       ConvTrain.batchStats(fixtureChips(), ConvNet.fixtureNetSoft, 256.0,
         ConvTrain.LossMulti(0.5, Array(1.0)))
     }
+    intercept[IllegalArgumentException] { // per-chip loss undefined
+      ConvTrain.chipLoss(ch, ConvNet.fixtureNetSoft, 256.0, ConvTrain.Dice())
+    }
+    intercept[IllegalArgumentException] { // zero weight mass -> NaN grads
+      ConvTrain.batchStats(fixtureChips(), ConvNet.fixtureNetSoft, 256.0,
+        ConvTrain.LossMulti(0.5, Array(0.0, 0.0)))
+    }
   }
 
   /** Walks every epoch of BOTH coupled-loss oracle fixtures with the
