@@ -846,20 +846,32 @@ object ConvTrain {
   /** Batch-global stats for a coupled loss: ONE forward-only job whose
     * shuffle carries scalar partials; the driver collects O(classes)
     * rows. */
+  /** Net-shape preconditions of the coupled losses. */
+  private def checkLossShape(lossFn: Loss, outC: Int): Unit = lossFn match {
+    case LossBinary(_) => require(outC == 1,
+      "LossBinary (loss.py:8-29) is the single-logit loss")
+    case LossMulti(_, cw) =>
+      require(outC >= 2, "LossMulti needs a multi-channel net")
+      require(cw == null || cw.length == outC,
+        s"classWeights length ${if (cw == null) 0 else cw.length} != $outC")
+    case _ =>
+  }
+
+  /** Zero-mass batches make LossMulti's wt/wSum residual 0/0 = NaN —
+    * refuse them loudly (torch's weighted-mean NLL also NaNs). */
+  private def checkWeightMass(lossFn: Loss, w: Double): Unit = lossFn match {
+    case LossMulti(_, _) => require(w > 0,
+      "LossMulti saw zero target-weight mass in this batch (no in-class " +
+        "pixels, or classWeights zeroes out every present class)")
+    case _ =>
+  }
+
   private[graft] def batchStats(chips: Dataset[ChipRow], net: SegNet,
                                 gradScale: Double, lossFn: Loss,
                                 bcIn: org.apache.spark.broadcast.Broadcast[SegNet] = null)
                                (implicit spark: SparkSession): BatchStats = {
     val outC = net.layers.last.outC
-    lossFn match {
-      case LossBinary(_) => require(outC == 1,
-        "LossBinary (loss.py:8-29) is the single-logit loss")
-      case LossMulti(_, cw) =>
-        require(outC >= 2, "LossMulti needs a multi-channel net")
-        require(cw == null || cw.length == outC,
-          s"classWeights length ${if (cw == null) 0 else cw.length} != $outC")
-      case _ =>
-    }
+    checkLossShape(lossFn, outC)
     val (df, bc) = statsRows(chips, net, gradScale, lossFn, bcIn)
     val rows = df.collect() // O(classes) rows by construction
     if (bcIn == null) bc.destroy()
@@ -874,15 +886,7 @@ object ConvTrain {
       i(c) = r.getDouble(1); p(c) = r.getDouble(2); t(c) = r.getDouble(3)
       n += r.getLong(4); w += r.getDouble(5)
     }
-    lossFn match {
-      // wt / wSum in the NLL residual would be 0/0 = NaN and silently
-      // corrupt every weight while assembleLoss reports a clean 0 —
-      // refuse the batch instead (torch's weighted-mean NLL also NaNs)
-      case LossMulti(_, _) => require(w > 0,
-        "LossMulti saw zero target-weight mass in this batch (no in-class " +
-          "pixels, or classWeights zeroes out every present class)")
-      case _ =>
-    }
+    checkWeightMass(lossFn, w)
     BatchStats(i, p, t, n, w)
   }
 
@@ -902,6 +906,93 @@ object ConvTrain {
       }
       (1.0 - w) * (if (ctx.wSum > 0) pixelSum / ctx.wSum else 0.0) - w * j
     case _ => pixelSum
+  }
+
+  /** Raw snapped pixel-sum ingredient of a coupled batch loss (the
+    * BCE/NLL terms of LossBinary / LossMulti) for one chip — NOT a
+    * loss by itself; feed the batch total to assembleLoss with the
+    * batch ctx. Dice has no pixel term (always 0). */
+  private def chipPixelSum(ch: ChipRow, net: SegNet, gradScale: Double,
+                           lossFn: Loss, ctx: CoupledCtx): Double = {
+    require(isCoupled(lossFn) && ctx != null,
+      "chipPixelSum is the coupled-loss ingredient: run batchStats first")
+    val n = ch.w * ch.h
+    val outs = forwardAll(ch.bands, ch.w, ch.h, net)
+    val last = outs(net.layers.length - 1)
+    val outC = net.layers.last.outC
+    val pq = new Array[Double](outC)
+    val aux = new Array[Double](2)
+    val gcs = new Array[Double](outC)
+    val d = Array.fill(outC)(new Array[Double](n)) // residual scratch
+    var ps = 0.0
+    var p = 0
+    while (p < n) {
+      ps += pixelResiduals(lossFn, net.classes, outC, last, p, ch.mask(p),
+        gradScale, d, ctx, pq, aux, gcs)
+      p += 1
+    }
+    ps
+  }
+
+  /** Per-candidate batch stats for a coupled loss in ONE data pass:
+    * every partition folds its chips through ALL K candidate nets
+    * (K x classes scalar accumulators) and emits (ci, c, i, p, t, n, w)
+    * rows — the same one-read-per-epoch contract as the gridSearch
+    * gradient pass, K x FLOPs but never a second scan. */
+  private def gridStats(data: Dataset[ChipRow],
+                        bc: org.apache.spark.broadcast.Broadcast[Array[SegNet]],
+                        scales: Array[Double], lossFn: Loss)
+                       (implicit spark: SparkSession): Array[BatchStats] = {
+    import spark.implicits._
+    val k0 = bc.value.length
+    val rows = data.mapPartitions { it =>
+      val nts = bc.value
+      val k = nts.length
+      val outCs = nts.map(_.layers.last.outC)
+      val iA = Array.tabulate(k)(ci => new Array[Double](outCs(ci)))
+      val pA = Array.tabulate(k)(ci => new Array[Double](outCs(ci)))
+      val tA = Array.tabulate(k)(ci => new Array[Double](outCs(ci)))
+      val nA = new Array[Long](k)
+      val wA = new Array[Double](k)
+      var any = false
+      while (it.hasNext) {
+        val ch = it.next(); any = true
+        var ci = 0
+        while (ci < k) {
+          val (cn, cw) =
+            chipStats(ch, nts(ci), scales(ci), lossFn, iA(ci), pA(ci), tA(ci))
+          nA(ci) += cn; wA(ci) += cw
+          ci += 1
+        }
+      }
+      if (!any) Iterator.empty
+      else (0 until k).iterator.flatMap { ci =>
+        (0 until outCs(ci)).iterator.map(c =>
+          (ci, c, iA(ci)(c), pA(ci)(c), tA(ci)(c),
+            if (c == 0) nA(ci) else 0L, if (c == 0) wA(ci) else 0.0))
+      }
+    }.toDF("ci", "c", "i", "p", "t", "n", "w")
+      .groupBy("ci", "c").agg(sum("i").as("i"), sum("p").as("p"),
+        sum("t").as("t"), sum("n").as("n"), sum("w").as("w"))
+      .collect() // O(K x classes) rows by construction
+    require(rows.nonEmpty,
+      "coupled-loss stats pass saw zero chips (empty dataset or split)")
+    val outC = bc.value.head.layers.last.outC
+    val i = Array.fill(k0)(new Array[Double](outC))
+    val p = Array.fill(k0)(new Array[Double](outC))
+    val t = Array.fill(k0)(new Array[Double](outC))
+    val n = new Array[Long](k0)
+    val w = new Array[Double](k0)
+    rows.foreach { r =>
+      val ci = r.getInt(0); val c = r.getInt(1)
+      i(ci)(c) = r.getDouble(2); p(ci)(c) = r.getDouble(3)
+      t(ci)(c) = r.getDouble(4)
+      n(ci) += r.getLong(5); w(ci) += r.getDouble(6)
+    }
+    Array.tabulate(k0) { ci =>
+      checkWeightMass(lossFn, w(ci))
+      BatchStats(i(ci), p(ci), t(ci), n(ci), w(ci))
+    }
   }
 
   /** Mini-batch SGD — the torch-DataLoader loop shape (convnet.py's
@@ -964,14 +1055,20 @@ object ConvTrain {
     * training set in each (the process-boundary it documents);
     * selection here is on a deterministic holdout split (even grid
     * parity trains, odd validates — the CV stand-in the fixture oracle
-    * can replay), lowest snapped-residual holdout loss wins, ties to
-    * the first candidate in input order. */
+    * can replay), lowest holdout loss wins, ties to the first
+    * candidate in input order. A coupled `lossFn` (Dice — the
+    * reference's actual optuna objective loss — LossBinary, LossMulti)
+    * trains and selects with the same one-read-per-epoch contract:
+    * the stats pass folds all K candidates in a single scan, and the
+    * holdout score is the assembled batch loss over the odd split. */
   def gridSearch(chips: Dataset[ChipRow], net0: SegNet,
-                 cands: Seq[Candidate], epochs: Int)
+                 cands: Seq[Candidate], epochs: Int,
+                 lossFn: Loss = SquaredError)
                 (implicit spark: SparkSession)
       : (CandidateResult, Seq[CandidateResult]) = {
     import spark.implicits._
     require(cands.nonEmpty && epochs >= 1)
+    checkLossShape(lossFn, net0.layers.last.outC)
     val train = chips.filter(ch => !isHoldout(ch))
     val hold = chips.filter(ch => isHoldout(ch))
     val scales = cands.map(c => math.pow(2.0, c.gradBits)).toArray
@@ -980,6 +1077,12 @@ object ConvTrain {
     var e = 0
     while (e < epochs) {
       val bc = spark.sparkContext.broadcast(nets)
+      // a coupled loss adds ONE forward-only stats read per epoch (all
+      // K candidates in that single pass), sharing the epoch broadcast
+      val ctxs: Array[CoupledCtx] =
+        if (isCoupled(lossFn))
+          gridStats(train, bc, scales, lossFn).map(coupledCtx(lossFn, _))
+        else null
       val agg = train.mapPartitions { it =>
         val nts = bc.value
         val k = nts.length
@@ -993,7 +1096,8 @@ object ConvTrain {
           val ch = it.next(); any = true
           var ci = 0
           while (ci < k) {
-            loss(ci) += chipGrad(ch, nts(ci), scales(ci), gW(ci), gB(ci))
+            loss(ci) += chipGrad(ch, nts(ci), scales(ci), gW(ci), gB(ci),
+              lossFn, if (ctxs == null) null else ctxs(ci))
             ci += 1
           }
         }
@@ -1013,7 +1117,8 @@ object ConvTrain {
         new Array[Double](l.weights.length + l.bias.length)).toArray)
       agg.foreach { r =>
         val ci = r.getInt(0); val li = r.getInt(1)
-        if (li < 0) lossTrails(ci) += r.getDouble(3)
+        if (li < 0) lossTrails(ci) += assembleLoss(lossFn, r.getDouble(3),
+          if (ctxs == null) null else ctxs(ci))
         else grads(ci)(li)(r.getInt(2)) = r.getDouble(3)
       }
       nets = Array.tabulate(nets.length) { ci =>
@@ -1031,31 +1136,49 @@ object ConvTrain {
       bc.destroy()
       e += 1
     }
-    // holdout loss for every candidate in ONE validation pass
+    // holdout loss for every candidate in ONE validation pass (a
+    // coupled loss needs its holdout-batch stats first — one more
+    // forward-only read — then the pixel-sum pass; Dice's pixel term
+    // is identically 0, so its score comes from the stats alone)
     val bcF = spark.sparkContext.broadcast(nets)
-    val holdLoss = hold.mapPartitions { it =>
-      val nts = bcF.value
-      val loss = new Array[Double](nts.length)
-      var any = false
-      while (it.hasNext) {
-        val ch = it.next(); any = true
-        var ci = 0
-        while (ci < nts.length) {
-          loss(ci) += chipLoss(ch, nts(ci), scales(ci)); ci += 1
-        }
-      }
-      if (!any) Iterator.empty
-      else loss.iterator.zipWithIndex.map { case (v, ci) => (ci, v) }
-    }.toDF("ci", "v").groupBy("ci").agg(sum("v").as("v"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val holdCtxs: Array[CoupledCtx] =
+      if (isCoupled(lossFn))
+        gridStats(hold, bcF, scales, lossFn).map(coupledCtx(lossFn, _))
+      else null
+    val holdLoss: Map[Int, Double] = lossFn match {
+      case Dice(_) => cands.indices.map(ci => ci -> 0.0).toMap
+      case _ =>
+        val m = hold.mapPartitions { it =>
+          val nts = bcF.value
+          val loss = new Array[Double](nts.length)
+          var any = false
+          while (it.hasNext) {
+            val ch = it.next(); any = true
+            var ci = 0
+            while (ci < nts.length) {
+              loss(ci) +=
+                (if (holdCtxs == null) chipLoss(ch, nts(ci), scales(ci), lossFn)
+                 else chipPixelSum(ch, nts(ci), scales(ci), lossFn,
+                   holdCtxs(ci)))
+              ci += 1
+            }
+          }
+          if (!any) Iterator.empty
+          else loss.iterator.zipWithIndex.map { case (v, ci) => (ci, v) }
+        }.toDF("ci", "v").groupBy("ci").agg(sum("v").as("v"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        // an empty holdout would give every candidate a fabricated
+        // perfect 0.0 and silently select the first — fail loudly
+        // (the coupled path already failed inside gridStats)
+        require(m.nonEmpty, "holdout split is empty — cannot select a candidate")
+        m
+    }
     bcF.destroy()
-    // an empty holdout would give every candidate a fabricated perfect
-    // 0.0 and silently select the first — fail loudly instead
-    require(holdLoss.nonEmpty,
-      "holdout split is empty — cannot select a candidate")
     val results = cands.indices.map { ci =>
       CandidateResult(cands(ci).name, cands(ci).lr, cands(ci).gradBits,
-        lossTrails(ci).result(), holdLoss.getOrElse(ci, 0.0), nets(ci))
+        lossTrails(ci).result(),
+        assembleLoss(lossFn, holdLoss.getOrElse(ci, 0.0),
+          if (holdCtxs == null) null else holdCtxs(ci)), nets(ci))
     }
     val winner = results.zipWithIndex.minBy { case (r, i) => (r.holdoutLoss, i) }._1
     (winner, results)

@@ -329,6 +329,41 @@ class ConvLossSpec extends AnyFunSuite {
       "per-batch dice sums should differ from the full-batch loss")
   }
 
+  test("gridSearch trains and selects with Dice (the optuna objective loss)") {
+    val chips = fixtureChips()
+    val lr = math.pow(2.0, -10)
+    // a single Dice candidate's net equals the plain coupled loop on
+    // the train split, bit for bit
+    val (w1, res1) = ConvTrain.gridSearch(chips, ConvNet.fixtureNetSoft,
+      Seq(ConvTrain.Candidate("a", lr, gradBits = 20)), epochs = 2,
+      lossFn = ConvTrain.Dice())
+    val train = chips.filter(ch => !ConvTrain.isHoldout(ch))
+    val (nRef, lRef) = ConvTrain.trainSegOpt(train, ConvNet.fixtureNetSoft,
+      epochs = 2, ConvTrain.Sgd(lr), gradBits = 20,
+      lossFn = ConvTrain.Dice())
+    assert(w1.trainLosses == lRef)
+    w1.net.layers.zip(nRef.layers).foreach { case (a, b) =>
+      assert(a.weights.sameElements(b.weights) && a.bias.sameElements(b.bias))
+    }
+    // the holdout score is the assembled dice loss over the odd split
+    val hold = chips.filter(ConvTrain.isHoldout _)
+    val st = ConvTrain.batchStats(hold, w1.net, math.pow(2.0, 20),
+      ConvTrain.Dice())
+    val expected = ConvTrain.assembleLoss(ConvTrain.Dice(), 0.0,
+      ConvTrain.coupledCtx(ConvTrain.Dice(), st))
+    assert(w1.holdoutLoss == expected)
+    // two candidates: deterministic winner, both trails distinct
+    val (w2, res2) = ConvTrain.gridSearch(chips, ConvNet.fixtureNetSoft,
+      Seq(ConvTrain.Candidate("a", lr, gradBits = 20),
+        ConvTrain.Candidate("b", lr / 4, gradBits = 20)), epochs = 2,
+      lossFn = ConvTrain.Dice())
+    assert(res2.map(_.name) == Seq("a", "b"))
+    assert(res2.forall(_.trainLosses.nonEmpty))
+    assert(w2.holdoutLoss == res2.map(_.holdoutLoss).min)
+    assert(res1.head.holdoutLoss == res2.head.holdoutLoss,
+      "candidate a must score identically regardless of the pool")
+  }
+
   test("coupled stats exchange carries scalar rows only (plan gate)") {
     val (df, bc) = ConvTrain.statsRows(fixtureChips(), ConvNet.fixtureNetSoft,
       math.pow(2.0, 20), ConvTrain.Dice())
