@@ -3459,13 +3459,17 @@ object Queries {
        |  FROM s2_$suf s JOIN zz_$suf z ON z.cx = s.cx AND z.cy = s.cy
        |    AND z.lx = s.lx AND z.ly = s.ly)""".stripMargin
 
-  private def diceSql(suf: String): String =
+  private def diceStatsSql(suf: String): String =
     s"""${softmaxSql(suf)},
        |st_$suf AS MATERIALIZED (
        |  SELECT 2.0 * sum(p.pq * t.t) + 1.0 AS nn,
        |    sum(p.pq) + sum(t.t) + 1.0 AS dd
        |  FROM pq_$suf p JOIN tgt t ON t.cx = p.cx AND t.cy = p.cy
        |    AND t.lx = p.lx AND t.ly = p.ly AND t.oc2 = p.oc2),
+       |loss_$suf AS MATERIALIZED (SELECT 1.0 - nn / dd AS l FROM st_$suf)""".stripMargin
+
+  private def diceSql(suf: String): String =
+    s"""${diceStatsSql(suf)},
        |r_$suf AS MATERIALIZED (
        |  SELECT k.cx, k.cy, k.lx, k.ly, k.oc2,
        |    floor(sum(
@@ -3477,8 +3481,7 @@ object Queries {
        |    AND c.ly = k.ly
        |  JOIN tgt t ON t.cx = c.cx AND t.cy = c.cy AND t.lx = c.lx
        |    AND t.ly = c.ly AND t.oc2 = c.oc2, st_$suf st
-       |  GROUP BY k.cx, k.cy, k.lx, k.ly, k.oc2, k.pq),
-       |loss_$suf AS MATERIALIZED (SELECT 1.0 - nn / dd AS l FROM st_$suf)""".stripMargin
+       |  GROUP BY k.cx, k.cy, k.lx, k.ly, k.oc2, k.pq)""".stripMargin
 
   /** LossBinary (loss.py:8-29, jaccard weight 0.5) CTEs for epoch
     * `$suf`: snapped sigmoid probs, the batch-global I+eps / U-I+eps /
@@ -3724,6 +3727,90 @@ object Queries {
        |  UNION ALL SELECT 'b', 0, oc, bt FROM b1_lm2
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_lm2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_lm2)""".stripMargin
+
+  /** q_grid_dice — hyper-parameter grid search trained and SELECTED
+    * with the reference's actual loss (smp DiceLoss, the optuna
+    * objective, convnet.py:322): 2 lr candidates, 2 coupled SGD epochs
+    * each on the even-parity split, holdout = the assembled dice loss
+    * over the odd split. All K candidates' stats and gradients come
+    * from one read per epoch (gridStats + the K-accumulator gradient
+    * pass). The oracle replays both candidates' coupled training, both
+    * holdout stats passes, the argmin winner, and the winner's
+    * weights — everything exact (dice's loss is a ratio of exact
+    * dyadic sums, no rounding anywhere). */
+  def qGridDice(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val masks = spark.createDataset(GridImages.maskImages(1).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(gridImages(spark, 1, 2), masks,
+      chipSize = 16, includeZero = true)
+    val cands = Seq(
+      ConvTrain.Candidate("a", math.pow(2.0, -10), gradBits = 20),
+      ConvTrain.Candidate("b", math.pow(2.0, -12), gradBits = 20))
+    val (winner, results) = ConvTrain.gridSearch(chips, ConvNet.fixtureNetSoft,
+      cands, epochs = 2, lossFn = ConvTrain.Dice())
+    val lossRows = results.flatMap { r =>
+      r.trainLosses.zipWithIndex.map { case (l, e) =>
+        (r.name, "train", 0, e, l) } :+
+        ((r.name, "hold", 0, 0, r.holdoutLoss))
+    }
+    val winRows = Seq((winner.name, "winner", 0, 0, 1.0))
+    val wRows = winner.net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) =>
+        (winner.name, "w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) =>
+          (winner.name, "b", li, i, b.toDouble) }
+    }
+    (lossRows ++ winRows ++ wRows).toDF("cand", "kind", "li", "idx", "v")
+  }
+
+  val qGridDiceSql: String = {
+    def candSql(tag: String, lrDenom: String): String =
+      s"""${fwdCoreSql(s"${tag}d0", "0", "cpxt")},
+         |${diceSql(s"${tag}d0")},
+         |${sgdGradSql(s"${tag}d0", "0", "cpxt")},
+         |${sgdStepSql(s"${tag}d0", "0", s"${tag}d1", lrDenom, "1048576")},
+         |${fwdCoreSql(s"${tag}d1", s"${tag}d1", "cpxt")},
+         |${diceSql(s"${tag}d1")},
+         |${sgdGradSql(s"${tag}d1", s"${tag}d1", "cpxt")},
+         |${sgdStepSql(s"${tag}d1", s"${tag}d1", s"${tag}d2", lrDenom,
+                       "1048576")},
+         |${fwdCoreSql(s"${tag}dH", s"${tag}d2", "cpxh")},
+         |${diceStatsSql(s"${tag}dH")}""".stripMargin
+    s"""WITH ${softPreambleSql(binary = false)},
+       |cpxt AS MATERIALIZED (
+       |  SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
+       |cpxh AS MATERIALIZED (
+       |  SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1),
+       |${candSql("a", "1024")},
+       |${candSql("b", "4096")},
+       |hl AS (SELECT 'a' AS cand, l FROM loss_adH
+       |       UNION ALL SELECT 'b', l FROM loss_bdH),
+       |win AS (SELECT cand FROM hl ORDER BY l, cand LIMIT 1),
+       |wts AS (
+       |  SELECT 'a' AS cand, 'w' AS kind, 0 AS li,
+       |    ((oc*2 + ic)*3 + dy+1)*3 + dx+1 AS idx, wt AS v FROM w1_ad2
+       |  UNION ALL SELECT 'a', 'b', 0, oc, bt FROM b1_ad2
+       |  UNION ALL SELECT 'a', 'w', 1, oc2*3 + ic, wt FROM w2_ad2
+       |  UNION ALL SELECT 'a', 'b', 1, oc2, bt FROM b2_ad2
+       |  UNION ALL SELECT 'b', 'w', 0,
+       |    ((oc*2 + ic)*3 + dy+1)*3 + dx+1, wt FROM w1_bd2
+       |  UNION ALL SELECT 'b', 'b', 0, oc, bt FROM b1_bd2
+       |  UNION ALL SELECT 'b', 'w', 1, oc2*3 + ic, wt FROM w2_bd2
+       |  UNION ALL SELECT 'b', 'b', 1, oc2, bt FROM b2_bd2)
+       |SELECT cand, kind, CAST(li AS INT) AS li, CAST(idx AS INT) AS idx, v
+       |FROM (
+       |  SELECT 'a' AS cand, 'train' AS kind, 0 AS li, 0 AS idx, l AS v
+       |  FROM loss_ad0
+       |  UNION ALL SELECT 'a', 'train', 0, 1, l FROM loss_ad1
+       |  UNION ALL SELECT 'b', 'train', 0, 0, l FROM loss_bd0
+       |  UNION ALL SELECT 'b', 'train', 0, 1, l FROM loss_bd1
+       |  UNION ALL SELECT cand, 'hold', 0, 0, l FROM hl
+       |  UNION ALL SELECT cand, 'winner', 0, 0, CAST(1 AS DOUBLE) FROM win
+       |  UNION ALL SELECT w.cand, w.kind, w.li, w.idx, w.v
+       |  FROM wts w JOIN win USING (cand))""".stripMargin
+  }
 
   /** q_train_checkpoint — the reference's FULL training loop
     * (convnet.py:327-374): 3 epochs of SGD on the even-parity train
