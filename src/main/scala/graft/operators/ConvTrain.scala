@@ -283,8 +283,12 @@ object ConvTrain {
       val s = logits(0)(p).toDouble
       val pr = 1.0 / (1.0 + math.exp(-s))
       d(0)(p) = snap(pr - t, gradScale)
-      -(t * math.log(math.max(pr, 1e-300)) +
-        (1 - t) * math.log(math.max(1 - pr, 1e-300)))
+      // snapped so the epoch-loss SUM is exact and order-invariant —
+      // without it the reduce-order of transcendental partials would
+      // break the file's bit-determinism contract (gradients were
+      // already exact; this makes the reported loss exact too)
+      snap(-(t * math.log(math.max(pr, 1e-300)) +
+        (1 - t) * math.log(math.max(1 - pr, 1e-300))), gradScale)
     case CrossEntropy =>
       val ti = classIndex(classes, mv)
       if (ti < 0) { // torch ignore_index analog: unmapped mask value
@@ -304,7 +308,7 @@ object ConvTrain {
           d(oc)(p) = snap(pr - (if (oc == ti) 1.0 else 0.0), gradScale)
           oc += 1
         }
-        -(logits(ti)(p) - mx - math.log(z))
+        snap(-(logits(ti)(p) - mx - math.log(z)), gradScale)
       }
     case Dice(_) if outC == 1 =>
       snapProbs(loss, logits, p, outC, gradScale, pq, aux, probe)
@@ -507,62 +511,85 @@ object ConvTrain {
                  (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
     require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
     val gradScale = math.pow(2.0, gradBits)
+    val lr0 = opt match { case Sgd(l) => l; case Adam(l, _, _, _) => l }
     var net = net0
     val losses = Seq.newBuilder[Double]
-    // Adam first/second moments per layer over [weights ++ bias]
-    val mom1 = net0.layers.map(l =>
-      new Array[Double](l.weights.length + l.bias.length)).toArray
-    val mom2 = net0.layers.map(l =>
-      new Array[Double](l.weights.length + l.bias.length)).toArray
-    var p1 = 1.0; var p2 = 1.0 // beta1^t, beta2^t via repeated multiply
+    val st = new OptState(net0)
     var e = 0
     while (e < epochs) {
-      // ONE weight broadcast per epoch, shared by the coupled stats
-      // pass and the gradient pass
-      val bc = spark.sparkContext.broadcast(net)
-      val ctx = if (isCoupled(lossFn))
-        coupledCtx(lossFn, batchStats(chips, net, gradScale, lossFn, bc))
-      else null
-      val (df, _) = gradRows(chips, net, gradScale, lossFn, ctx, bc)
-      val parts = df.collect() // O(params) by construction
-      // an empty epoch would record a fabricated 0.0 loss AND still
-      // snap-quantize the weights — fail loudly instead
-      require(parts.nonEmpty,
-        "training epoch saw zero chips (empty dataset or batch)")
-      var loss = 0.0
-      val grads = net.layers.map(l =>
-        new Array[Double](l.weights.length + l.bias.length)).toArray
-      parts.foreach { r =>
-        val li = r.getInt(0)
-        if (li < 0) loss = r.getDouble(2)
-        else grads(li)(r.getInt(1)) = r.getDouble(2)
-      }
-      losses += assembleLoss(lossFn, loss, ctx)
-      opt match {
-        case Adam(_, b1, b2, _) => p1 *= b1; p2 *= b2
-        case _ =>
-      }
-      def step(li: Int, i: Int): Double = opt match {
-        case Sgd(lr) => lr * grads(li)(i)
-        case Adam(lr, b1, b2, eps) =>
-          val g = grads(li)(i)
-          val m = b1 * mom1(li)(i) + (1 - b1) * g
-          val v = b2 * mom2(li)(i) + (1 - b2) * g * g
-          mom1(li)(i) = m; mom2(li)(i) = v
-          lr * (m / (1 - p1)) / (math.sqrt(v / (1 - p2)) + eps)
-      }
-      net = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
-        val wl = l.weights.length
-        l.copy(
-          weights = Array.tabulate(wl)(i =>
-            snap(l.weights(i) - step(li, i), gradScale).toFloat),
-          bias = Array.tabulate(l.bias.length)(i =>
-            snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
-      }, net.classes)
-      bc.destroy()
+      val (stepped, loss) = runEpoch(chips, net, gradScale, lossFn, opt,
+        lr0, st, "training epoch saw zero chips (empty dataset or batch)")
+      net = stepped
+      losses += loss
       e += 1
     }
     (net, losses.result())
+  }
+
+  /** Mutable optimizer state carried across epochs: Adam first/second
+    * moments per layer over [weights ++ bias], beta^t products by
+    * repeated multiply (never pow(), whose rounding is
+    * implementation-defined). */
+  private final class OptState(net0: SegNet) {
+    val mom1: Array[Array[Double]] = net0.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    val mom2: Array[Array[Double]] = net0.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    var p1 = 1.0; var p2 = 1.0
+  }
+
+  /** ONE full-batch epoch, shared by trainSegOpt and the checkpointed
+    * loop so the optimizer-step arithmetic exists exactly once: the
+    * coupled stats pass (when the loss needs it) and the gradient pass
+    * share a single weight broadcast; the driver collects O(params)
+    * rows, applies the step at learning rate `lr` (passed separately
+    * so the checkpointed lr drop overrides the optimizer's own), and
+    * snap-quantizes the update. Returns the stepped net and the
+    * ASSEMBLED epoch loss (measured at the starting weights) —
+    * an empty epoch fails loudly with `emptyMsg` since it would record
+    * a fabricated 0.0 loss AND still snap-quantize the weights. */
+  private def runEpoch(data: Dataset[ChipRow], net: SegNet, gradScale: Double,
+                       lossFn: Loss, opt: Optimizer, lr: Double,
+                       st: OptState, emptyMsg: String)
+                      (implicit spark: SparkSession): (SegNet, Double) = {
+    val bc = spark.sparkContext.broadcast(net)
+    val ctx = if (isCoupled(lossFn))
+      coupledCtx(lossFn, batchStats(data, net, gradScale, lossFn, bc))
+    else null
+    val (df, _) = gradRows(data, net, gradScale, lossFn, ctx, bc)
+    val parts = df.collect() // O(params) by construction
+    require(parts.nonEmpty, emptyMsg)
+    var loss = 0.0
+    val grads = net.layers.map(l =>
+      new Array[Double](l.weights.length + l.bias.length)).toArray
+    parts.foreach { r =>
+      val li = r.getInt(0)
+      if (li < 0) loss = r.getDouble(2)
+      else grads(li)(r.getInt(1)) = r.getDouble(2)
+    }
+    opt match {
+      case Adam(_, b1, b2, _) => st.p1 *= b1; st.p2 *= b2
+      case _ =>
+    }
+    def step(li: Int, i: Int): Double = opt match {
+      case Sgd(_) => lr * grads(li)(i)
+      case Adam(_, b1, b2, eps) =>
+        val g = grads(li)(i)
+        val m = b1 * st.mom1(li)(i) + (1 - b1) * g
+        val v = b2 * st.mom2(li)(i) + (1 - b2) * g * g
+        st.mom1(li)(i) = m; st.mom2(li)(i) = v
+        lr * (m / (1 - st.p1)) / (math.sqrt(v / (1 - st.p2)) + eps)
+    }
+    val stepped = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
+      val wl = l.weights.length
+      l.copy(
+        weights = Array.tabulate(wl)(i =>
+          snap(l.weights(i) - step(li, i), gradScale).toFloat),
+        bias = Array.tabulate(l.bias.length)(i =>
+          snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
+    }, net.classes)
+    bc.destroy()
+    (stepped, assembleLoss(lossFn, loss, ctx))
   }
 
   /** Full-batch SGD (the common case). */
@@ -593,7 +620,9 @@ object ConvTrain {
       val inter = new Array[Long](classes.length)
       val nPred = new Array[Long](classes.length)
       val nMask = new Array[Long](classes.length)
+      var any = false
       it.foreach { ch =>
+        any = true
         val planes = forwardAll(ch.bands, ch.w, ch.h, nt).last
         var p = 0
         while (p < ch.w * ch.h) {
@@ -610,7 +639,11 @@ object ConvTrain {
           p += 1
         }
       }
-      classes.indices.iterator.map(c => (c, inter(c), nPred(c), nMask(c)))
+      // an empty partition must emit NOTHING: all-zero rows would read
+      // as uni == 0 -> IoU 1.0, fabricating a perfect score on an
+      // empty chip set
+      if (!any) Iterator.empty
+      else classes.indices.iterator.map(c => (c, inter(c), nPred(c), nMask(c)))
     }.toDF("c", "inter", "np", "nm")
       .groupBy("c")
       .agg(sum("inter").as("inter"), sum("np").as("np"), sum("nm").as("nm"))
@@ -644,6 +677,11 @@ object ConvTrain {
     require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
     val train = chips.filter(ch => !isVal(ch))
     val valid = chips.filter(ch => isVal(ch))
+    // an empty validation split would score every epoch 0 and the loop
+    // would silently return the untrained fail-safe — fail loudly, the
+    // same contract as the empty-train require below
+    require(!valid.isEmpty,
+      "trainSegCheckpoint: validation split is empty — isVal matched no chips")
     val gradScale = math.pow(2.0, gradBits)
     var net = net0
     var lr = opt match { case Sgd(l) => l; case Adam(l, _, _, _) => l }
@@ -651,56 +689,17 @@ object ConvTrain {
     var bestScore = 0.0
     var everSaved = false
     val logs = Seq.newBuilder[EpochLog]
-    val mom1 = net0.layers.map(l =>
-      new Array[Double](l.weights.length + l.bias.length)).toArray
-    val mom2 = net0.layers.map(l =>
-      new Array[Double](l.weights.length + l.bias.length)).toArray
-    var p1 = 1.0; var p2 = 1.0
+    val st = new OptState(net0)
     var e = 0
     while (e < epochs) {
       if (e == lrDropEpoch) lr = lrDropTo
-      val bc = spark.sparkContext.broadcast(net)
-      val ctx = if (isCoupled(lossFn))
-        coupledCtx(lossFn, batchStats(train, net, gradScale, lossFn, bc))
-      else null
-      val (df, _) = gradRows(train, net, gradScale, lossFn, ctx, bc)
-      val parts = df.collect() // O(params) by construction
-      require(parts.nonEmpty,
-        "training epoch saw zero chips (empty train split)")
-      var loss = 0.0
-      val grads = net.layers.map(l =>
-        new Array[Double](l.weights.length + l.bias.length)).toArray
-      parts.foreach { r =>
-        val li = r.getInt(0)
-        if (li < 0) loss = r.getDouble(2)
-        else grads(li)(r.getInt(1)) = r.getDouble(2)
-      }
-      opt match {
-        case Adam(_, b1, b2, _) => p1 *= b1; p2 *= b2
-        case _ =>
-      }
-      def step(li: Int, i: Int): Double = opt match {
-        case Sgd(_) => lr * grads(li)(i)
-        case Adam(_, b1, b2, eps) =>
-          val g = grads(li)(i)
-          val m = b1 * mom1(li)(i) + (1 - b1) * g
-          val v = b2 * mom2(li)(i) + (1 - b2) * g * g
-          mom1(li)(i) = m; mom2(li)(i) = v
-          lr * (m / (1 - p1)) / (math.sqrt(v / (1 - p2)) + eps)
-      }
-      net = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
-        val wl = l.weights.length
-        l.copy(
-          weights = Array.tabulate(wl)(i =>
-            snap(l.weights(i) - step(li, i), gradScale).toFloat),
-          bias = Array.tabulate(l.bias.length)(i =>
-            snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
-      }, net.classes)
-      bc.destroy()
+      val (stepped, loss) = runEpoch(train, net, gradScale, lossFn, opt,
+        lr, st, "training epoch saw zero chips (empty train split)")
+      net = stepped
       val score = iouChips(valid, net)
       val saved = score > bestScore
       if (saved) { bestScore = score; best = net; everSaved = true }
-      logs += EpochLog(e, assembleLoss(lossFn, loss, ctx), score, lr, saved)
+      logs += EpochLog(e, loss, score, lr, saved)
       e += 1
     }
     (if (everSaved) best else net, logs.result())
@@ -743,11 +742,15 @@ object ConvTrain {
 
   /** The epoch aggregation as a PLAN (no jobs launched) — for
     * shuffle-shape gating: the only exchange carries exactly
-    * (li int, idx int, v double). */
+    * (li int, idx int, v double). Returns the weight broadcast too so
+    * the caller can destroy it once done with the plan (the other
+    * gradRows callers all pair the broadcast with a destroy). */
   def gradPlan(chips: Dataset[ChipRow], net: SegNet, gradBits: Int = 8)
-              (implicit spark: SparkSession): DataFrame =
-    gradRows(chips, net, math.pow(2.0, gradBits))._1
-      .orderBy(col("li"), col("idx"))
+              (implicit spark: SparkSession)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
+    val (df, bc) = gradRows(chips, net, math.pow(2.0, gradBits))
+    (df.orderBy(col("li"), col("idx")), bc)
+  }
 
   /** Loss only (no backprop) — the holdout metric. A per-CHIP loss is
     * undefined for the coupled losses (their value is assembled from

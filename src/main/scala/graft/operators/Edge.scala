@@ -209,12 +209,8 @@ object Edge {
       s"halo $halo < gaussianRadius($sigma) + 2: tile cores would read " +
         "replicate-padded halo values and drift from the whole-image kernel")
     val cand0 = tiles.mapPartitions { it =>
-      var lastKey: (String, Int, Int) = null
-      it.flatMap { t =>
-        val key = (t.image_id, t.tx, t.ty)
-        if (key == lastKey) Iterator.empty // same tile, another overlapped cell
-        else {
-          lastKey = key
+      Tiler.firstCellOnly(it).flatMap { t =>
+        {
           val cls = cannyCls(t.bands(band), t.tw, t.th, sigma, lowT, highT)
           val offX = math.min(halo, t.tx * tileSize)
           val offY = math.min(halo, t.ty * tileSize)

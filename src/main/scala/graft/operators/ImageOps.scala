@@ -96,7 +96,12 @@ object ImageOps {
         (length(col("bytes")).cast("long") / (lit(4L) * px)).cast("long"))
       .when(col("fmt") === PixelCodec.FmtRle,
         conv(hex(substring(col("bytes"), 1, 1)), 16, 10).cast("long"))
-      .otherwise((length(col("bytes")).cast("long") / (lit(8L) + px)).cast("long"))
+      .when(col("fmt") === PixelCodec.FmtQnt8,
+        (length(col("bytes")).cast("long") / (lit(8L) + px)).cast("long"))
+      // unknown fmt: fail loudly like PixelCodec.bandCount, never a
+      // silently wrong count from the wrong length formula
+      .otherwise(raise_error(concat(lit("setBandNames: unknown pixel fmt "),
+        col("fmt"))).cast("long"))
     val nameArr = array(names.map(lit): _*)
     // nb >= 1 guard: sequence(1, 0) would count DOWN ([1, 0]) for a
     // zero-band payload (legal: encode(fmt, w, h, Array()) is empty),

@@ -295,12 +295,8 @@ object PhaseCong {
                     (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
     tiles.mapPartitions { it =>
-      var lastKey: (String, Int, Int) = null
-      it.flatMap { t =>
-        val key = (t.image_id, t.tx, t.ty)
-        if (key == lastKey) Iterator.empty // same tile, another overlapped cell
-        else {
-          lastKey = key
+      Tiler.firstCellOnly(it).flatMap { t =>
+        {
           val (m, ori) = phasecong(t.bands(band), t.tw, t.th,
             nscale = nscale, norient = norient, k = k)
           // core offset inside the haloed window = the part of `halo`
@@ -341,7 +337,11 @@ object PhaseCong {
     *     [[phaseCongTiles]]), keeping the window M map so the NMS apron
     *     reads stay local to the tile;
     *  2. the per-image rescale extrema as ONE summary aggregate (two
-    *     doubles per image shuffle) broadcast-joined back;
+    *     doubles per image shuffle) joined back — no broadcast hint:
+    *     the stats side is one row PER IMAGE, unbounded in the image
+    *     count, so AQE broadcasts it when it fits and falls back to a
+    *     shuffle join on image_id when it doesn't (same reasoning as
+    *     Augment.cv2normTiles);
     *  3. per-tile NMS with the identical 4-sector rule — apron M values
     *     come from the tile's own window (documented: M is already
     *     window-approximate at boundaries, see [[phaseCongTiles]]);
@@ -357,15 +357,11 @@ object PhaseCong {
                           lowT: Double = 50.0, hiT: Double = 100.0)
                          (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    import org.apache.spark.sql.functions.{col, max, min}
     require(halo >= 1, s"halo $halo < 1: NMS needs a 1-px apron")
     val stage1 = tiles.mapPartitions { it =>
-      var lastKey: (String, Int, Int) = null
-      it.flatMap { t =>
-        val key = (t.image_id, t.tx, t.ty)
-        if (key == lastKey) Iterator.empty
-        else {
-          lastKey = key
+      Tiler.firstCellOnly(it).flatMap { t =>
+        {
           val (m, ori) = phasecong(t.bands(band), t.tw, t.th,
             nscale = nscale, norient = norient, k = k)
           val offX = math.min(halo, t.tx * tileSize)
@@ -397,7 +393,7 @@ object PhaseCong {
     val stats = stage1.groupBy("image_id")
       .agg(min("mMin").as("mn"), max("mMax").as("mx"))
       .as[(String, Double, Double)]
-    val joined = stage1.joinWith(broadcast(stats),
+    val joined = stage1.joinWith(stats,
       stage1.col("image_id") === stats.col("image_id"))
     val cand = joined.flatMap { case (t, (_, mn, mx)) =>
       // rescale_intensity over the ASSEMBLED core M (global extrema)

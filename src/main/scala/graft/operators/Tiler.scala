@@ -26,6 +26,30 @@ import graft.core.{PixelCodec, GridIndex, Geom}
  */
 object Tiler {
 
+  /** Per-partition first-occurrence filter over the tiler flatMap's
+    * overlapped-cell duplicate MultiTileRows — the zero-shuffle
+    * replacement for a dropDuplicates that would shuffle pixel
+    * payloads. Input must come straight off the tiler (narrow chain):
+    * the same tripwire as Mesh.dedupeConsecutive fails loudly on a
+    * NON-adjacent duplicate key (the signature of repartitioned or
+    * sorted input) instead of silently double-counting. The seen-set
+    * holds one small tuple per distinct tile key in the partition. */
+  private[operators] def firstCellOnly(it: Iterator[graft.MultiTileRow])
+      : Iterator[graft.MultiTileRow] = {
+    var last: (String, Int, Int) = null
+    val seen = scala.collection.mutable.HashSet.empty[(String, Int, Int)]
+    it.filter { t =>
+      val k = (t.image_id, t.tx, t.ty)
+      if (k == last) false
+      else {
+        require(seen.add(k),
+          s"firstCellOnly saw non-adjacent duplicate tile $k — input " +
+            "must come straight off the tiler (no repartition/sort in between)")
+        last = k; true
+      }
+    }
+  }
+
   /** Grid resolution whose cell size (world units) equals tileSize * px
     * when px = 1; callers pass the res matching their tile/pixel scale. */
   def resForCellSize(sizeWorldUnits: Double): Int = {

@@ -1336,9 +1336,19 @@ object Queries {
     import spark.implicits._
     // session-unique path: a fixed dir would race concurrent sessions
     // (overwrite-and-scan interleaving between, e.g., the verify
-    // harness and a dev-lever bench on one host)
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_vrt_${spark.sparkContext.applicationId}").getAbsolutePath
+    // harness and a dev-lever bench on one host). Cleaned up on JVM
+    // exit so repeated harness runs don't accumulate orphaned fixtures.
+    val baseFile = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vrt_${spark.sparkContext.applicationId}")
+    val base = baseFile.getAbsolutePath
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(baseFile)
+    }
     gridImages(spark, 4, 1).write.mode("overwrite").parquet(s"$base/a")
     gridImages(spark, 8, 1).write.mode("overwrite").parquet(s"$base/b")
     ImageOps.openMosaic(spark, Seq(s"$base/a", s"$base/b"))

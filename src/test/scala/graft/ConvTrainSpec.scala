@@ -240,7 +240,7 @@ class ConvTrainSpec extends AnyFunSuite {
   }
 
   test("gradient shuffle carries only (li, idx, v) scalars") {
-    val df = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
+    val (df, bc) = ConvTrain.gradPlan(fixtureChips(1), ConvNet.fixtureNet)
     // 1 loss row + layer0 (54 w + 3 b) + layer1 (6 w + 2 b)
     val rows = df.collect() // also forces the final adaptive plan
     assert(rows.length == 1 + 57 + 8, s"got ${rows.length}")
@@ -255,6 +255,7 @@ class ConvTrainSpec extends AnyFunSuite {
     // or chip-shaped ever shuffles
     shuffles.foreach(l => assert(l.contains("li#"),
       s"shuffle not on the scalar gradient rows: $l"))
+    bc.destroy()
   }
 
   test("trainSegCheckpoint: ledger, best-epoch weights, lr drop, invariance") {
