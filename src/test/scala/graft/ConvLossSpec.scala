@@ -259,8 +259,11 @@ class ConvLossSpec extends AnyFunSuite {
   test("oracle fixtures keep transcendental pre-snap values off the 2^-20 grid") {
     val scale = math.pow(2.0, 20)
     def probeEpochs(net0: SegNet, lossFn: ConvTrain.Loss,
-                    opt: ConvTrain.Optimizer, epochs: Int): Double = {
+                    opt: ConvTrain.Optimizer, epochs: Int,
+                    subset: ChipRow => Boolean = _ => true,
+                    probeFinal: Seq[ChipRow] = Nil): Double = {
       val probe = new ConvTrain.BoundaryProbe(scale)
+      val sel = chipSeq.filter(subset)
       var net = net0
       var e = 0
       while (e < epochs) {
@@ -269,7 +272,7 @@ class ConvLossSpec extends AnyFunSuite {
         val p = new Array[Double](outC)
         val t = new Array[Double](outC)
         var n = 0L; var w = 0.0
-        chipSeq.foreach { ch =>
+        sel.foreach { ch =>
           val (cn, cwm) =
             ConvTrain.chipStats(ch, net, scale, lossFn, i, p, t, probe)
           n += cn; w += cwm
@@ -278,12 +281,22 @@ class ConvLossSpec extends AnyFunSuite {
           ConvTrain.BatchStats(i, p, t, n, w))
         val gW = net.layers.map(l => new Array[Double](l.weights.length)).toArray
         val gB = net.layers.map(l => new Array[Double](l.bias.length)).toArray
-        chipSeq.foreach(ch =>
+        sel.foreach(ch =>
           ConvTrain.chipGrad(ch, net, scale, gW, gB, lossFn, ctx, probe))
         // advance to the next epoch's weights through the real loop
-        net = ConvTrain.trainSegOpt(fixtureChips(), net, epochs = 1, opt,
-          gradBits = 20, lossFn = lossFn)._1
+        net = ConvTrain.trainSegOpt(fixtureChips().filter(subset), net,
+          epochs = 1, opt, gradBits = 20, lossFn = lossFn)._1
         e += 1
+      }
+      // the stats-only passes on held-out chips at the FINAL weights
+      // (e.g. a grid-search holdout score)
+      if (probeFinal.nonEmpty) {
+        val outC = net.layers.last.outC
+        val i = new Array[Double](outC)
+        val p = new Array[Double](outC)
+        val t = new Array[Double](outC)
+        probeFinal.foreach(ch =>
+          ConvTrain.chipStats(ch, net, scale, lossFn, i, p, t, probe))
       }
       probe.minDist
     }
@@ -296,6 +309,17 @@ class ConvLossSpec extends AnyFunSuite {
     val dLm = probeEpochs(ConvNet.fixtureNetSoft, ConvTrain.LossMulti(0.5),
       ConvTrain.Sgd(math.pow(2.0, -10)), epochs = 2)
     assert(dLm > 1e-7, s"lossm fixture too close to a snap boundary: $dLm")
+    // q_grid_dice's trajectories: both lr candidates trained on the
+    // even-parity split with SGD, plus the holdout stats pass at the
+    // final weights — the exact transcendental sites the oracle replays
+    val holdout = chipSeq.filter(ConvTrain.isHoldout _)
+    Seq(math.pow(2.0, -10), math.pow(2.0, -12)).foreach { lr =>
+      val d = probeEpochs(ConvNet.fixtureNetSoft, ConvTrain.Dice(),
+        ConvTrain.Sgd(lr), epochs = 2,
+        subset = ch => !ConvTrain.isHoldout(ch), probeFinal = holdout)
+      assert(d > 1e-7,
+        s"grid-dice lr=$lr trajectory too close to a snap boundary: $d")
+    }
   }
 
   test("mini-batch Dice couples per batch (torch DataLoader semantics)") {
