@@ -10,9 +10,11 @@ import graft.operators.{ChipRow, ConvNet, ConvTrain, SegNet}
   * Gradients are checked against finite differences of an
   * INDEPENDENT driver-side implementation of the reference formulas;
   * coupled training is checked bit-invariant across parallelism; and
-  * the two oracle fixtures are proven to keep every transcendental
-  * pre-snap value far from the dyadic grid, so a 1-ulp exp/ln
-  * difference between the JVM and DuckDB cannot flip a floor(). */
+  * every coupled-loss oracle trajectory (q_train_dice / q_train_lossb
+  * / q_train_lossm / q_grid_dice) is proven by measurement to keep its
+  * transcendental pre-snap values far from the dyadic grid, so a
+  * 1-ulp exp/ln difference between the JVM and DuckDB cannot flip a
+  * floor(). */
 class ConvLossSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = SparkTestSession.spark
 
