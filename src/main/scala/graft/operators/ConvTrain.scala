@@ -1116,6 +1116,11 @@ object ConvTrain {
       }.toDF("ci", "li", "idx", "v")
         .groupBy("ci", "li", "idx").agg(sum("v").as("v"))
         .collect() // O(K x params)
+      // an empty train split would leave every candidate untrained and
+      // silently crown net0 — fail loudly, matching the coupled path's
+      // gridStats require (which already fired above when isCoupled)
+      require(agg.nonEmpty,
+        "grid-search gradient pass saw zero chips (empty train split)")
       val grads = nets.map(_.layers.map(l =>
         new Array[Double](l.weights.length + l.bias.length)).toArray)
       agg.foreach { r =>

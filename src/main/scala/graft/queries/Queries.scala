@@ -1331,24 +1331,22 @@ object Queries {
     * in the second — the per-image source count proves the union really
     * scanned both paths, the pixel total proves payloads decode intact
     * through the multi-path read. */
+  /** lazy so the cleanup hook registers exactly once per JVM (same
+    * pattern as [[qisScratchRoot]]); PID-suffixed so concurrent verify
+    * and bench PROCESSES on one host never scan each other's fixtures.
+    * Repeated invocations in one JVM overwrite in place instead of
+    * accumulating temp dirs — and instead of stacking shutdown hooks. */
+  private lazy val qVrtScratchRoot: java.io.File = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vrt_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook(rmrf(d))
+    d
+  }
+
   def qVrt(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    // session-unique path: a fixed dir would race concurrent sessions
-    // (overwrite-and-scan interleaving between, e.g., the verify
-    // harness and a dev-lever bench on one host). Cleaned up on JVM
-    // exit so repeated harness runs don't accumulate orphaned fixtures.
-    val baseFile = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_vrt_${spark.sparkContext.applicationId}")
-    val base = baseFile.getAbsolutePath
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(baseFile)
-    }
+    val base = qVrtScratchRoot.getAbsolutePath
     gridImages(spark, 4, 1).write.mode("overwrite").parquet(s"$base/a")
     gridImages(spark, 8, 1).write.mode("overwrite").parquet(s"$base/b")
     ImageOps.openMosaic(spark, Seq(s"$base/a", s"$base/b"))
@@ -3205,43 +3203,67 @@ object Queries {
       sgdStepSql(suf, wIn, wOut, lrDenom)
   }
 
-  /** Shared oracle preamble: the single-image chip-pixel relation, the
-    * one-hot target relation, the initial fixture weights, and (when
-    * `paritySplit`) the even/odd chip-grid-parity subsets. */
-  private def sgdPreambleSql(paritySplit: Boolean): String = {
+  /** Shared oracle preamble builder for BOTH training-fixture families:
+    * the single-image chip-pixel relation, the target relation, the
+    * initial fixture weights at 1/`divisor` scale, and (when
+    * `paritySplit`) the even/odd chip-grid-parity subsets. divisor=8 is
+    * the hard fixtureNet; divisor=64 the soft coupled-loss fixtures
+    * (ConvNet.fixtureNetSoft / fixtureNetBinary — sigmoid/softmax
+    * neither saturates nor pins). `binary` = single-logit head
+    * (LossBinary / sigmoid Dice): oc2 range {0}, bias -1/divisor,
+    * target = mask > 0 without the class-match term. One builder so a
+    * future chip-pixel or mask-formula fix can't drift between the
+    * 1/8- and 1/64-scale oracles. */
+  private def chipPreambleSql(divisor: Int, binary: Boolean,
+                              paritySplit: Boolean): String = {
     val parity = if (paritySplit)
       """,
         |cpxt AS MATERIALIZED (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
         |cpxh AS MATERIALIZED (SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1)""".stripMargin
     else ""
+    val oc2Max = if (binary) 0 else 1
+    val tgt =
+      if (binary)
+        """tgt AS MATERIALIZED (
+          |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, 0 AS oc2,
+          |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
+          |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+          |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+          |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly))""".stripMargin
+      else
+        """tgt AS MATERIALIZED (
+          |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
+          |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
+          |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
+          |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+          |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
+          |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
+          |       generate_series(0, 1) f(oc2))""".stripMargin
     s"""cpx AS MATERIALIZED (
        |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
        |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
        |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
        |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
        |       generate_series(0, 1) f(ic))$parity,
-       |tgt AS MATERIALIZED (
-       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
-       |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
-       |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
-       |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
-       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
-       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
-       |       generate_series(0, 1) f(oc2)),
+       |$tgt,
        |w1_0 AS MATERIALIZED (
        |  SELECT oc, ic, dy, dx,
-       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/8
+       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/$divisor
        |      AS wt
        |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
        |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
-       |b1_0 AS MATERIALIZED (SELECT oc, CAST(oc AS DOUBLE)/8 AS bt
+       |b1_0 AS MATERIALIZED (SELECT oc, CAST(oc AS DOUBLE)/$divisor AS bt
        |         FROM generate_series(0, 2) t(oc)),
        |w2_0 AS MATERIALIZED (SELECT oc2, ic,
-       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/8 AS wt
-       |  FROM generate_series(0, 1) a(oc2), generate_series(0, 2) b(ic)),
-       |b2_0 AS MATERIALIZED (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/8 AS bt
-       |         FROM generate_series(0, 1) t(oc2))""".stripMargin
+       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/$divisor AS wt
+       |  FROM generate_series(0, $oc2Max) a(oc2), generate_series(0, 2) b(ic)),
+       |b2_0 AS MATERIALIZED (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/$divisor AS bt
+       |         FROM generate_series(0, $oc2Max) t(oc2))""".stripMargin
   }
+
+  /** Hard-fixture preamble (fixtureNet, weights at 1/8). */
+  private def sgdPreambleSql(paritySplit: Boolean): String =
+    chipPreambleSql(8, binary = false, paritySplit)
 
   val qTrainSegSql: String =
     s"""WITH ${sgdPreambleSql(paritySplit = false)},
@@ -3294,9 +3316,9 @@ object Queries {
     s"""WITH ${sgdPreambleSql(paritySplit = true)},
        |${candSql("a", "33554432")},
        |${candSql("b", "67108864")},
-       |hl AS (SELECT 'a' AS cand, l FROM loss_aH
-       |       UNION ALL SELECT 'b', l FROM loss_bH),
-       |win AS (SELECT cand FROM hl ORDER BY l, cand LIMIT 1),
+       |hl AS (SELECT 'a' AS cand, 0 AS ci, l FROM loss_aH
+       |       UNION ALL SELECT 'b', 1, l FROM loss_bH),
+       |win AS (SELECT cand FROM hl ORDER BY l, ci LIMIT 1),
        |wts AS (
        |  SELECT 'a' AS cand, 'w' AS kind, 0 AS li,
        |    ((oc*2 + ic)*3 + dy+1)*3 + dx+1 AS idx, wt AS v FROM w1_a2
@@ -3398,52 +3420,11 @@ object Queries {
        |  UNION ALL SELECT 'w', 1, oc2*3 + ic, wt FROM w2_d2
        |  UNION ALL SELECT 'b', 1, oc2, bt FROM b2_d2)""".stripMargin
 
-  /** Soft-fixture preamble for the coupled-loss oracles: the SAME chip
-    * pixels as sgdPreambleSql but every weight at 1/64 scale
-    * (ConvNet.fixtureNetSoft / fixtureNetBinary), so sigmoid/softmax
-    * neither saturates nor pins. `binary` = single-logit head
-    * (LossBinary / sigmoid Dice): oc2 range {0}, bias -1/64, target
-    * mask > 0. */
-  private def softPreambleSql(binary: Boolean): String = {
-    val oc2Max = if (binary) 0 else 1
-    val tgt =
-      if (binary)
-        """tgt AS MATERIALIZED (
-          |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, 0 AS oc2,
-          |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
-          |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
-          |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
-          |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly))""".stripMargin
-      else
-        """tgt AS MATERIALIZED (
-          |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, oc2,
-          |    CASE WHEN ((bx*16+lx) // 16 + (by*16+ly) // 12) % 4 = 0
-          |          AND ((bx*16+lx) // 8 + (by*16+ly) // 6) % 3 + 1 = oc2 + 1
-          |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
-          |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
-          |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
-          |       generate_series(0, 1) f(oc2))""".stripMargin
-    s"""cpx AS MATERIALIZED (
-       |  SELECT bx*16 AS cx, by*16 AS cy, lx, ly, ic,
-       |    CAST(((bx*16+lx)*7 + (by*16+ly)*13 + ic*31) % 97 AS DOUBLE) AS v
-       |  FROM generate_series(0, 4) a(bx), generate_series(0, 2) b(by),
-       |       generate_series(0, 15) c(lx), generate_series(0, 15) e(ly),
-       |       generate_series(0, 1) f(ic)),
-       |$tgt,
-       |w1_0 AS MATERIALIZED (
-       |  SELECT oc, ic, dy, dx,
-       |    CAST((((((oc*2 + ic)*9 + (dy+1)*3 + dx+1) * 5) % 7) - 3) AS DOUBLE)/64
-       |      AS wt
-       |  FROM generate_series(0, 2) a(oc), generate_series(0, 1) b(ic),
-       |       generate_series(-1, 1) c(dy), generate_series(-1, 1) e(dx)),
-       |b1_0 AS MATERIALIZED (SELECT oc, CAST(oc AS DOUBLE)/64 AS bt
-       |         FROM generate_series(0, 2) t(oc)),
-       |w2_0 AS MATERIALIZED (SELECT oc2, ic,
-       |    CAST(((((oc2*3 + ic)*3) % 5) - 2) AS DOUBLE)/64 AS wt
-       |  FROM generate_series(0, $oc2Max) a(oc2), generate_series(0, 2) b(ic)),
-       |b2_0 AS MATERIALIZED (SELECT oc2, CAST(oc2 - 1 AS DOUBLE)/64 AS bt
-       |         FROM generate_series(0, $oc2Max) t(oc2))""".stripMargin
-  }
+  /** Soft-fixture preamble (fixtureNetSoft / fixtureNetBinary, weights
+    * at 1/64 — see [[chipPreambleSql]]). */
+  private def softPreambleSql(binary: Boolean,
+                              paritySplit: Boolean = false): String =
+    chipPreambleSql(64, binary, paritySplit)
 
   /** Dice (smp f_score beta=1, eps=1 — the loss the reference actually
     * trains with, convnet.py:322) CTEs for epoch `$suf`: snapped
@@ -3788,16 +3769,12 @@ object Queries {
                        "1048576")},
          |${fwdCoreSql(s"${tag}dH", s"${tag}d2", "cpxh")},
          |${diceStatsSql(s"${tag}dH")}""".stripMargin
-    s"""WITH ${softPreambleSql(binary = false)},
-       |cpxt AS MATERIALIZED (
-       |  SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 0),
-       |cpxh AS MATERIALIZED (
-       |  SELECT * FROM cpx WHERE (cx // 16 + cy // 16) % 2 = 1),
+    s"""WITH ${softPreambleSql(binary = false, paritySplit = true)},
        |${candSql("a", "1024")},
        |${candSql("b", "4096")},
-       |hl AS (SELECT 'a' AS cand, l FROM loss_adH
-       |       UNION ALL SELECT 'b', l FROM loss_bdH),
-       |win AS (SELECT cand FROM hl ORDER BY l, cand LIMIT 1),
+       |hl AS (SELECT 'a' AS cand, 0 AS ci, l FROM loss_adH
+       |       UNION ALL SELECT 'b', 1, l FROM loss_bdH),
+       |win AS (SELECT cand FROM hl ORDER BY l, ci LIMIT 1),
        |wts AS (
        |  SELECT 'a' AS cand, 'w' AS kind, 0 AS li,
        |    ((oc*2 + ic)*3 + dy+1)*3 + dx+1 AS idx, wt AS v FROM w1_ad2

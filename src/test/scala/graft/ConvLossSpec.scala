@@ -285,9 +285,14 @@ class ConvLossSpec extends AnyFunSuite {
         val gB = net.layers.map(l => new Array[Double](l.bias.length)).toArray
         sel.foreach(ch =>
           ConvTrain.chipGrad(ch, net, scale, gW, gB, lossFn, ctx, probe))
-        // advance to the next epoch's weights through the real loop
-        net = ConvTrain.trainSegOpt(fixtureChips().filter(subset), net,
-          epochs = 1, opt, gradBits = 20, lossFn = lossFn)._1
+        // advance to the next epoch's weights through the real loop —
+        // re-run from net0 with epochs = e+1 so stateful optimizers
+        // (Adam moments, beta^t products) follow the oracle's actual
+        // trajectory; stepping 1 epoch at a time from `net` would
+        // re-seed fresh optimizer state each step and silently probe a
+        // diverging weight path for any Adam fixture past 2 epochs
+        net = ConvTrain.trainSegOpt(fixtureChips().filter(subset), net0,
+          epochs = e + 1, opt, gradBits = 20, lossFn = lossFn)._1
         e += 1
       }
       // the stats-only passes on held-out chips at the FINAL weights
@@ -322,6 +327,32 @@ class ConvLossSpec extends AnyFunSuite {
       assert(d > 1e-7,
         s"grid-dice lr=$lr trajectory too close to a snap boundary: $d")
     }
+  }
+
+  /** The one transcendental site the floor-boundary probe above cannot
+    * cover: q_train_lossb / q_train_lossm assemble their epoch losses
+    * through a fresh ln() on EACH engine (ln is not correctly rounded
+    * in libm) and reconcile only by round(v, 6). A 1-ulp cross-libm ln
+    * difference moves v*1e6 by ~1e-9 grid units at these magnitudes,
+    * so measuring every rounded loss's distance to the nearest x.5
+    * rounding boundary above 1e-3 proves the 6th digit cannot flip —
+    * by measurement, matching how the floor() snaps are guarded. */
+  test("lossb/lossm assembled losses sit far from the round(_,6) boundary") {
+    def clearances(net0: SegNet, lossFn: ConvTrain.Loss): Seq[Double] = {
+      val (_, losses) = ConvTrain.trainSegOpt(fixtureChips(), net0,
+        epochs = 2, ConvTrain.Sgd(math.pow(2.0, -10)), gradBits = 20,
+        lossFn = lossFn)
+      losses.map { v =>
+        val g = v * 1e6
+        math.abs(g - math.floor(g) - 0.5)
+      }
+    }
+    val all =
+      clearances(ConvNet.fixtureNetBinary, ConvTrain.LossBinary(0.5)) ++
+        clearances(ConvNet.fixtureNetSoft, ConvTrain.LossMulti(0.5))
+    assert(all.length == 4)
+    all.foreach(d => assert(d > 1e-3,
+      s"assembled loss within $d grid units of a 0.5e-6 rounding boundary"))
   }
 
   test("mini-batch Dice couples per batch (torch DataLoader semantics)") {
