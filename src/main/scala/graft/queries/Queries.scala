@@ -1325,12 +1325,6 @@ object Queries {
        |    AS b_total
        |FROM d GROUP BY 1""".stripMargin
 
-  /** write_vrt / virtual mosaic as an oracle row: two image sets land as
-    * two separate parquet "rasters"; openMosaic reads both paths in ONE
-    * union scan. Images g000..g003 exist in both files, g004..g007 only
-    * in the second — the per-image source count proves the union really
-    * scanned both paths, the pixel total proves payloads decode intact
-    * through the multi-path read. */
   /** lazy so the cleanup hook registers exactly once per JVM (same
     * pattern as [[qisScratchRoot]]); PID-suffixed so concurrent verify
     * and bench PROCESSES on one host never scan each other's fixtures.
@@ -1343,6 +1337,12 @@ object Queries {
     d
   }
 
+  /** write_vrt / virtual mosaic as an oracle row: two image sets land as
+    * two separate parquet "rasters"; openMosaic reads both paths in ONE
+    * union scan. Images g000..g003 exist in both files, g004..g007 only
+    * in the second — the per-image source count proves the union really
+    * scanned both paths, the pixel total proves payloads decode intact
+    * through the multi-path read. */
   def qVrt(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
