@@ -50,12 +50,19 @@ object Components {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
 
-    val eInit = e0.localCheckpoint()
+    // LAZY local checkpoint: the Dataset's plan is truncated to a
+    // LogicalRDD either way; with eager=false the RDD materializes (and
+    // checkpoints) under the FIRST action that reads it — here the
+    // checksum aggregate that immediately follows — so a round skips
+    // the separate checkpoint-count job (measured: a few jobs saved per
+    // query, wall-neutral at bench scale; identical results).
+    val eInit = e0.localCheckpoint(false)
     // checkpoint the (small) distinct node list NOW, off the edge
     // checkpoint — the final join reads it, so the (large) initial edge
     // set is free to unpersist after round 1 instead of pinning peak
     // storage through all O(log n) rounds, and the un-checkpointed e0
-    // plan never re-runs. explode, not a self-union: a union of two
+    // plan never re-runs (this eager checkpoint is also the action that
+    // materializes eInit). explode, not a self-union: a union of two
     // slim projections of one checkpointed relation trips Spark's
     // Union.rewriteConstraints ("key not found" on the dropped
     // attribute) because the checkpoint carries constraints over BOTH
@@ -70,8 +77,8 @@ object Components {
     while (!converged) {
       require(rounds < maxRounds,
         s"Components.connected did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val sig = checksum(next)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val sig = checksum(next) // the materializing action for `next`
       // (count, order-free xxhash sum) equality is the cheap convergence
       // probe; on a hit, confirm exactly (runs once, at the fixpoint).
       converged = sig == prevSig && next.exceptAll(e).isEmpty
