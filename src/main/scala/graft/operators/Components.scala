@@ -61,8 +61,12 @@ object Components {
     // checkpoint — the final join reads it, so the (large) initial edge
     // set is free to unpersist after round 1 instead of pinning peak
     // storage through all O(log n) rounds, and the un-checkpointed e0
-    // plan never re-runs (this eager checkpoint is also the action that
-    // materializes eInit). explode, not a self-union: a union of two
+    // plan never re-runs. (This eager job caches eInit's partitions but
+    // does NOT finalize its checkpoint — doCheckpoint stops at the
+    // first marked RDD, and checkpointAllMarkedAncestors is off by
+    // default; the checksum(e) job below is what finalizes eInit, so it
+    // must keep running before round 1.) explode, not a self-union: a
+    // union of two
     // slim projections of one checkpointed relation trips Spark's
     // Union.rewriteConstraints ("key not found" on the dropped
     // attribute) because the checkpoint carries constraints over BOTH

@@ -1327,15 +1327,27 @@ object Queries {
 
   /** lazy so the cleanup hook registers exactly once per JVM (same
     * pattern as [[qisScratchRoot]]); PID-suffixed so concurrent verify
-    * and bench PROCESSES on one host never scan each other's fixtures.
-    * Repeated invocations in one JVM overwrite in place instead of
-    * accumulating temp dirs — and instead of stacking shutdown hooks. */
+    * and bench PROCESSES on one host never scan each other's fixtures. */
   private lazy val qVrtScratchRoot: java.io.File = {
     val d = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_vrt_${ProcessHandle.current().pid()}")
     sys.addShutdownHook(rmrf(d))
     d
   }
+
+  /** Writes the two deterministic fixture "rasters" exactly once per
+    * JVM (guarded + synchronized): later calls — including from OTHER
+    * SparkSessions in this JVM — reuse the files instead of
+    * overwrite-deleting them under a lazily-returned reader's feet. */
+  private def ensureVrtFixtures(spark: SparkSession): String =
+    qVrtScratchRoot.synchronized {
+      val base = qVrtScratchRoot.getAbsolutePath
+      if (!new java.io.File(s"$base/b/_SUCCESS").exists()) {
+        gridImages(spark, 4, 1).write.mode("overwrite").parquet(s"$base/a")
+        gridImages(spark, 8, 1).write.mode("overwrite").parquet(s"$base/b")
+      }
+      base
+    }
 
   /** write_vrt / virtual mosaic as an oracle row: two image sets land as
     * two separate parquet "rasters"; openMosaic reads both paths in ONE
@@ -1346,9 +1358,7 @@ object Queries {
   def qVrt(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val base = qVrtScratchRoot.getAbsolutePath
-    gridImages(spark, 4, 1).write.mode("overwrite").parquet(s"$base/a")
-    gridImages(spark, 8, 1).write.mode("overwrite").parquet(s"$base/b")
+    val base = ensureVrtFixtures(spark)
     ImageOps.openMosaic(spark, Seq(s"$base/a", s"$base/b"))
       .as[ImageRow](Encoders.product[ImageRow])
       .map { im =>
