@@ -129,6 +129,56 @@ object PxRuntime {
     emit(out, nulls)
   }
 
+  /** OpenCV-convention HSV in-range mask over three same-tile band
+    * arrays (colour_thresh's data core, utilities.py:1642-1716:
+    * cvtColor(BGR2HSV) + inRange(lower, upper)). Conventions:
+    *  - H on OpenCV's 8-bit scale [0, 180): the 0..360-degree hue
+    *    halved, branch order V==R, V==G, V==B (cvtColor's order);
+    *    d == 0 (grey) -> H = 0, negative hue wraps by +360 BEFORE the
+    *    halving;
+    *  - S scaled to [0, 255]: (V - min) * 255 / V, 0 when V == 0;
+    *  - V = the raw channel max (no 0..255 rescale of the input —
+    *    callers feeding reflectance floats pick vMin/vMax on their own
+    *    scale; uint8 imagery reproduces cv2 up to its fixed-point <1 LSB
+    *    rounding, which only moves exact-boundary pixels).
+    * ALL arithmetic is double with the exact operation order above, so
+    * a SQL oracle reproduces the mask bit-for-bit. Out: 1f where
+    * (h, s, v) all lie inside the CLOSED ranges (cv2.inRange is
+    * lower <= x <= upper), else 0f; a null element in any band
+    * propagates to a null mask element. */
+  def hsvInRange(r: ArrayData, g: ArrayData, b: ArrayData,
+                 hMin: Double, hMax: Double, sMin: Double, sMax: Double,
+                 vMin: Double, vMax: Double): ArrayData = {
+    val n = requireSameLength("px_hsv_in_range", r, g)
+    requireSameLength("px_hsv_in_range", r, b)
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (r.isNullAt(i) || g.isNullAt(i) || b.isNullAt(i)) nulls = mark(nulls, i)
+      else {
+        val rv = r.getFloat(i).toDouble
+        val gv = g.getFloat(i).toDouble
+        val bv = b.getFloat(i).toDouble
+        val v = math.max(rv, math.max(gv, bv))
+        val d = v - math.min(rv, math.min(gv, bv))
+        var h =
+          if (d == 0) 0.0
+          else if (v == rv) 60.0 * (gv - bv) / d
+          else if (v == gv) 120.0 + 60.0 * (bv - rv) / d
+          else 240.0 + 60.0 * (rv - gv) / d
+        if (h < 0) h += 360.0
+        h /= 2.0
+        val s = if (v == 0) 0.0 else d * 255.0 / v
+        val pass = h >= hMin && h <= hMax && s >= sMin && s <= sMax &&
+          v >= vMin && v <= vMax
+        out(i) = if (pass) 1f else 0f
+      }
+      i += 1
+    }
+    emit(out, nulls)
+  }
+
   /** combine_scene rule: where a == 0 take b, else keep a. */
   def combineScene(a: ArrayData, b: ArrayData): ArrayData = {
     val n = requireSameLength("px_combine_scene", a, b)
@@ -342,6 +392,10 @@ private[graft] object PixelExprs {
     * fall the whole stage back to interpreted eval). */
   def jlit(f: Float): String =
     s"java.lang.Float.intBitsToFloat(${java.lang.Float.floatToIntBits(f)})"
+
+  /** Double twin of [[jlit]] — same bit-exact literal reasoning. */
+  def dlit(d: Double): String =
+    s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(d)}L)"
 }
 
 case class MaskEqualsExpr(child: Expression, mval: Float, fill: Float)
@@ -478,6 +532,34 @@ case class NdviExpr(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
   override def prettyName: String = "px_ndvi"
+}
+
+/** HSV in-range mask (colour_thresh's convert+inRange core) — see
+  * PxRuntime.hsvInRange for the documented colour conventions. The six
+  * bounds are literal parameters (finite by contract) so the whole
+  * check stays inside one codegen'd static call per tile. */
+case class HsvMaskExpr(first: Expression, second: Expression, third: Expression,
+                       hMin: Double, hMax: Double, sMin: Double, sMax: Double,
+                       vMin: Double, vMax: Double)
+    extends TernaryExpression {
+  require(Seq(hMin, hMax, sMin, sMax, vMin, vMax).forall(x => !x.isNaN && !x.isInfinite),
+    "px_hsv_in_range bounds must be finite")
+  override def dataType: DataType =
+    PixelExprs.outType(first.dataType, second.dataType, third.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PixelExprs.checkPx("px_hsv_in_range", "r" -> first.dataType,
+      "g" -> second.dataType, "b" -> third.dataType)
+  override def nullSafeEval(r: Any, g: Any, b: Any): Any =
+    PxRuntime.hsvInRange(r.asInstanceOf[ArrayData], g.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], hMin, hMax, sMin, sMax, vMin, vMax)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, g, b) =>
+      s"graft.functions.PxRuntime.hsvInRange($r, $g, $b, " +
+        s"${PixelExprs.dlit(hMin)}, ${PixelExprs.dlit(hMax)}, ${PixelExprs.dlit(sMin)}, " +
+        s"${PixelExprs.dlit(sMax)}, ${PixelExprs.dlit(vMin)}, ${PixelExprs.dlit(vMax)})")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "px_hsv_in_range"
 }
 
 /** Codegen'd pixel-array sum (double, index order) — replaces the

@@ -73,6 +73,33 @@ object RasterOps {
       .withColumn("band", lit(0))
   }
 
+  /** colour_thresh (utilities.py:1642-1716): the data core of the
+    * reference's interactive HSV threshold tool — cvtColor(BGR2HSV) +
+    * cv2.inRange(lower, upper) + bitwise_and(image, image, mask=mask);
+    * only the trackbar/imshow UI around it is out of scope (like
+    * handyplots). Takes ALL-BANDS tiles (band 0 = R, 1 = G, 2 = B):
+    * the convert is a same-pixel 3-band op, so riding multiTiles makes
+    * the whole thing a zero-shuffle column transform — no band
+    * re-alignment join (the NDVI two-band join shape would shuffle).
+    * Output: the tile keys + `mask` (1/0 per pixel, HsvMaskExpr's
+    * documented OpenCV conventions) and masked bands r/g/b
+    * (bitwise_and analog: pixel where mask == 1, else 0). All four
+    * arrays come from codegen'd native expressions. */
+  def colourThresh(tiles: Dataset[graft.MultiTileRow],
+                   hMin: Double, hMax: Double, sMin: Double, sMax: Double,
+                   vMin: Double, vMax: Double): DataFrame = {
+    def band(i: Int): Column = col("bands")(i)
+    val mask = colOf(graft.functions.HsvMaskExpr(
+      exprOf(band(0)), exprOf(band(1)), exprOf(band(2)),
+      hMin, hMax, sMin, sMax, vMin, vMax))
+    tiles.toDF()
+      .withColumn("mask", mask)
+      .withColumn("r", colOf(ZipMulExpr(exprOf(band(0)), exprOf(col("mask")))))
+      .withColumn("g", colOf(ZipMulExpr(exprOf(band(1)), exprOf(col("mask")))))
+      .withColumn("b", colOf(ZipMulExpr(exprOf(band(2)), exprOf(col("mask")))))
+      .drop("bands")
+  }
+
   /** The reference's 11 RGB vegetation/color indices (zonal_rgb_idx /
     * _set_rgb_ind, shape.py:1388-1410) as column expressions, FAITHFUL to
     * the reference's own (sometimes idiosyncratic) formulas — e.g.

@@ -2300,6 +2300,66 @@ object Queries {
        |  CAST(sum(CASE WHEN v = 42 THEN 42 ELSE 0 END) AS BIGINT) AS mass
        |FROM px GROUP BY 1, 2""".stripMargin
 
+  /** colour_thresh (utilities.py:1642-1716): the HSV convert + inRange +
+    * bitwise_and core of the reference's interactive threshold tool, run
+    * distributed over 3-band tiles (zero shuffle — the convert rides
+    * multiTiles). Per image: pixels passing the HSV window plus the
+    * masked per-band masses. The oracle rebuilds the EXACT double
+    * arithmetic per pixel — same branch order (V==R, V==G, V==B), same
+    * +360 wrap-then-halve, same S = d*255/V scaling — from the
+    * regenerated pixel relation, so the mask matches bit-for-bit. */
+  def qColourThresh(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(gridImages(spark, 8, 3), 64, cellRes)
+    RasterOps.colourThresh(tiles, hMin = 20, hMax = 160, sMin = 60, sMax = 255,
+        vMin = 20, vMax = 255)
+      .select(col("image_id"),
+        graft.functions.PxFunctions.pxSum(col("mask")).as("np"),
+        graft.functions.PxFunctions.pxSum(col("r")).as("mr"),
+        graft.functions.PxFunctions.pxSum(col("g")).as("mg"),
+        graft.functions.PxFunctions.pxSum(col("b")).as("mb"))
+      .groupBy("image_id").agg(
+        sum("np").cast("long").as("n_pass"),
+        sum("mr").cast("long").as("mass_r"),
+        sum("mg").cast("long").as("mass_g"),
+        sum("mb").cast("long").as("mass_b"))
+  }
+
+  val qColourThreshSql: String =
+    s"""WITH ${GridImages.pxSql(8, 3)},
+       |rgb AS (
+       |  SELECT image_id, x, y,
+       |    max(CASE WHEN b = 0 THEN v END) AS r,
+       |    max(CASE WHEN b = 1 THEN v END) AS g,
+       |    max(CASE WHEN b = 2 THEN v END) AS bl
+       |  FROM px GROUP BY 1, 2, 3),
+       |hx AS (
+       |  SELECT image_id, r, g, bl,
+       |    greatest(r, g, bl) AS v,
+       |    greatest(r, g, bl) - least(r, g, bl) AS d
+       |  FROM rgb),
+       |hs AS (
+       |  SELECT image_id, r, g, bl, v,
+       |    (CASE WHEN d = 0 THEN 0.0
+       |          WHEN v = r AND 60.0*(g - bl)/d < 0 THEN (60.0*(g - bl)/d + 360.0)/2.0
+       |          WHEN v = r THEN (60.0*(g - bl)/d)/2.0
+       |          WHEN v = g THEN (120.0 + 60.0*(bl - r)/d)/2.0
+       |          ELSE (240.0 + 60.0*(r - g)/d)/2.0 END) AS h,
+       |    CASE WHEN v = 0 THEN 0.0 ELSE d*255.0/v END AS s
+       |  FROM hx),
+       |m AS (
+       |  SELECT image_id, r, g, bl,
+       |    CASE WHEN h >= 20 AND h <= 160 AND s >= 60 AND s <= 255
+       |          AND v >= 20 AND v <= 255 THEN 1 ELSE 0 END AS pass
+       |  FROM hs)
+       |SELECT image_id,
+       |  CAST(sum(pass) AS BIGINT) AS n_pass,
+       |  CAST(sum(pass * r) AS BIGINT) AS mass_r,
+       |  CAST(sum(pass * g) AS BIGINT) AS mass_g,
+       |  CAST(sum(pass * bl) AS BIGINT) AS mass_b
+       |FROM m GROUP BY 1""".stripMargin
+
   /** Otsu threshold + LUT application (shape.py:2367-2372 thresholds,
     * raster.py LUT remap): the exact-histogram Otsu scan (97 distinct
     * values) picks the between-class-variance argmax; a broadcast LUT
