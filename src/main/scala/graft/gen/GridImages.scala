@@ -417,6 +417,49 @@ object GridImages {
       y_max = yMax(i.toLong), px = 1.0)
   }
 
+  // ---- do_ac fixture ----
+  // DARK objects on a BRIGHT (90) background — do_ac's gray path inits
+  // the level set with `img < thresh` (utilities.py:371), so the
+  // objects must be the low values. Against thresh = 75:
+  //  - blob1 (value 10, the snakeB1 rect) wears a 1-px penumbra ring of
+  //    value 74: the threshold OVER-selects it, and ACWE sheds the whole
+  //    ring in step 1 (c1 is the blob-dominated inside mean <= ~20, so
+  //    |74 - c1| >> |74 - c0| = 16 with c0 = 90 exactly) then sits on
+  //    the exact rectangle (c1 = 10 exactly from step 2 on);
+  //  - blob2 (value 10, the snakeB2 rect) is threshold-exact and
+  //    ACWE-stationary from the start;
+  //  - a 1-px speck and a 2-px domino (value 10, in the clear bottom
+  //    band) SURVIVE ACWE (their data term keeps them: |10 - c1| <
+  //    |10 - c0| always) and are dropped by the AREA filter — the
+  //    reference's gdf.Area > area_thresh tail (utilities.py:390-392).
+  // DoAcSpec pins the shed/stationary derivation against the kernel;
+  // the q_do_ac oracle enumerates the two surviving rectangles in SQL.
+  def doAcSpeck1(i: Long): (Int, Int) = (5 + (i % 3).toInt, 41 + (i % 2).toInt)
+  def doAcSpeck2(i: Long): (Int, Int) = (34 + (i % 4).toInt, 44) // and x+1
+
+  def doAcValue(i: Long, x: Int, y: Int): Float = {
+    val b1 = snakeB1(i); val b2 = snakeB2(i)
+    val in1 = x >= b1._1 && x <= b1._3 && y >= b1._2 && y <= b1._4
+    val ring1 = !in1 && x >= b1._1 - 1 && x <= b1._3 + 1 &&
+      y >= b1._2 - 1 && y <= b1._4 + 1
+    val in2 = x >= b2._1 && x <= b2._3 && y >= b2._2 && y <= b2._4
+    val (s1x, s1y) = doAcSpeck1(i)
+    val (s2x, s2y) = doAcSpeck2(i)
+    if (in1 || in2) 10f
+    else if (ring1) 74f
+    else if ((x == s1x && y == s1y) || (y == s2y && (x == s2x || x == s2x + 1))) 10f
+    else 90f
+  }
+
+  def doAcImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val b0 = Array.tabulate(W * H)(p => doAcValue(i.toLong, p % W, p / W))
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"do_ac fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
   // ---- ragmerge fixture ----
   // Three regions: A (label 1, top-left of the T-split), B (2,
   // top-right), C (3, the full-width bottom). Region values make the

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{ImageRow, TileRow}
+import graft.{ImageRow, MultiTileRow, TileRow}
 
 /**
  * Fishnet / extent / annotation-bbox generators — the reference's mesh
@@ -156,6 +156,84 @@ object Mesh {
         (col("sxx") - col("sx") * col("sx") / col("n")) -
           (col("syy") - col("sy") * col("sy") / col("n"))))
         .as("orient"))
+
+  /** imangle (utilities.py:1241-1281): orientation of the non-zero mask
+    * plus the reference's two derived side axes, and the size of the
+    * perimeter-stripped mask (the reference zeroes `bwperim(bw)` pixels
+    * and returns the stripped array; the count is its row footprint).
+    *
+    * Angle convention: the moment major axis theta = 0.5 * atan2(2*mu11,
+    * mu20 - mu02) (maskOrientation's convention — regionprops'
+    * differs by a constant rotation, documented there), then the
+    * reference arithmetic verbatim: wrap negative theta by +pi, axis1 =
+    * pi - theta, axis2 = axis1 - pi/2 (the `orient < pi` branch — after
+    * the wrap it always holds, as in the reference).
+    *
+    * Perimeter rule = mahotas bwperim n=4: a bright pixel is perimeter
+    * iff any 4-neighbor is dark or out of image. Input is HALOED tiles
+    * (`Tiler.multiTiles(halo >= 1)`): each tile sees one pixel beyond
+    * its core on every in-image side, and at true image edges the
+    * window edge IS the image edge, so the neighbor test is exact
+    * without any pixel shuffle. Shuffle carries 8 scalars per tile. */
+  def imAngle(tiles: Dataset[MultiTileRow], tileSize: Int, halo: Int = 1,
+              band: Int = 0)(implicit spark: SparkSession): DataFrame = {
+    require(halo >= 1, "imAngle needs a >=1-px halo for the bwperim test")
+    import spark.implicits._
+    val partials = tiles.mapPartitions { it =>
+      var lastKey: (String, Int, Int) = null
+      it.flatMap { t =>
+        val key = (t.image_id, t.tx, t.ty)
+        if (key == lastKey) None // same tile, another overlapped cell
+        else {
+          lastKey = key
+          val v = t.bands(band)
+          val offX = math.min(halo, t.tx * tileSize)
+          val offY = math.min(halo, t.ty * tileSize)
+          val coreW = math.min(t.tw - offX, tileSize)
+          val coreH = math.min(t.th - offY, tileSize)
+          var n = 0L; var sx = 0.0; var sy = 0.0
+          var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+          var nInt = 0L
+          // global pixel coords off the halo window's world origin (the
+          // constant image offset cancels in the central moments)
+          val gx0 = t.x_min / t.px; val gy0 = -t.y_max / t.px
+          def bright(y2: Int, x2: Int): Boolean =
+            y2 >= 0 && y2 < t.th && x2 >= 0 && x2 < t.tw && v(y2 * t.tw + x2) > 0
+          var r = 0
+          while (r < coreH) {
+            var c = 0
+            while (c < coreW) {
+              val rr = offY + r; val cc = offX + c
+              if (v(rr * t.tw + cc) > 0) {
+                val gx = gx0 + cc; val gy = gy0 + rr
+                n += 1; sx += gx; sy += gy
+                sxx += gx * gx; syy += gy * gy; sxy += gx * gy
+                if (bright(rr - 1, cc) && bright(rr + 1, cc) &&
+                    bright(rr, cc - 1) && bright(rr, cc + 1)) nInt += 1
+              }
+              c += 1
+            }
+            r += 1
+          }
+          if (n == 0) None
+          else Some((t.image_id, n, sx, sy, sxx, syy, sxy, nInt))
+        }
+      }
+    }.toDF("image_id", "n", "sx", "sy", "sxx", "syy", "sxy", "n_int")
+      .groupBy("image_id")
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"),
+        sum("n_int").as("n_int"))
+    val theta = lit(0.5) *
+      atan2(lit(2) * (col("sxy") - col("sx") * col("sy") / col("n")),
+        (col("sxx") - col("sx") * col("sx") / col("n")) -
+          (col("syy") - col("sy") * col("sy") / col("n")))
+    val wrapped = when(theta < 0, theta + lit(math.Pi)).otherwise(theta)
+    partials.select(col("image_id"),
+      (lit(math.Pi) - wrapped).as("axis1"),
+      (lit(math.Pi) - wrapped - lit(math.Pi / 2)).as("axis2"),
+      col("n"), col("n_int"))
+  }
 
   /** Full meshgrid over images (bounded per-image work): decodes each
     * image once, computes moments + bright bbox locally, emits the spun

@@ -34,7 +34,7 @@ object Polygonize {
     }
   }
 
-  private def regions(img: ImageRow, band: Int, v: Array[Float]): Seq[RegionRow] = {
+  private[operators] def regions(img: ImageRow, band: Int, v: Array[Float]): Seq[RegionRow] = {
     val w = img.w; val h = img.h
     val label = new Array[Int](w * h)
     var next = 0

@@ -447,6 +447,39 @@ object Snakes {
     out
   }
 
+  /** do_ac (utilities.py:296-395): threshold-initialised active contour
+    * over whole images. The reference's gray path inits the level set
+    * with `img < thresh` (utilities.py:371; the band argument stands in
+    * for its rgb2gray — callers pick the intensity band), evolves with
+    * morphological Chan-Vese, polygonizes the final mask with the mask
+    * as its own mask (polygonize's mask=True default, raster.py:1526 —
+    * zero regions never emit) and drops small polygons by AREA
+    * (gdf.Area > area_thresh, utilities.py:390-392). `threshOnly`
+    * skips the contour evolution, as in the reference.
+    *
+    * Scale shape: a per-image bounded kernel inside one flatMap — the
+    * decode, evolution, labeling and boundary trace all stay local and
+    * only polygon rows come out; zero shuffle at any image count. */
+  def doAc(images: Dataset[ImageRow], thresh: Double, iterations: Int = 10,
+           smoothing: Int = 1, lambda1: Double = 1.0, lambda2: Double = 1.0,
+           areaThresh: Double = 4.0, band: Int = 0,
+           threshOnly: Boolean = false)
+          (implicit spark: SparkSession): Dataset[Polygonize.RegionRow] = {
+    import spark.implicits._
+    images.flatMap { im =>
+      val pix = PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(band)
+      val init = pix.map(v => (if (v < thresh) 1 else 0).toByte)
+      val fin =
+        if (threshOnly) init
+        else acwe(pix, im.w, im.h, init, iterations, smoothing, lambda1, lambda2)
+      val mask = new Array[Float](fin.length)
+      var p = 0
+      while (p < fin.length) { mask(p) = fin(p).toFloat; p += 1 }
+      Polygonize.regions(im, band, mask).filter(r =>
+        r.value == 1f && r.pixel_count * im.px * im.px > areaThresh)
+    }
+  }
+
   /** Segment pixels of ms_snake over an image table: one output row per
     * final-level-set pixel, (image_id, poly_id, x, y). `threshold` NaN
     * means GAC 'auto' (40th percentile of the window's gimg). Overlap

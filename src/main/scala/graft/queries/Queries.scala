@@ -2858,6 +2858,70 @@ object Queries {
        |  CAST(x AS INT) AS x, CAST(y AS INT) AS y
        |FROM px""".stripMargin
 
+  /** do_ac (utilities.py:296-395): threshold-initialised active contour
+    * end-to-end — init = img < 75 (over-selects blob1 by its 1-px
+    * value-74 penumbra), 3 ACWE steps (the ring sheds in step 1, then
+    * the contour is stationary — DoAcSpec pins the derivation),
+    * polygonize with the mask masking itself, and the area filter > 4
+    * drops the planted 1-px and 2-px specks. The oracle enumerates the
+    * two surviving blob rectangles (pixel area + world-edge bbox). */
+  def qDoAc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.doAcImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    Snakes.doAc(imgs, thresh = 75.0, iterations = 3, smoothing = 0)
+      .toDF()
+      .select(col("image_id"), col("pixel_count").as("area_px"),
+        expr("array_min(transform(ring, p -> p.x))").as("wx0"),
+        expr("array_min(transform(ring, p -> p.y))").as("wy0"),
+        expr("array_max(transform(ring, p -> p.x))").as("wx1"),
+        expr("array_max(transform(ring, p -> p.y))").as("wy1"))
+  }
+
+  val qDoAcSql: String =
+    s"""WITH ${GridImages.snakeRectSql(6)},
+       |r AS (
+       |  SELECT i, s_x0 AS x0, s_y0 AS y0, s_x1 AS x1, s_y1 AS y1 FROM sr
+       |  UNION ALL
+       |  SELECT i, t_x0, t_y0, t_x1, t_y1 FROM sr)
+       |SELECT printf('g%03d', i) AS image_id,
+       |  CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS area_px,
+       |  CAST((i % 8) * 256 + x0 AS DOUBLE) AS wx0,
+       |  CAST((i // 8) * 256 - y1 - 1 AS DOUBLE) AS wy0,
+       |  CAST((i % 8) * 256 + x1 + 1 AS DOUBLE) AS wx1,
+       |  CAST((i // 8) * 256 - y0 AS DOUBLE) AS wy1
+       |FROM r""".stripMargin
+
+  /** imangle (utilities.py:1241-1281) over the mesh fixture (bright
+    * rect on zero background, wide for even i / tall for odd): mask
+    * moments ride per-tile partials, the bwperim strip count rides the
+    * same 1-px-halo tiles. Rect masks make every output closed-form:
+    * mu11 is EXACTLY 0 in double (all moment sums are integers < 2^53
+    * and sx*sy is an exact multiple of n), so theta is exactly 0 (wide)
+    * or pi/2 (tall) and the axes are pi/2 multiples; the interior count
+    * is (w-2)*(h-2). */
+  def qImAngle(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val imgs = spark.createDataset(GridImages.meshImages(8).toSeq)(
+      Encoders.product[ImageRow])
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(imgs, 64, cellRes, halo = 1)
+    Mesh.imAngle(tiles, tileSize = 64, halo = 1)
+      .select(col("image_id"),
+        round(col("axis1"), 6).as("axis1"), round(col("axis2"), 6).as("axis2"),
+        col("n").cast("long").as("n_bright"),
+        col("n_int").cast("long").as("n_interior"))
+  }
+
+  val qImAngleSql: String =
+    s"""WITH ${GridImages.meshRectSql(8)}
+       |SELECT printf('g%03d', i) AS image_id,
+       |  round(CASE WHEN i % 2 = 0 THEN pi() ELSE pi()/2 END, 6) AS axis1,
+       |  round(CASE WHEN i % 2 = 0 THEN pi()/2 ELSE 0.0 END, 6) AS axis2,
+       |  CAST((m_x1 - m_x0 + 1) * (m_y1 - m_y0 + 1) AS BIGINT) AS n_bright,
+       |  CAST((m_x1 - m_x0 - 1) * (m_y1 - m_y0 - 1) AS BIGINT) AS n_interior
+       |FROM mr""".stripMargin
+
   /** Kass parametric active contour (snake, shape.py:1734-1990): with
     * w_line = w_edge = 0 the image force vanishes and the whole
     * evolution is the implicit-spline recurrence

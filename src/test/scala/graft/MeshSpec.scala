@@ -93,6 +93,58 @@ class MeshSpec extends AnyFunSuite {
     }
   }
 
+  test("imAngle: closed-form axes + interior counts on both parities") {
+    val imgs8 = spark.createDataset(GridImages.meshImages(8).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val tiles = Tiler.multiTiles(imgs8, 64, Tiler.resForCellSize(64.0), halo = 1)
+    val rows = Mesh.imAngle(tiles, tileSize = 64).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 8)
+    for (i <- 0 until 8) {
+      val (x0, y0, x1, y1) = GridImages.meshRect(i.toLong)
+      val (a1, a2, n, nInt) = rows(f"g$i%03d")
+      val wantA1 = if (i % 2 == 0) math.Pi else math.Pi / 2
+      assert(math.abs(a1 - wantA1) < 1e-12, s"axis1 image $i")
+      assert(math.abs(a2 - (wantA1 - math.Pi / 2)) < 1e-12, s"axis2 image $i")
+      assert(n == (x1 - x0 + 1).toLong * (y1 - y0 + 1), s"n image $i")
+      assert(nInt == (x1 - x0 - 1).toLong * (y1 - y0 - 1), s"n_int image $i")
+    }
+  }
+
+  test("imAngle is tile-size invariant (cross-tile moments + perim)") {
+    val big = Mesh.imAngle(
+      Tiler.multiTiles(meshImgs, 64, Tiler.resForCellSize(64.0), halo = 1),
+      tileSize = 64).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val small = Mesh.imAngle(
+      Tiler.multiTiles(meshImgs, 8, Tiler.resForCellSize(64.0), halo = 1),
+      tileSize = 8).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(big.length == small.length && big.zip(small).forall {
+      case ((ia, (aa, na, ii)), (ib, (ab, nb, jb))) =>
+        ia == ib && math.abs(aa - ab) < 1e-9 && na == nb && ii == jb
+    })
+  }
+
+  test("imAngle bwperim: image-border bright pixels are perimeter") {
+    // an all-bright 8x6 image touches every border: out-of-image counts
+    // as background (mahotas pads with 0), so interior = 6x4
+    val b0 = Array.fill(8 * 6)(90f)
+    val enc = graft.core.PixelCodec.encode(
+      graft.core.PixelCodec.FmtRawLe, 8, 6, Array(b0))
+    val img = ImageRow("b000", enc, 8, 6, graft.core.PixelCodec.FmtRawLe,
+      "border", 0L, x_min = 0.0, y_max = 0.0, px = 1.0)
+    val ds = spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val r = Mesh.imAngle(
+      Tiler.multiTiles(ds, 64, Tiler.resForCellSize(64.0), halo = 1),
+      tileSize = 64).collect().head
+    assert(r.getLong(3) == 48L && r.getLong(4) == 24L)
+  }
+
   test("dedupe tripwire: non-adjacent duplicate tiles fail loudly") {
     // shuffled-then-fed tiles violate the straight-off-the-tiler
     // contract; the tripwire must raise, not silently double-count
