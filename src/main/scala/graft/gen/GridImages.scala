@@ -182,6 +182,57 @@ object GridImages {
        |    FROM generate_series(0, ${n - 1}) t(i), generate_series(0, 1) ts(s),
        |         generate_series(0, 4) tj(j)))""".stripMargin
 
+  // ---- iter_ransac fixture ----
+  // Two planted VERTICAL lines of unequal support plus three strongly
+  // non-collinear noise points (value 90 on a 10 field):
+  //  - line A: column 10+(i%4), rows 2,6,...,38 (10 points)
+  //  - line B: column 40+(i%3), rows 3,9,...,27 (5 points)
+  //  - noise: (60, 5+(i%3)), (67, 25), (62, 40+(i%2))
+  // Any pair spanning two clusters tilts so far that its 1-px residual
+  // band holds <= 4 points (|y - ya| <= len/dx with dx >= 18), so round
+  // 1's exhaustive argmax is an A-pair (consensus 10, exactly the A
+  // points — everything else is >= 27 columns away), its inliers drop,
+  // and round 2's argmax is a B-pair (consensus 5 > any noise line's
+  // <= 4). Both winners are vertical, so the burns are closed-form:
+  // column a (then b) at every CURRENT point's row. The q_iter_ransac
+  // oracle replays BOTH rounds' full pair enumeration in SQL;
+  // RansacSpec additionally checks the numeric no-better-pair claims.
+  def iterRanA(i: Long): Int = 10 + (i % 4).toInt
+  def iterRanB(i: Long): Int = 40 + (i % 3).toInt
+
+  def iterRanPts(i: Long): Seq[(Int, Int)] = {
+    val a = iterRanA(i); val b = iterRanB(i)
+    (0 until 10).map(k => (a, 2 + 4 * k)) ++
+      (0 until 5).map(k => (b, 3 + 6 * k)) ++
+      Seq((60, 5 + (i % 3).toInt), (67, 25), (62, 40 + (i % 2).toInt))
+  }
+
+  def iterRanImages(n: Int): IndexedSeq[ImageRow] = (0 until n).map { i =>
+    val bright = iterRanPts(i.toLong).toSet
+    val b0 = Array.tabulate(W * H)(p =>
+      if (bright((p % W, p / W))) 90f else 10f)
+    val fmt = if (i % 2 == 0) PixelCodec.FmtRawLe else PixelCodec.FmtRle
+    val enc = PixelCodec.encode(fmt, W, H, Array(b0))
+    ImageRow(f"g$i%03d", enc, W, H, fmt, s"iter_ransac fixture $i",
+      PixelCodec.phash64(W, H, b0), x_min = xMin(i.toLong),
+      y_max = yMax(i.toLong), px = 1.0)
+  }
+
+  /** DuckDB CTE of the iter_ransac fixture points: (i, x, y). */
+  def iterRanPtsSql(n: Int): String =
+    s"""ipts AS (
+       |  SELECT i, 10 + (i % 4) AS x, 2 + 4*k AS y
+       |  FROM generate_series(0, ${n - 1}) t(i), generate_series(0, 9) tk(k)
+       |  UNION ALL
+       |  SELECT i, 40 + (i % 3), 3 + 6*k
+       |  FROM generate_series(0, ${n - 1}) t(i), generate_series(0, 4) tk(k)
+       |  UNION ALL
+       |  SELECT i, 60, 5 + (i % 3) FROM generate_series(0, ${n - 1}) t(i)
+       |  UNION ALL
+       |  SELECT i, 67, 25 FROM generate_series(0, ${n - 1}) t(i)
+       |  UNION ALL
+       |  SELECT i, 62, 40 + (i % 2) FROM generate_series(0, ${n - 1}) t(i))""".stripMargin
+
   // ---- morphological-snakes fixture ----
   // Two planted hi=90 rectangles ("blobs") on a lo=10 background plus a
   // flat zone. Three init polygons per image:

@@ -99,6 +99,139 @@ object Ransac {
       .where(col("inliers") > 0)
   }
 
+  /** iter_ransac (utilities.py:969-1044): repeated whole-image robust
+    * line extraction over a binary mask's point set — fit the dominant
+    * line, burn its prediction at EVERY current point's driving
+    * coordinate, drop the model's inliers, refit on the residue,
+    * `noIter` times (the reference's outliers-become-the-data loop).
+    * Output: one row per burned pixel and round,
+    * (image_id, iter, x, y); the reference's accumulated binary array
+    * is `distinct(image_id, x, y)` over it.
+    *
+    * Spark shape: points group ONCE by image (sparse mask pixels only,
+    * never the raster) and the whole loop runs as a bounded per-image
+    * kernel (`groupByKey(image_id).flatMapGroups`) — rounds are
+    * sequential WITHIN an image (each round's data is the previous
+    * round's outliers) but independent ACROSS images, the same
+    * one-task-per-image argument as Rag's hierarchical merge. Fail-fast
+    * bounded by `maxPointsPerImage`.
+    *
+    * Deterministic semantics are `fit`'s, applied per round: row-major
+    * pair enumeration with first-enumeration argmax below
+    * `exhaustiveMax` points (seeded draws above, the seed mixing the
+    * round index); inlier — for BOTH the consensus count and the
+    * removal (reference: `inData = inData[outliers]`) — is the
+    * integer-exact cross^2 <= residual^2 * len^2; burn rounds half-up
+    * via exact floorDiv, as in `lines`. A round with < 2 points or no
+    * valid pair ends the loop (skimage would raise there; stopping is
+    * the bounded-kernel behavior). */
+  def iterFit(edgePx: DataFrame, noIter: Int, orient: String = "col",
+              residual: Double = 1.0, exhaustiveMax: Int = 64,
+              maxTrials: Int = 2500, seed: Long = 42L,
+              maxPointsPerImage: Int = 1 << 20)
+             (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(orient == "col" || orient == "row", s"orient: $orient")
+    val colMode = orient == "col"
+    val r2 = residual * residual
+    edgePx.select("image_id", "x", "y").as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: String, it: Iterator[(String, Int, Int)]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
+        while (it.hasNext) {
+          val t = it.next(); buf += ((t._2, t._3))
+          require(buf.length <= maxPointsPerImage,
+            s"iter_ransac mask for image $id exceeds $maxPointsPerImage points")
+        }
+        var pts = buf.toArray.sortBy { case (x, y) => (y, x) } // row-major
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int)]
+        var iter = 0
+        var go = true
+        while (iter < noIter && go && pts.length >= 2) {
+          val xs = pts.map(_._1); val ys = pts.map(_._2)
+          val n = pts.length
+          var bestCnt = -1L; var bestA = -1; var bestB = -1
+          def score(a: Int, b: Int): Unit = {
+            val ok = if (colMode) ys(a) != ys(b) else xs(a) != xs(b)
+            if (ok && (a != b)) {
+              val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
+              val len2 = dx.toDouble * dx + dy.toDouble * dy
+              var cnt = 0L
+              var i = 0
+              while (i < n) {
+                val cross = dx.toDouble * (ys(i) - ys(a)) - dy.toDouble * (xs(i) - xs(a))
+                if (cross * cross <= r2 * len2) cnt += 1
+                i += 1
+              }
+              if (cnt > bestCnt) { bestCnt = cnt; bestA = a; bestB = b }
+            }
+          }
+          if (n <= exhaustiveMax) {
+            var a = 0
+            while (a < n - 1) {
+              var b = a + 1
+              while (b < n) { score(a, b); b += 1 }
+              a += 1
+            }
+          } else {
+            val rnd = new java.util.SplittableRandom(
+              seed ^ id.hashCode.toLong << 20 ^ iter)
+            var t = 0
+            while (t < maxTrials) {
+              val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+              if (a < b) score(a, b) else if (b < a) score(b, a)
+              t += 1
+            }
+          }
+          if (bestA < 0) go = false
+          else {
+            val xa = xs(bestA); val ya = ys(bestA)
+            val xb = xs(bestB); val yb = ys(bestB)
+            // burn at every CURRENT point's drive coordinate (reference:
+            // line_x = inData[:, 0], i.e. outliers' coordinates too)
+            val dC = (if (colMode) xb - xa else yb - ya).toLong
+            val dD = (if (colMode) yb - ya else xb - xa).toLong
+            val sgn = if (dD > 0) 1L else -1L
+            val den = math.abs(dD)
+            val base = if (colMode) xa else ya
+            val refD = if (colMode) ya else xa
+            val seen = scala.collection.mutable.HashSet.empty[(Int, Int)]
+            var i = 0
+            while (i < n) {
+              val drive = if (colMode) ys(i) else xs(i)
+              val pred =
+                (base + Math.floorDiv(2L * sgn * dC * (drive - refD) + den,
+                  2L * den)).toInt
+              val bx = if (colMode) pred else xs(i)
+              val by = if (colMode) ys(i) else pred
+              if (seen.add((bx, by))) out += ((id, iter, bx, by))
+              i += 1
+            }
+            // outliers only survive to the next round
+            val dx = (xb - xa).toDouble; val dy = (yb - ya).toDouble
+            val len2 = dx * dx + dy * dy
+            pts = pts.filter { case (qx, qy) =>
+              val cross = dx * (qy - ya) - dy * (qx - xa)
+              cross * cross > r2 * len2
+            }
+          }
+          iter += 1
+        }
+        out.iterator
+      }.toDF("image_id", "iter", "x", "y")
+  }
+
+  /** The reference composition verbatim: canny(image, sigma) -> where
+    * (bw > 0) -> the iterated fit/burn loop (utilities.py:977-985). */
+  def iterLines(images: Dataset[ImageRow], noIter: Int, lowT: Double,
+                highT: Double, sigma: Double = 3.0, orient: String = "col",
+                residual: Double = 1.0, band: Int = 0,
+                exhaustiveMax: Int = 64, maxTrials: Int = 2500,
+                seed: Long = 42L)
+               (implicit spark: SparkSession): DataFrame =
+    iterFit(Hough.edgePixels(Edge.canny(images, lowT, highT, sigma, band)),
+      noIter, orient, residual, exhaustiveMax, maxTrials, seed)
+
   /** Fit + burn: one output row per burned pixel (image_id, strip, x, y).
     * In col mode each edge pixel's ROW drives a predicted COLUMN
     * (duplicates collapse — raster burn has set semantics). */

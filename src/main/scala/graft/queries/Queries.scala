@@ -2766,6 +2766,62 @@ object Queries {
        |FROM best b JOIN pts q ON b.i = q.i AND b.s = q.s
        |WHERE b.rk = 1""".stripMargin
 
+  /** iter_ransac (utilities.py:969-1044): the iterated fit-burn-drop
+    * loop over the planted two-line fixture — round 1's exhaustive
+    * argmax is line A (10 inliers), its inliers drop, round 2's is line
+    * B (5 > any noise line's <= 4). The oracle replays BOTH rounds'
+    * full pair enumeration, inlier filtering and round-half-up burns
+    * relationally. The reference's canny mask stage is oracle-green on
+    * its own (q_canny); the `iterLines` composition (canny -> this
+    * loop) is spec-checked in RansacSpec. */
+  def qIterRansac(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ds = spark.createDataset(GridImages.iterRanImages(6).toSeq)(
+      Encoders.product[ImageRow])
+    Ransac.iterFit(Hough.edgePixels(ds, band = 0, thresh = 50.0), noIter = 2)
+  }
+
+  val qIterRansacSql: String = {
+    def cross(q: String, m: String) =
+      s"(($m.xb-$m.xa)*($q.y-$m.ya) - ($m.yb-$m.ya)*($q.x-$m.xa))"
+    def len2(m: String) =
+      s"(($m.xb-$m.xa)*($m.xb-$m.xa) + ($m.yb-$m.ya)*($m.yb-$m.ya))"
+    def round(src: String, prev: String): String =
+      s"""s$src AS (
+         |  SELECT a.i, a.ord AS oa, b.ord AS ob,
+         |    a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb,
+         |    (SELECT count(*) FROM $prev q WHERE q.i = a.i
+         |     AND ((b.x-a.x)*(q.y-a.y) - (b.y-a.y)*(q.x-a.x))
+         |       * ((b.x-a.x)*(q.y-a.y) - (b.y-a.y)*(q.x-a.x))
+         |       <= (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) AS cnt
+         |  FROM $prev a JOIN $prev b
+         |    ON a.i = b.i AND a.ord < b.ord AND a.y <> b.y),
+         |m$src AS (
+         |  SELECT i, xa, ya, xb, yb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY i
+         |      ORDER BY cnt DESC, oa, ob) AS rk FROM s$src) WHERE rk = 1)""".stripMargin
+    def burn(it: Int, m: String, p: String) =
+      s"""SELECT DISTINCT q.i, $it AS iter,
+         |  CAST($m.xa + floor((2.0*($m.xb-$m.xa)*(q.y-$m.ya) + ($m.yb-$m.ya))
+         |    / (2*($m.yb-$m.ya))) AS INT) AS x,
+         |  CAST(q.y AS INT) AS y
+         |FROM $m JOIN $p q ON $m.i = q.i""".stripMargin
+    s"""WITH ${GridImages.iterRanPtsSql(6)},
+       |p1 AS (SELECT i, x, y,
+       |       row_number() OVER (PARTITION BY i ORDER BY y, x) AS ord FROM ipts),
+       |${round("1", "p1")},
+       |p2 AS (
+       |  SELECT q.i, q.x, q.y,
+       |    row_number() OVER (PARTITION BY q.i ORDER BY q.y, q.x) AS ord
+       |  FROM p1 q JOIN m1 ON q.i = m1.i
+       |  WHERE ${cross("q", "m1")} * ${cross("q", "m1")} > ${len2("m1")}),
+       |${round("2", "p2")}
+       |SELECT printf('g%03d', i) AS image_id, iter, x, y FROM (
+       |  ${burn(0, "m1", "p1")}
+       |  UNION ALL
+       |  ${burn(1, "m2", "p2")})""".stripMargin
+  }
+
   /** Morphological snakes, ACWE (ms_snake, shape.py:2016-2244): init
     * polygon A shrinks ring-by-ring onto the planted blob, init B grows
     * outward onto its blob — both fixpoints are exact pixel rectangles

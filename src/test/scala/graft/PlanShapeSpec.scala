@@ -197,6 +197,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!mf.contains("Exchange"), s"meshFromRaster must not shuffle:\n$mf")
   }
 
+  test("round-5 compositions: doAc zero-shuffle, imAngle summary-only, iterFit points-only") {
+    import graft.gen.GridImages
+    import graft.operators.{Snakes, Mesh, Ransac, Hough, Tiler => T2}
+    // doAc is a pure per-image flatMap: decode -> ACWE -> polygonize ->
+    // area filter, nothing shuffles
+    val dimgs = spark.createDataset(GridImages.doAcImages(2).toSeq)
+    val pd = plan(Snakes.doAc(dimgs, 75.0, iterations = 2, smoothing = 0).toDF())
+    assert(!pd.contains("Exchange"), s"doAc must not shuffle:\n$pd")
+    // imAngle: exactly ONE exchange — the 8-scalars-per-tile summary agg
+    // with map-side partials; no band payload crosses it
+    val mimgs = spark.createDataset(GridImages.meshImages(2).toSeq)
+    val tiles = T2.multiTiles(mimgs, 64, T2.resForCellSize(64.0), halo = 1)
+    val pa = plan(Mesh.imAngle(tiles, 64))
+    assert(pa.split("Exchange").length - 1 == 1,
+      s"imAngle must have exactly one exchange:\n$pa")
+    val ex = pa.indexOf("Exchange hashpartitioning(image_id")
+    val partial = pa.indexOf("partial_sum", math.max(ex, 0))
+    assert(ex >= 0 && partial > ex, s"imAngle: no map-side partial agg:\n$pa")
+    assert(!pa.substring(ex, partial).contains("bands"),
+      s"imAngle: band payload crossed the summary exchange:\n$pa")
+    // iterFit: the one exchange groups sparse (image_id, x, y) points —
+    // nothing above it may reference the image payload
+    val rimgs = spark.createDataset(GridImages.iterRanImages(2).toSeq)
+    val pr = plan(Ransac.iterFit(Hough.edgePixels(rimgs, thresh = 50.0), noIter = 2))
+    val exr = pr.indexOf("Exchange")
+    assert(exr >= 0, s"iterFit: expected a point-group exchange:\n$pr")
+    assert(!pr.substring(0, exr).contains("bytes"),
+      s"iterFit must shuffle points, never image bytes:\n$pr")
+  }
+
   test("rasterize: zero shuffle (broadcast cell->features map, typed map)") {
     import graft.operators.{Tiler, RasterOps}
     val images = spark.createDataset(Synth.images(4, seed = 3L, bands = 1).toSeq)

@@ -68,6 +68,111 @@ class RansacSpec extends AnyFunSuite {
     assert(got == naive.toMap)
   }
 
+  /** Independent naive replay of the whole iter_ransac loop — fresh
+    * loops, no shared code with Ransac.iterFit. */
+  private def naiveIter(pts0: Seq[(Int, Int)], noIter: Int,
+                        r2: Double = 1.0): Seq[(Int, Int, Int)] = {
+    var pts = pts0.sortBy(p => (p._2, p._1))
+    val out = collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var it = 0
+    var go = true
+    while (it < noIter && go && pts.length >= 2) {
+      var best: Option[(Long, Int, Int)] = None
+      for (a <- pts.indices; b <- pts.indices
+           if a < b && pts(a)._2 != pts(b)._2) {
+        val (xa, ya) = pts(a); val (xb, yb) = pts(b)
+        val dx = (xb - xa).toDouble; val dy = (yb - ya).toDouble
+        val cnt = pts.count { case (x, y) =>
+          val cr = dx * (y - ya) - dy * (x - xa)
+          cr * cr <= r2 * (dx * dx + dy * dy)
+        }.toLong
+        if (best.forall(_._1 < cnt)) best = Some((cnt, a, b))
+      }
+      best match {
+        case None => go = false
+        case Some((_, a, b)) =>
+          val (xa, ya) = pts(a); val (xb, yb) = pts(b)
+          val seen = collection.mutable.Set.empty[(Int, Int)]
+          pts.foreach { case (_, y) =>
+            // col mode: predict x from y, round half-up (ya < yb by ord)
+            val pred = xa + Math.floorDiv(
+              2L * (xb - xa) * (y - ya) + (yb - ya), 2L * (yb - ya)).toInt
+            if (seen.add((pred, y))) out += ((it, pred, y))
+          }
+          val dx = (xb - xa).toDouble; val dy = (yb - ya).toDouble
+          val l2 = dx * dx + dy * dy
+          pts = pts.filter { case (x, y) =>
+            val cr = dx * (y - ya) - dy * (x - xa)
+            cr * cr > r2 * l2
+          }
+      }
+      it += 1
+    }
+    out.toSeq
+  }
+
+  test("iterFit on the two-line fixture: A then B, burns closed-form") {
+    val n = 4
+    val ds = spark.createDataset(GridImages.iterRanImages(n).toSeq)
+    val got = Ransac.iterFit(Hough.edgePixels(ds, thresh = 50.0), noIter = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    for (i <- 0 until n) {
+      val pts = GridImages.iterRanPts(i.toLong)
+      val a = GridImages.iterRanA(i.toLong); val b = GridImages.iterRanB(i.toLong)
+      val rows1 = pts.map(_._2).distinct // all 18 points' rows
+      val pts2 = pts.filterNot(_._1 == a) // A's inliers dropped
+      val rows2 = pts2.map(_._2).distinct
+      val want = (rows1.map(y => (f"g$i%03d", 0, a, y)) ++
+        rows2.map(y => (f"g$i%03d", 1, b, y))).toSet
+      assert(got(f"g$i%03d").toSet == want, s"image $i")
+      // and the naive replay agrees move for move
+      val naive = naiveIter(pts, noIter = 2)
+        .map { case (it, x, y) => (f"g$i%03d", it, x, y) }.toSet
+      assert(got(f"g$i%03d").toSet == naive, s"image $i naive")
+    }
+  }
+
+  test("iterFit equals the naive replay on a pseudorandom cloud, 3 rounds") {
+    val imgs = GridImages.images(2, bands = 1)
+    val ds = spark.createDataset(imgs.toSeq)
+    // sparse pseudorandom mask (~48 pts/image keeps the exhaustive path)
+    val got = Ransac.iterFit(Hough.edgePixels(ds, thresh = 95.0), noIter = 3,
+        exhaustiveMax = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3, t._4)).toSet }
+    imgs.foreach { im =>
+      val v = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
+      val pts = for {
+        y <- 0 until im.h; x <- 0 until im.w if v(y * im.w + x) > 95.0
+      } yield (x, y)
+      assert(got(im.image_id) == naiveIter(pts, noIter = 3).toSet, im.image_id)
+    }
+  }
+
+  test("iterLines (canny composition) runs the loop on real edges") {
+    val ds = spark.createDataset(GridImages.edgeImages(2).toSeq)
+    val rows = Ransac.iterLines(ds, noIter = 2, lowT = 20.0, highT = 40.0,
+      sigma = 0.0, exhaustiveMax = 16, maxTrials = 400, seed = 7L)
+    val c1 = rows.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(c1.nonEmpty && c1.exists(_._2 == 1), "two rounds burned")
+    val c2 = Ransac.iterLines(ds, noIter = 2, lowT = 20.0, highT = 40.0,
+      sigma = 0.0, exhaustiveMax = 16, maxTrials = 400, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(c1.toSet == c2.toSet, "sampled path deterministic in the seed")
+  }
+
+  test("iterFit per-image point bound fails fast") {
+    val ds = spark.createDataset(GridImages.iterRanImages(1).toSeq)
+    val e = intercept[org.apache.spark.SparkException] {
+      Ransac.iterFit(Hough.edgePixels(ds, thresh = 50.0), noIter = 1,
+        maxPointsPerImage = 4).count()
+    }
+    def msg(x: Throwable): String =
+      Option(x).map(t => t.getMessage + msg(t.getCause)).getOrElse("")
+    assert(msg(e).contains("exceeds"))
+  }
+
   test("sampled path (n > exhaustiveMax) is deterministic in the seed") {
     val ds = spark.createDataset(GridImages.images(2, bands = 1).toSeq)
     val edgePx = Hough.edgePixels(ds, thresh = 40.0) // dense: > 64 pts/strip
