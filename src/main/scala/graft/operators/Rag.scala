@@ -114,11 +114,16 @@ object Rag {
     * label. */
   private[graft] def mergeHierarchical(
       edges: Seq[(Long, Long, Double, Long)], thresh: Double): Map[Long, Long] = {
-    // union-find over labels
+    // union-find over labels; find is ITERATIVE (a long absorption
+    // lineage — bounded only by the edge cap — must not grow the task
+    // stack) with full path compression
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     // adjacency between CURRENT roots: canonical pair -> (sum, count)
     val adj = scala.collection.mutable.HashMap.empty[(Long, Long), (Double, Long)]

@@ -89,6 +89,16 @@ class RagSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeHierarchical survives a deep absorption lineage (iterative find)") {
+    // path graph whose weights DECREASE along the chain: the kept root
+    // of each merge is absorbed by the next one, building a k-deep
+    // parent lineage — a recursive find would blow the stack here
+    val k = 200000
+    val edges = (1 until k).map(i => (i.toLong, i + 1L, (k - i).toDouble, 1L))
+    val m = Rag.mergeHierarchical(edges, thresh = k.toDouble + 1)
+    assert(m(k.toLong) == 1L && m(2L) == 1L && m.values.forall(_ == 1L))
+  }
+
   test("ragMerge is fully lazy and merges executor-side (no driver collect)") {
     val segs = spark.createDataset(GridImages.ragSegImages(4).toSeq)(
       org.apache.spark.sql.Encoders.product[ImageRow])
