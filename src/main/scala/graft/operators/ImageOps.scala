@@ -515,33 +515,85 @@ object ImageOps {
     import spark.implicits._
     images.map { img =>
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
+      val (r, g, bl) = applyRamp(dec.bands(0), img.w * img.h, stops)
+      img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(r, g, bl)),
+        phash = PixelCodec.phash64(img.w, img.h, r))
+    }
+  }
+
+  /** The color-relief pixel kernel: linear interpolation between sorted
+    * stops, end-clamped, channels rounded half-up. Duplicate-elevation
+    * stops are safe: any value at/above the duplicated elevation takes
+    * the clamp branch, so the zero-width segment never interpolates. */
+  private def applyRamp(b: Array[Float], n: Int,
+                        stops: Array[(Double, Double, Double, Double)])
+      : (Array[Float], Array[Float], Array[Float]) = {
+    val r = new Array[Float](n); val g = new Array[Float](n)
+    val bl = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val v = b(i).toDouble
+      if (v <= stops.head._1) {
+        r(i) = math.round(stops.head._2).toFloat
+        g(i) = math.round(stops.head._3).toFloat
+        bl(i) = math.round(stops.head._4).toFloat
+      } else if (v >= stops.last._1) {
+        r(i) = math.round(stops.last._2).toFloat
+        g(i) = math.round(stops.last._3).toFloat
+        bl(i) = math.round(stops.last._4).toFloat
+      } else {
+        var k = 0
+        while (stops(k + 1)._1 < v) k += 1
+        val (e0, r0, g0, b0) = stops(k)
+        val (e1, r1, g1, b1) = stops(k + 1)
+        val t = (v - e0) / (e1 - e0)
+        r(i) = math.round(r0 + t * (r1 - r0)).toFloat
+        g(i) = math.round(g0 + t * (g1 - g0)).toFloat
+        bl(i) = math.round(b0 + t * (b1 - b0)).toFloat
+      }
+      i += 1
+    }
+    (r, g, bl)
+  }
+
+  /**
+   * color_raster (raster.py:2090-2127): grayscale -> RGB via an AUTO
+   * ramp. Per raster, the non-NaN min/max define six equal-interval
+   * stops — `int(min + (i+1)*range/6)` for i = 0..4 colored
+   * black/blue/yellow/orange/red, plus `int(max - range/6)` colored
+   * white (Python int() truncates toward zero, as reproduced here) —
+   * then gdaldem color-relief with that ramp (= [[colorRelief]]'s
+   * interpolation). Reference quirk reproduced FAITHFULLY: the white
+   * stop equals the red stop (min + 5*range/6 = max - range/6), so
+   * values at/above it clamp to white and pure red is only approached
+   * from below, never reached. Per-image map, zero shuffle — each
+   * task derives its ramp locally exactly as the reference writes its
+   * per-raster temp colorfile.
+   */
+  def colorRaster(images: Dataset[ImageRow])
+                 (implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    val colors = Array[(Double, Double, Double)](
+      (0, 0, 0), (0, 0, 255), (255, 255, 0), // black, blue, yellow
+      (255, 165, 0), (255, 0, 0), (255, 255, 255)) // orange, red, white
+    images.map { img =>
+      val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val b = dec.bands(0)
-      val n = img.w * img.h
-      val r = new Array[Float](n); val g = new Array[Float](n)
-      val bl = new Array[Float](n)
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
       var i = 0
-      while (i < n) {
+      while (i < b.length) {
         val v = b(i).toDouble
-        if (v <= stops.head._1) {
-          r(i) = math.round(stops.head._2).toFloat
-          g(i) = math.round(stops.head._3).toFloat
-          bl(i) = math.round(stops.head._4).toFloat
-        } else if (v >= stops.last._1) {
-          r(i) = math.round(stops.last._2).toFloat
-          g(i) = math.round(stops.last._3).toFloat
-          bl(i) = math.round(stops.last._4).toFloat
-        } else {
-          var k = 0
-          while (stops(k + 1)._1 < v) k += 1
-          val (e0, r0, g0, b0) = stops(k)
-          val (e1, r1, g1, b1) = stops(k + 1)
-          val t = (v - e0) / (e1 - e0)
-          r(i) = math.round(r0 + t * (r1 - r0)).toFloat
-          g(i) = math.round(g0 + t * (g1 - g0)).toFloat
-          bl(i) = math.round(b0 + t * (b1 - b0)).toFloat
-        }
+        if (!v.isNaN) { if (v < mn) mn = v; if (v > mx) mx = v }
         i += 1
       }
+      require(mn <= mx, s"color_raster: all-NaN raster ${img.image_id}")
+      val range = mx - mn
+      val stops = Array.tabulate(6) { k =>
+        val e = if (k < 5) (mn + (k + 1) * range / 6).toInt
+                else (mx - range / 6).toInt
+        (e.toDouble, colors(k)._1, colors(k)._2, colors(k)._3)
+      }
+      val (r, g, bl) = applyRamp(b, img.w * img.h, stops)
       img.copy(bytes = PixelCodec.encode(img.fmt, img.w, img.h, Array(r, g, bl)),
         phash = PixelCodec.phash64(img.w, img.h, r))
     }

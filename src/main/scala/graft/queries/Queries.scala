@@ -1325,6 +1325,63 @@ object Queries {
        |    AS b_total
        |FROM d GROUP BY 1""".stripMargin
 
+  /** color_raster (raster.py:2090-2127): per-raster AUTO color ramp —
+    * min/max define six equal-interval trunc()'d stops colored
+    * black/blue/yellow/orange/red/white (the reference's white stop
+    * EQUALS its red stop; values at/above clamp white) — then the
+    * color-relief interpolation. The oracle derives the same per-image
+    * stops with SQL min/max + trunc and replays every segment's
+    * interpolation with the identical expression tree (t computed
+    * first, floor(x+0.5) rounding). */
+  def qColorRaster(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    ImageOps.colorRaster(gridImages(spark, 8, 1)).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      def tot(b: Int) = dec.bands(b).foldLeft(0L)((a, f) => a + f.toLong)
+      (im.image_id, tot(0), tot(1), tot(2))
+    }.toDF("image_id", "r_total", "g_total", "b_total")
+  }
+
+  val qColorRasterSql: String =
+    """WITH d AS (
+      |  SELECT i, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+      |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
+      |       generate_series(0, 47) ty(y)),
+      |mm AS (
+      |  SELECT i,
+      |    trunc(min(v) + 1*(max(v)-min(v))/6) AS e1,
+      |    trunc(min(v) + 2*(max(v)-min(v))/6) AS e2,
+      |    trunc(min(v) + 3*(max(v)-min(v))/6) AS e3,
+      |    trunc(min(v) + 4*(max(v)-min(v))/6) AS e4,
+      |    trunc(min(v) + 5*(max(v)-min(v))/6) AS e5,
+      |    trunc(max(v) - (max(v)-min(v))/6) AS e6
+      |  FROM d GROUP BY i),
+      |ch AS (
+      |  SELECT d.i,
+      |    CASE WHEN v <= e1 THEN 0.0
+      |         WHEN v >= e6 THEN 255.0
+      |         WHEN v <= e2 THEN 0.0
+      |         WHEN v <= e3 THEN floor(255.0*((v-e2)/(e3-e2)) + 0.5)
+      |         ELSE 255.0 END AS r,
+      |    CASE WHEN v <= e1 THEN 0.0
+      |         WHEN v >= e6 THEN 255.0
+      |         WHEN v <= e2 THEN 0.0
+      |         WHEN v <= e3 THEN floor(255.0*((v-e2)/(e3-e2)) + 0.5)
+      |         WHEN v <= e4 THEN floor(255.0 - 90.0*((v-e3)/(e4-e3)) + 0.5)
+      |         ELSE floor(165.0 - 165.0*((v-e4)/(e5-e4)) + 0.5) END AS g,
+      |    CASE WHEN v <= e1 THEN 0.0
+      |         WHEN v >= e6 THEN 255.0
+      |         WHEN v <= e2 THEN floor(255.0*((v-e1)/(e2-e1)) + 0.5)
+      |         WHEN v <= e3 THEN floor(255.0 - 255.0*((v-e2)/(e3-e2)) + 0.5)
+      |         ELSE 0.0 END AS b
+      |  FROM d JOIN mm ON d.i = mm.i)
+      |SELECT printf('g%03d', i) AS image_id,
+      |  CAST(sum(r) AS BIGINT) AS r_total,
+      |  CAST(sum(g) AS BIGINT) AS g_total,
+      |  CAST(sum(b) AS BIGINT) AS b_total
+      |FROM ch GROUP BY 1""".stripMargin
+
   /** lazy so the cleanup hook registers exactly once per JVM (same
     * pattern as [[qisScratchRoot]]); PID-suffixed so concurrent verify
     * and bench PROCESSES on one host never scan each other's fixtures. */

@@ -207,4 +207,42 @@ class ImageOpsSpec extends AnyFunSuite {
     clipped.foreach(p => assert(math.abs(
       Geom.area(p.rings.map(_.map(q => (q.x, q.y)))) - 25.0) < 1e-9))
   }
+
+  test("colorRaster: auto ramp hand-check, NaN skip, constant degenerate") {
+    def img1(id: String, vals: Array[Float], w: Int, h: Int) =
+      ImageRow(id, PixelCodec.encode(PixelCodec.FmtRawLe, w, h, Array(vals)),
+        w, h, PixelCodec.FmtRawLe, id, 0L, 0.0, 0.0, 1.0)
+    // values 0..96 in one row of 97 px: min 0, max 96 -> stops
+    // 16/32/48/64/80 + white@80. Hand-check one pixel per segment.
+    val ramp = img1("ramp", Array.tabulate(97)(_.toFloat), 97, 1)
+    // a NaN pixel must not poison min/max, and itself maps to (0,0,0)
+    // (math.round(NaN) = 0) — gdaldem's nodata-ish behavior
+    val withNaN = img1("nan", Array.tabulate(97)(k =>
+      if (k == 50) Float.NaN else k.toFloat), 97, 1)
+    val const = img1("const", Array.fill(8)(42f), 8, 1)
+    val out = ImageOps.colorRaster(spark.createDataset(Seq(ramp, withNaN, const)))
+      .collect().map(im => im.image_id ->
+        PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands).toMap
+    val rb = out("ramp")
+    def px(v: Int) = (rb(0)(v), rb(1)(v), rb(2)(v))
+    assert(px(10) == ((0f, 0f, 0f)), "v<=16 black")
+    assert(px(24) == ((0f, 0f, math.round(255.0 * 8 / 16).toFloat)), "black->blue")
+    assert(px(40) == ((math.round(255.0 * 8 / 16).toFloat,
+      math.round(255.0 * 8 / 16).toFloat,
+      math.round(255.0 - 255.0 * 8 / 16).toFloat)), "blue->yellow")
+    assert(px(56) == ((255f, math.round(255.0 - 90.0 * 8 / 16).toFloat, 0f)),
+      "yellow->orange")
+    assert(px(72) == ((255f, math.round(165.0 - 165.0 * 8 / 16).toFloat, 0f)),
+      "orange->red")
+    assert(px(80) == ((255f, 255f, 255f)) && px(96) == ((255f, 255f, 255f)),
+      "white stop duplicates red's elevation -> clamp white")
+    val nb = out("nan")
+    assert((nb(0)(50), nb(1)(50), nb(2)(50)) == ((0f, 0f, 0f)), "NaN px -> 0s")
+    assert((nb(0)(96), nb(1)(96), nb(2)(96)) == ((255f, 255f, 255f)),
+      "NaN did not poison max")
+    val cb = out("const")
+    assert((0 until 8).forall(k =>
+      cb(0)(k) == 0f && cb(1)(k) == 0f && cb(2)(k) == 0f),
+      "constant raster: all stops collapse, v <= head clamps black")
+  }
 }
