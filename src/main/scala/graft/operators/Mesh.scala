@@ -180,12 +180,10 @@ object Mesh {
     require(halo >= 1, "imAngle needs a >=1-px halo for the bwperim test")
     import spark.implicits._
     val partials = tiles.mapPartitions { it =>
-      var lastKey: (String, Int, Int) = null
-      it.flatMap { t =>
-        val key = (t.image_id, t.tx, t.ty)
-        if (key == lastKey) None // same tile, another overlapped cell
-        else {
-          lastKey = key
+      // overlapped-cell dedupe + the non-adjacent-duplicate tripwire
+      // (summed partials would silently double-count otherwise)
+      Tiler.firstCellOnly(it).flatMap { t =>
+        {
           val v = t.bands(band)
           val offX = math.min(halo, t.tx * tileSize)
           val offY = math.min(halo, t.ty * tileSize)

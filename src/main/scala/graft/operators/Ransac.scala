@@ -36,6 +36,54 @@ import graft.ImageRow
  */
 object Ransac {
 
+  /** The shared consensus argmax over row-major-sorted points: pair
+    * enumeration (exhaustive all-pairs at n <= exhaustiveMax, seeded
+    * draws above), equal-drive pairs skipped, inlier = integer-exact
+    * cross^2 <= r2 * len2, ties broken by first enumeration. Returns
+    * (bestA, bestB, bestCnt) indices into xs/ys; bestA < 0 when no
+    * valid pair exists. Both `fit` (per strip) and `iterFit` (per
+    * image, per round) call this so the semantics cannot diverge. */
+  private def bestPair(xs: Array[Int], ys: Array[Int], colMode: Boolean,
+                       r2: Double, exhaustiveMax: Int, maxTrials: Int,
+                       seedKey: Long): (Int, Int, Long) = {
+    val n = xs.length
+    var bestCnt = -1L; var bestA = -1; var bestB = -1
+    def score(a: Int, b: Int): Unit = {
+      val ok = if (colMode) ys(a) != ys(b) else xs(a) != xs(b)
+      if (ok && (a != b)) {
+        val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
+        val len2 = dx.toDouble * dx + dy.toDouble * dy
+        var cnt = 0L
+        var i = 0
+        while (i < n) {
+          val cross = dx.toDouble * (ys(i) - ys(a)) - dy.toDouble * (xs(i) - xs(a))
+          if (cross * cross <= r2 * len2) cnt += 1
+          i += 1
+        }
+        if (cnt > bestCnt) { bestCnt = cnt; bestA = a; bestB = b }
+      }
+    }
+    if (n >= 2) {
+      if (n <= exhaustiveMax) {
+        var a = 0
+        while (a < n - 1) {
+          var b = a + 1
+          while (b < n) { score(a, b); b += 1 }
+          a += 1
+        }
+      } else {
+        val rnd = new java.util.SplittableRandom(seedKey)
+        var t = 0
+        while (t < maxTrials) {
+          val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+          if (a < b) score(a, b) else if (b < a) score(b, a)
+          t += 1
+        }
+      }
+    }
+    (bestA, bestB, bestCnt)
+  }
+
   /** One fitted model per (image, strip):
     * (image_id, strip, xa, ya, xb, yb, inliers). */
   def fit(edgePx: DataFrame, binwidth: Int, orient: String = "col",
@@ -56,42 +104,8 @@ object Ransac {
         val (id, strip) = key
         val pts = it.toArray.sortBy(t => t._5.toLong * t._3 + t._4) // row-major ord
         val xs = pts.map(_._4); val ys = pts.map(_._5)
-        val n = pts.length
-        var bestCnt = -1L; var bestA = -1; var bestB = -1
-        def score(a: Int, b: Int): Unit = {
-          val ok = if (colMode) ys(a) != ys(b) else xs(a) != xs(b)
-          if (ok && (a != b)) {
-            val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
-            val len2 = dx.toDouble * dx + dy.toDouble * dy
-            var cnt = 0L
-            var i = 0
-            while (i < n) {
-              val cross = dx.toDouble * (ys(i) - ys(a)) - dy.toDouble * (xs(i) - xs(a))
-              if (cross * cross <= r2 * len2) cnt += 1
-              i += 1
-            }
-            if (cnt > bestCnt) { bestCnt = cnt; bestA = a; bestB = b }
-          }
-        }
-        if (n >= 2) {
-          if (n <= exhaustiveMax) {
-            var a = 0
-            while (a < n - 1) {
-              var b = a + 1
-              while (b < n) { score(a, b); b += 1 }
-              a += 1
-            }
-          } else {
-            val rnd = new java.util.SplittableRandom(
-              seed ^ id.hashCode.toLong << 20 ^ strip)
-            var t = 0
-            while (t < maxTrials) {
-              val a = rnd.nextInt(n); val b = rnd.nextInt(n)
-              if (a < b) score(a, b) else if (b < a) score(b, a)
-              t += 1
-            }
-          }
-        }
+        val (bestA, bestB, bestCnt) = bestPair(xs, ys, colMode, r2,
+          exhaustiveMax, maxTrials, seed ^ id.hashCode.toLong << 20 ^ strip)
         if (bestA < 0) (id, strip, -1, -1, -1, -1, 0L)
         else (id, strip, xs(bestA), ys(bestA), xs(bestB), ys(bestB), bestCnt)
       }
@@ -150,39 +164,8 @@ object Ransac {
         while (iter < noIter && go && pts.length >= 2) {
           val xs = pts.map(_._1); val ys = pts.map(_._2)
           val n = pts.length
-          var bestCnt = -1L; var bestA = -1; var bestB = -1
-          def score(a: Int, b: Int): Unit = {
-            val ok = if (colMode) ys(a) != ys(b) else xs(a) != xs(b)
-            if (ok && (a != b)) {
-              val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
-              val len2 = dx.toDouble * dx + dy.toDouble * dy
-              var cnt = 0L
-              var i = 0
-              while (i < n) {
-                val cross = dx.toDouble * (ys(i) - ys(a)) - dy.toDouble * (xs(i) - xs(a))
-                if (cross * cross <= r2 * len2) cnt += 1
-                i += 1
-              }
-              if (cnt > bestCnt) { bestCnt = cnt; bestA = a; bestB = b }
-            }
-          }
-          if (n <= exhaustiveMax) {
-            var a = 0
-            while (a < n - 1) {
-              var b = a + 1
-              while (b < n) { score(a, b); b += 1 }
-              a += 1
-            }
-          } else {
-            val rnd = new java.util.SplittableRandom(
-              seed ^ id.hashCode.toLong << 20 ^ iter)
-            var t = 0
-            while (t < maxTrials) {
-              val a = rnd.nextInt(n); val b = rnd.nextInt(n)
-              if (a < b) score(a, b) else if (b < a) score(b, a)
-              t += 1
-            }
-          }
+          val (bestA, bestB, _) = bestPair(xs, ys, colMode, r2,
+            exhaustiveMax, maxTrials, seed ^ id.hashCode.toLong << 20 ^ iter)
           if (bestA < 0) go = false
           else {
             val xa = xs(bestA); val ya = ys(bestA)
