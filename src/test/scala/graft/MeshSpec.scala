@@ -129,6 +129,40 @@ class MeshSpec extends AnyFunSuite {
     })
   }
 
+  test("imAngle equals a naive whole-image replay on scattered-patch masks") {
+    // maskImages plants non-rectangular scattered class patches — a
+    // nontrivial mu11; the naive recomputes moments + bwperim from the
+    // decoded pixels with fresh loops
+    val imgs = spark.createDataset(GridImages.maskImages(4).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val got = Mesh.imAngle(
+      Tiler.multiTiles(imgs, 16, Tiler.resForCellSize(64.0), halo = 1),
+      tileSize = 16).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    GridImages.maskImages(4).foreach { im =>
+      val v = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
+      def bright(x: Int, y: Int) =
+        x >= 0 && x < im.w && y >= 0 && y < im.h && v(y * im.w + x) > 0
+      var n = 0L; var sx = 0.0; var sy = 0.0
+      var sxx = 0.0; var syy = 0.0; var sxy = 0.0; var nInt = 0L
+      for (y <- 0 until im.h; x <- 0 until im.w if bright(x, y)) {
+        n += 1; sx += x; sy += y
+        sxx += x.toDouble * x; syy += y.toDouble * y; sxy += x.toDouble * y
+        if (bright(x - 1, y) && bright(x + 1, y) &&
+            bright(x, y - 1) && bright(x, y + 1)) nInt += 1
+      }
+      val theta0 = 0.5 * math.atan2(2 * (sxy - sx * sy / n),
+        (sxx - sx * sx / n) - (syy - sy * sy / n))
+      val theta = if (theta0 < 0) theta0 + math.Pi else theta0
+      val (a1, a2, gn, gInt) = got(im.image_id)
+      assert(math.abs(a1 - (math.Pi - theta)) < 1e-9, s"${im.image_id} axis1")
+      assert(math.abs(a2 - (math.Pi - theta - math.Pi / 2)) < 1e-9,
+        s"${im.image_id} axis2")
+      assert(gn == n && gInt == nInt, s"${im.image_id} counts")
+    }
+  }
+
   test("imAngle bwperim: image-border bright pixels are perimeter") {
     // an all-bright 8x6 image touches every border: out-of-image counts
     // as background (mahotas pads with 0), so interior = 6x4
