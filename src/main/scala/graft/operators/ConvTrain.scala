@@ -27,15 +27,25 @@ import org.apache.spark.sql.functions.{col, sum}
  * same grid — gradient quantization in the QSGD / 1-bit-SGD lineage
  * (Alistarh et al. NeurIPS 2017; Seide et al. INTERSPEECH 2014), used
  * here at a grain fine enough to be a no-op for learning but coarse
- * enough that EVERY gradient sum is exact in double regardless of
- * order. Training is therefore bit-identical at any parallelism — the
- * q_train_seg DuckDB oracle replays both epochs to the last bit, and
- * the partition-invariance spec holds by construction, not by epsilon.
+ * enough that every gradient sum is exact in double regardless of
+ * order WHEN the summed terms stay on a bounded dyadic grid: the
+ * residuals are snapped, so each weight-gradient term is
+ * snapped-residual x activation, and with dyadic inputs/weights of
+ * bounded magnitude (the uint8-pixel, eighth-valued-weight regime the
+ * reference and every oracle here operate in) those products and their
+ * sums fit 53 significand bits exactly. Training is then bit-identical
+ * at any parallelism — the q_train_seg DuckDB oracle replays both
+ * epochs to the last bit, and the partition-invariance spec holds by
+ * construction, not by epsilon. On arbitrary float inputs (e.g. raw
+ * reflectance), exactness degrades gracefully to ordinary FP
+ * summation noise in the LOW bits of the gradients — still snapped at
+ * the step, but partition-sensitivity is no longer zero by
+ * construction.
  *
  * Losses: SquaredError (0.5 * sum of squared residuals between the
  * final logits and one-hot targets; channel oc targets class
  * `net.classes(oc)`, a single-logit net targets mask > 0),
- * CrossEntropy (torch's), Dice (smp.utils.losses.DiceLoss — the loss
+ * CrossEntropy (torch's, sum reduction), Dice (smp.utils.losses.DiceLoss — the loss
  * the reference ACTUALLY trains with, convnet.py:322), and loss.py's
  * LossBinary / LossMulti BCE/NLL-minus-soft-Jaccard pair. The last
  * three are batch-globally coupled — see the Loss trait scaladoc for
@@ -101,6 +111,8 @@ object ConvTrain {
     var cur = bands
     var li = 0
     while (li < net.layers.length) {
+      require(cur.length == net.layers(li).inC,
+        s"layer $li input has ${cur.length} bands, layer wants ${net.layers(li).inC}")
       cur = layerForward(cur, w, h, net.layers(li))
       outs(li) = cur
       li += 1
@@ -109,12 +121,15 @@ object ConvTrain {
   }
 
   /** Training loss. SquaredError keeps the DuckDB oracle bit-exact;
-    * CrossEntropy is the torch loss (softmax CE with the
+    * CrossEntropy is torch's softmax CE with reduction='sum' (the
     * ignore_index analog: mask values outside `classes` contribute
-    * nothing; a single-logit net uses sigmoid BCE on mask > 0) —
-    * exp/log are deterministic within the JVM, so parallelism
-    * invariance holds, but not correctly rounded across engines, so
-    * CE correctness is spec-gated (finite differences), not oracled.
+    * nothing; a single-logit net uses sigmoid BCE on mask > 0) — a
+    * caller porting an lr tuned against torch's DEFAULT reduction
+    * ('mean') scales it by 1/batch_pixels; LossBinary/LossMulti divide
+    * by their own counts as loss.py does. exp/log are deterministic
+    * within the JVM, so parallelism invariance holds, but not
+    * correctly rounded across engines, so CE correctness is spec-gated
+    * (finite differences), not oracled.
     *
     * Dice / LossBinary / LossMulti are BATCH-GLOBALLY COUPLED: the
     * per-pixel gradient depends on prob/target sums over the WHOLE
@@ -403,11 +418,11 @@ object ConvTrain {
                               probe: BoundaryProbe = null): Double = {
     val w = ch.w; val h = ch.h; val n = w * h
     val layers = net.layers.toArray
+    require(!isCoupled(lossFn) || ctx != null,
+      s"$lossFn is batch-globally coupled: run batchStats first")
     val outs = forwardAll(ch.bands, w, h, net)
     val last = outs(layers.length - 1)
     val outC = layers.last.outC
-    require(!isCoupled(lossFn) || ctx != null,
-      s"$lossFn is batch-globally coupled: run batchStats first")
     val pq = if (isCoupled(lossFn)) new Array[Double](outC) else null
     val aux = if (isCoupled(lossFn)) new Array[Double](2) else null
     val gcs = if (isCoupled(lossFn)) new Array[Double](outC) else null
@@ -553,6 +568,9 @@ object ConvTrain {
                        st: OptState, emptyMsg: String)
                       (implicit spark: SparkSession): (SegNet, Double) = {
     val bc = spark.sparkContext.broadcast(net)
+    // fail paths (empty shard, coupled-loss weight-mass probe) must not
+    // leak the broadcast on callers that catch-and-retry
+    try {
     val ctx = if (isCoupled(lossFn))
       coupledCtx(lossFn, batchStats(data, net, gradScale, lossFn, bc))
     else null
@@ -588,8 +606,8 @@ object ConvTrain {
         bias = Array.tabulate(l.bias.length)(i =>
           snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
     }, net.classes)
-    bc.destroy()
     (stepped, assembleLoss(lossFn, loss, ctx))
+    } finally bc.destroy()
   }
 
   /** Full-batch SGD (the common case). */
@@ -609,7 +627,12 @@ object ConvTrain {
     * per-class (inter, n_pred, n_mask) count triple, the exchange
     * carries 3 longs per (partition, class), the driver reduces
     * O(classes) rows. Counts are integers, so the score is
-    * parallelism-invariant to the bit. */
+    * parallelism-invariant to the bit.
+    *
+    * Single-logit nets score ONE binary-foreground class (pred =
+    * decide's logit > 0, mask foreground = mv > 0 — the same convention
+    * `target` trains), so a 0/255 mask can never read as all-background
+    * and reward a degenerate epoch at checkpoint selection. */
   def iouChips(chips: Dataset[ChipRow], net: SegNet)
               (implicit spark: SparkSession): Double = {
     import spark.implicits._
@@ -617,9 +640,11 @@ object ConvTrain {
     val rows = chips.mapPartitions { it =>
       val nt = bc.value
       val classes = nt.classes
-      val inter = new Array[Long](classes.length)
-      val nPred = new Array[Long](classes.length)
-      val nMask = new Array[Long](classes.length)
+      val binary = nt.layers.last.outC == 1
+      val nCls = if (binary) 1 else classes.length
+      val inter = new Array[Long](nCls)
+      val nPred = new Array[Long](nCls)
+      val nMask = new Array[Long](nCls)
       var any = false
       it.foreach { ch =>
         any = true
@@ -629,8 +654,9 @@ object ConvTrain {
           val pv = ConvNet.decide(planes, p, classes)
           val mv = ch.mask(p)
           var c = 0
-          while (c < classes.length) {
-            val ip = pv == classes(c); val im = mv == classes(c)
+          while (c < nCls) {
+            val ip = if (binary) pv == 1f else pv == classes(c)
+            val im = if (binary) mv > 0 else mv == classes(c)
             if (ip && im) inter(c) += 1
             if (ip) nPred(c) += 1
             if (im) nMask(c) += 1
@@ -643,7 +669,7 @@ object ConvTrain {
       // as uni == 0 -> IoU 1.0, fabricating a perfect score on an
       // empty chip set
       if (!any) Iterator.empty
-      else classes.indices.iterator.map(c => (c, inter(c), nPred(c), nMask(c)))
+      else (0 until nCls).iterator.map(c => (c, inter(c), nPred(c), nMask(c)))
     }.toDF("c", "inter", "np", "nm")
       .groupBy("c")
       .agg(sum("inter").as("inter"), sum("np").as("np"), sum("nm").as("nm"))
@@ -980,10 +1006,12 @@ object ConvTrain {
       .collect() // O(K x classes) rows by construction
     require(rows.nonEmpty,
       "coupled-loss stats pass saw zero chips (empty dataset or split)")
-    val outC = bc.value.head.layers.last.outC
-    val i = Array.fill(k0)(new Array[Double](outC))
-    val p = Array.fill(k0)(new Array[Double](outC))
-    val t = Array.fill(k0)(new Array[Double](outC))
+    // per-candidate head widths (the executor side already supports
+    // differing outCs; the driver arrays must match it)
+    val outCs0 = bc.value.map(_.layers.last.outC)
+    val i = Array.tabulate(k0)(ci => new Array[Double](outCs0(ci)))
+    val p = Array.tabulate(k0)(ci => new Array[Double](outCs0(ci)))
+    val t = Array.tabulate(k0)(ci => new Array[Double](outCs0(ci)))
     val n = new Array[Long](k0)
     val w = new Array[Double](k0)
     rows.foreach { r =>
@@ -1071,6 +1099,10 @@ object ConvTrain {
       : (CandidateResult, Seq[CandidateResult]) = {
     import spark.implicits._
     require(cands.nonEmpty && epochs >= 1)
+    cands.foreach(c => require(c.gradBits >= 0 && c.gradBits <= 24,
+      s"candidate ${c.name}: gradBits ${c.gradBits} outside [0, 24] — " +
+        "the snap() exactness bound (|v| * 2^bits < 2^53) the " +
+        "determinism contract relies on"))
     checkLossShape(lossFn, net0.layers.last.outC)
     val train = chips.filter(ch => !isHoldout(ch))
     val hold = chips.filter(ch => isHoldout(ch))
@@ -1080,6 +1112,7 @@ object ConvTrain {
     var e = 0
     while (e < epochs) {
       val bc = spark.sparkContext.broadcast(nets)
+      try { // fail paths (empty splits) must not leak the epoch broadcast
       // a coupled loss adds ONE forward-only stats read per epoch (all
       // K candidates in that single pass), sharing the epoch broadcast
       val ctxs: Array[CoupledCtx] =
@@ -1141,7 +1174,7 @@ object ConvTrain {
               snap(l.bias(i) - c.lr * g(wl + i), scale).toFloat))
         }, nets(ci).classes)
       }
-      bc.destroy()
+      } finally bc.destroy()
       e += 1
     }
     // holdout loss for every candidate in ONE validation pass (a
@@ -1149,6 +1182,7 @@ object ConvTrain {
     // forward-only read — then the pixel-sum pass; Dice's pixel term
     // is identically 0, so its score comes from the stats alone)
     val bcF = spark.sparkContext.broadcast(nets)
+    try {
     val holdCtxs: Array[CoupledCtx] =
       if (isCoupled(lossFn))
         gridStats(hold, bcF, scales, lossFn).map(coupledCtx(lossFn, _))
@@ -1181,7 +1215,6 @@ object ConvTrain {
         require(m.nonEmpty, "holdout split is empty — cannot select a candidate")
         m
     }
-    bcF.destroy()
     val results = cands.indices.map { ci =>
       CandidateResult(cands(ci).name, cands(ci).lr, cands(ci).gradBits,
         lossTrails(ci).result(),
@@ -1190,5 +1223,6 @@ object ConvTrain {
     }
     val winner = results.zipWithIndex.minBy { case (r, i) => (r.holdoutLoss, i) }._1
     (winner, results)
+    } finally bcF.destroy()
   }
 }

@@ -206,4 +206,26 @@ class AugmentSpec extends AnyFunSuite {
     assert(graft.operators.ConvTrain.iouChips(chipset.repartition(7),
       ConvNet.fixtureNet) == got)
   }
+
+  test("iouChips single-logit: binary foreground IoU on a 0/255 mask") {
+    // training's target() treats any mv > 0 as foreground for a
+    // single-logit net — scoring must use the SAME convention, or a
+    // 0/255 mask reads all-background and a degenerate epoch wins the
+    // checkpoint. Identity 1x1 net: pred foreground = pixel > 0.
+    val net = graft.operators.SegNet(
+      Seq(graft.operators.ConvLayer(1, 1, 1, Array(1f), Array(0f),
+        relu = false)), Array(1))
+    val chip = graft.operators.ChipRow("c0", 0, 0, 2, 2,
+      Array(Array(-1f, 5f, -2f, 3f)), Array(255f, 0f, 0f, 255f), 1)
+    val ds = spark.createDataset(Seq(chip))(
+      org.apache.spark.sql.Encoders.product[graft.operators.ChipRow])
+    // pred fg = {1, 3}, mask fg = {0, 3}: inter 1, union 3
+    val got = graft.operators.ConvTrain.iouChips(ds, net)
+    assert(math.abs(got - 1.0 / 3) < 1e-15, s"binary IoU, got $got")
+    // and a degenerate all-background prediction must NOT score 1.0
+    val allBg = chip.copy(bands = Array(Array(-1f, -5f, -2f, -3f)))
+    val got2 = graft.operators.ConvTrain.iouChips(spark.createDataset(
+      Seq(allBg))(org.apache.spark.sql.Encoders.product[graft.operators.ChipRow]), net)
+    assert(got2 == 0.0, s"all-background must score 0, got $got2")
+  }
 }
