@@ -272,10 +272,8 @@ object ConvNet {
           val planes = forward(t.bands, t.tw, t.th, n, scratch)
           // core offset inside the expanded window = the part of `h`
           // actually available on the low side (halo is image-clipped)
-          val offX = math.min(h, t.tx * tileSize)
-          val offY = math.min(h, t.ty * tileSize)
-          val coreW = math.min(t.tw - offX, tileSize)
-          val coreH = math.min(t.th - offY, tileSize)
+          val (offX, offY, coreW, coreH) =
+            Tiler.coreWindow(t.tx, t.ty, t.tw, t.th, tileSize, h)
           val cls = new Array[Float](coreW * coreH)
           var r = 0
           while (r < coreH) {

@@ -212,10 +212,8 @@ object Edge {
       Tiler.firstCellOnly(it).flatMap { t =>
         {
           val cls = cannyCls(t.bands(band), t.tw, t.th, sigma, lowT, highT)
-          val offX = math.min(halo, t.tx * tileSize)
-          val offY = math.min(halo, t.ty * tileSize)
-          val coreW = math.min(t.tw - offX, tileSize)
-          val coreH = math.min(t.th - offY, tileSize)
+          val (offX, offY, coreW, coreH) =
+            Tiler.coreWindow(t.tx, t.ty, t.tw, t.th, tileSize, halo)
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(String, Int, Int, Boolean)]
           var r = 0

@@ -185,10 +185,8 @@ object Mesh {
       Tiler.firstCellOnly(it).flatMap { t =>
         {
           val v = t.bands(band)
-          val offX = math.min(halo, t.tx * tileSize)
-          val offY = math.min(halo, t.ty * tileSize)
-          val coreW = math.min(t.tw - offX, tileSize)
-          val coreH = math.min(t.th - offY, tileSize)
+          val (offX, offY, coreW, coreH) =
+            Tiler.coreWindow(t.tx, t.ty, t.tw, t.th, tileSize, halo)
           var n = 0L; var sx = 0.0; var sy = 0.0
           var sxx = 0.0; var syy = 0.0; var sxy = 0.0
           var nInt = 0L

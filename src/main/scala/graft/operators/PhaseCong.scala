@@ -100,6 +100,22 @@ object PhaseCong {
     }
   }
 
+  /** 4-sector NMS neighbor offset for a folded energy orientation
+    * `a` in [0, pi). `a` lives in phasecong's FREQUENCY frame — math
+    * convention, y UP (theta = atan2(-fv, fu)) — while pixels index y
+    * DOWN, so the two diagonal sectors flip sign in pixel space: a
+    * normal at +45 deg (y-up) is the (+1,-1)/(-1,+1) pixel pair, at
+    * 135 deg the (+1,+1)/(-1,-1) pair. (A y-down table here compares
+    * ALONG the diagonal edge instead of across its normal, suppressing
+    * ridge pixels by their own edge-mates and punching gaps in every
+    * diagonal chain — pinned by the diagonal-step spec.) Comparison
+    * neighbors are (x+dx, y+dy) and (x-dx, y-dy). */
+  @inline private[operators] def nmsOffset(a: Double): (Int, Int) =
+    if (a < math.Pi / 8 || a >= 7 * math.Pi / 8) (1, 0)
+    else if (a < 3 * math.Pi / 8) (1, -1)
+    else if (a < 5 * math.Pi / 8) (0, 1)
+    else (1, 1)
+
   private def nextPow2(n: Int): Int = {
     var p = 1
     while (p < n) p <<= 1
@@ -121,16 +137,26 @@ object PhaseCong {
                 sigmaOnf: Double = 0.55, k: Double = 2.0,
                 cutOff: Double = 0.5, g: Double = 10.0)
       : (Array[Double], Array[Double]) = {
+    require(nscale >= 2,
+      "phasecong needs nscale >= 2: the frequency-spread weight divides " +
+        "by (nscale - 1), and a single scale has no spread to weight " +
+        "(Kovesi's reference NaNs out the same way)")
     val pw = nextPow2(w); val ph = nextPow2(h)
     val n = pw * ph
     // forward FFT of the image, padded to pow2 with reflect-101
     // (mirror about the last sample, edge not repeated): zero padding
     // would plant an artificial cliff at the window boundary whose
     // log-Gabor response leaks deep into the interior — fatal for the
-    // overlap-save tiled path. Pow2 inputs take no padding at all, so
-    // this is bit-identical to the unpadded transform there. The
-    // mirror index 2(w-1)-x stays in range because nextPow2(w) <= 2w-2
-    // for every w >= 2 (and w = 1 pads nothing).
+    // overlap-save tiled path. The mirror ATTENUATES the cliff, it does
+    // not remove it: the DFT is periodic, so unless nextPow2(dim) ==
+    // 2*dim-2 a residual |img(tail) - img(0)| step remains at the wrap
+    // seam (Kovesi's reference transforms the raw window and carries
+    // the full wrap cliff; tiled callers keep the seam a halo away from
+    // every core pixel, which is the property that matters). Pow2
+    // inputs take no padding at all, so this is bit-identical to the
+    // unpadded transform there. The mirror index 2(w-1)-x stays in
+    // range because nextPow2(w) <= 2w-2 for every w >= 2 (and w = 1
+    // pads nothing).
     val fr = new Array[Double](n); val fi = new Array[Double](n)
     var y = 0
     while (y < ph) {
@@ -174,31 +200,49 @@ object PhaseCong {
     val eArr = Array.ofDim[Double](nscale, n)
     val oArr = Array.ofDim[Double](nscale, n)
 
+    // the radial log-Gabor gain depends only on (s, p) and the angular
+    // spread only on (o, p): hoisting both out of the o x s x n loop
+    // drops ~3/4 of the trig and ~5/6 of the log/exp work (two small
+    // n-sized buffers; the products are the SAME expressions, so the
+    // outputs stay bit-identical)
+    val lgArr = Array.ofDim[Double](nscale, n)
+    var s0 = 0
+    while (s0 < nscale) {
+      val f0 = 1.0 / (minWavelength * math.pow(mult, s0))
+      val lgs = lgArr(s0)
+      p = 1 // lgs(0) stays 0: DC is zeroed per filter
+      while (p < n) {
+        val lr = math.log(radius(p) / f0)
+        lgs(p) = math.exp(-lr * lr / logSig2)
+        p += 1
+      }
+      s0 += 1
+    }
+    val spArr = new Array[Double](n)
+
     var o = 0
     while (o < norient) {
       val phi = o * math.Pi / norient
       java.util.Arrays.fill(sumE, 0.0); java.util.Arrays.fill(sumO, 0.0)
       java.util.Arrays.fill(sumAn, 0.0); java.util.Arrays.fill(maxAn, 0.0)
+      // SINGLE-SIDED angular spread: the wrapped |theta - phi| in
+      // [0, pi] (folding to pi/2 would symmetrize the filter and
+      // cancel the odd response) — Kovesi's atan2(sin, cos) form
+      p = 0
+      while (p < n) {
+        val dd = theta(p) - phi
+        val dt = math.abs(math.atan2(math.sin(dd), math.cos(dd)))
+        spArr(p) = math.exp(-dt * dt / (2 * sigmaTheta * sigmaTheta))
+        p += 1
+      }
       var tau = 0.0
       var s = 0
       while (s < nscale) {
-        val f0 = 1.0 / (minWavelength * math.pow(mult, s))
+        val lgs = lgArr(s)
         // filter * spectrum
         p = 0
         while (p < n) {
-          val lg =
-            if (p == 0) 0.0
-            else {
-              val lr = math.log(radius(p) / f0)
-              math.exp(-lr * lr / logSig2)
-            }
-          // SINGLE-SIDED angular spread: the wrapped |theta - phi| in
-          // [0, pi] (folding to pi/2 would symmetrize the filter and
-          // cancel the odd response) — Kovesi's atan2(sin, cos) form
-          val dd = theta(p) - phi
-          val dt = math.abs(math.atan2(math.sin(dd), math.cos(dd)))
-          val sp = math.exp(-dt * dt / (2 * sigmaTheta * sigmaTheta))
-          val hf = lg * sp
+          val hf = lgs(p) * spArr(p)
           er(p) = fr(p) * hf; ei(p) = fi(p) * hf
           p += 1
         }
@@ -301,10 +345,8 @@ object PhaseCong {
             nscale = nscale, norient = norient, k = k)
           // core offset inside the haloed window = the part of `halo`
           // actually available on the low side (image-clipped)
-          val offX = math.min(halo, t.tx * tileSize)
-          val offY = math.min(halo, t.ty * tileSize)
-          val coreW = math.min(t.tw - offX, tileSize)
-          val coreH = math.min(t.th - offY, tileSize)
+          val (offX, offY, coreW, coreH) =
+            Tiler.coreWindow(t.tx, t.ty, t.tw, t.th, tileSize, halo)
           def crop(src: Array[Double]): Array[Float] = {
             val out = new Array[Float](coreW * coreH)
             var r = 0
@@ -364,10 +406,8 @@ object PhaseCong {
         {
           val (m, ori) = phasecong(t.bands(band), t.tw, t.th,
             nscale = nscale, norient = norient, k = k)
-          val offX = math.min(halo, t.tx * tileSize)
-          val offY = math.min(halo, t.ty * tileSize)
-          val coreW = math.min(t.tw - offX, tileSize)
-          val coreH = math.min(t.th - offY, tileSize)
+          val (offX, offY, coreW, coreH) =
+            Tiler.coreWindow(t.tx, t.ty, t.tw, t.th, tileSize, halo)
           val oriCore = new Array[Double](coreW * coreH)
           val pixCore = new Array[Float](coreW * coreH)
           var mn = Double.MaxValue; var mx = Double.MinValue
@@ -414,12 +454,10 @@ object PhaseCong {
             if (d < 0) d += math.Pi
             d
           }
-          val (n1, n2) =
-            if (a < math.Pi / 8 || a >= 7 * math.Pi / 8) (at(wx + 1, wy), at(wx - 1, wy))
-            else if (a < 3 * math.Pi / 8) (at(wx + 1, wy + 1), at(wx - 1, wy - 1))
-            else if (a < 5 * math.Pi / 8) (at(wx, wy + 1), at(wx, wy - 1))
-            else (at(wx - 1, wy + 1), at(wx + 1, wy - 1))
-          val nms = if (v >= n1 && v >= n2) v else 0.0
+          val (dx, dy) = nmsOffset(a)
+          val nms =
+            if (v >= at(wx + dx, wy + dy) && v >= at(wx - dx, wy - dy)) v
+            else 0.0
           if (nms >= lowT)
             out += ((t.image_id, t.tx * tileSize + c, t.ty * tileSize + r,
               nms >= hiT, t.pixCore(r * t.coreW + c) != 0f))
@@ -467,12 +505,10 @@ object PhaseCong {
           }
           def at(xx: Int, yy: Int): Double =
             if (xx < 0 || yy < 0 || xx >= w || yy >= h) 0.0 else re(yy * w + xx)
-          val (n1, n2) =
-            if (a < math.Pi / 8 || a >= 7 * math.Pi / 8) (at(x + 1, y), at(x - 1, y))
-            else if (a < 3 * math.Pi / 8) (at(x + 1, y + 1), at(x - 1, y - 1))
-            else if (a < 5 * math.Pi / 8) (at(x, y + 1), at(x, y - 1))
-            else (at(x - 1, y + 1), at(x + 1, y - 1))
-          nms(p) = if (re(p) >= n1 && re(p) >= n2) re(p) else 0.0
+          val (dx, dy) = nmsOffset(a)
+          nms(p) =
+            if (re(p) >= at(x + dx, y + dy) && re(p) >= at(x - dx, y - dy)) re(p)
+            else 0.0
           x += 1
         }
         y += 1

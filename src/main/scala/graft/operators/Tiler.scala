@@ -50,6 +50,21 @@ object Tiler {
     }
   }
 
+  /** Image-clipped core window of a HALOED tile (`multiTiles(halo)`):
+    * (offX, offY, coreW, coreH) — the offset of the tile's owned region
+    * inside its expanded window (the halo is image-clipped on the low
+    * sides) and the owned extent. One definition for every haloed-tile
+    * consumer (ConvNet.segPredictTiles, Edge.cannyTiles, the PhaseCong
+    * tile paths, Mesh.imAngle) so the cropping arithmetic cannot
+    * drift between them. */
+  @inline private[operators] def coreWindow(tx: Int, ty: Int, tw: Int,
+                                            th: Int, tileSize: Int,
+                                            halo: Int): (Int, Int, Int, Int) = {
+    val offX = math.min(halo, tx * tileSize)
+    val offY = math.min(halo, ty * tileSize)
+    (offX, offY, math.min(tw - offX, tileSize), math.min(th - offY, tileSize))
+  }
+
   /** Grid resolution whose cell size (world units) equals tileSize * px
     * when px = 1; callers pass the res matching their tile/pixel scale. */
   def resForCellSize(sizeWorldUnits: Double): Int = {

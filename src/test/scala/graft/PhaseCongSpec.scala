@@ -105,6 +105,31 @@ class PhaseCongSpec extends AnyFunSuite {
     for (y <- 8 to 24) assert(xs.contains(y), s"gap at row $y")
   }
 
+  test("phaseCongEdges: a DIAGONAL step survives NMS continuously") {
+    // ori lives in the y-up frequency frame: a +45-deg (y-up) edge
+    // normal is the (+1,-1)/(-1,+1) pixel pair. A y-down sector table
+    // compares ALONG the diagonal edge — ridge pixels get suppressed by
+    // their own edge-mates and the chain tears (the bug this pins).
+    val w = 32; val h = 32
+    val diag = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      if (y > x) 100f else 20f // step along the main diagonal
+    }
+    val img = ImageOps.fromArray("d0", Array(diag), w, h, 0, 0, 1.0,
+      PixelCodec.FmtRawLe)
+    val ds = spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val edges = PhaseCong.phaseCongEdges(ds, nscale = 3, norient = 6,
+      lowT = 60, hiT = 120).collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(edges.nonEmpty)
+    // the diagonal chain is continuous through the interior: every
+    // interior anti-diagonal band has an edge pixel hugging y = x
+    for (d <- 16 to 46) { // d = x + y over the interior
+      assert(edges.exists { case (x, y) =>
+        x + y == d && math.abs(x - y) <= 3 }, s"diagonal gap at x+y=$d")
+    }
+  }
+
   test("houghseg composes with phase edges (the reference's edge='phase' option)") {
     import org.apache.spark.sql.functions.{col, desc}
     val w = 32; val h = 32
