@@ -17,8 +17,10 @@ import graft.core.PixelCodec
  *  2. For each orientation o (angles o*pi/norient) and scale s: filter
  *     the spectrum with a log-Gabor radial profile
  *     exp(-(ln(r/f0_s))^2 / (2 ln(sigmaOnf)^2)), f0_s =
- *     1/(minWavelength*mult^s), times an angular Gaussian spread
- *     exp(-dtheta^2/(2 sigmaTheta^2)), sigmaTheta =
+ *     1/(minWavelength*mult^s), times Kovesi's Butterworth lowpass
+ *     1/(1 + (r/0.45)^30) (kills the aliased super-Nyquist gain the
+ *     raw log-Gabor keeps at the smallest scale), times an angular
+ *     Gaussian spread exp(-dtheta^2/(2 sigmaTheta^2)), sigmaTheta =
  *     (pi/norient)/dThetaOnSigma; inverse-FFT to the complex response
  *     EO_so (even = Re, odd = Im).
  *  3. Per orientation: phase-deviation energy
@@ -213,7 +215,13 @@ object PhaseCong {
       p = 1 // lgs(0) stays 0: DC is zeroed per filter
       while (p < n) {
         val lr = math.log(radius(p) / f0)
-        lgs(p) = math.exp(-lr * lr / logSig2)
+        // x Kovesi's lowpass (lowpassfilter cutoff .45, order 15 ->
+        // Butterworth exponent 30): the raw log-Gabor keeps ~0.8 gain
+        // at Nyquist on the smallest scale, so aliased super-Nyquist
+        // corner energy would contaminate the response AND the
+        // Rayleigh tau; the lowpass kills it (~0.03 at Nyquist)
+        lgs(p) = math.exp(-lr * lr / logSig2) *
+          (1.0 / (1.0 + math.pow(radius(p) / 0.45, 30.0)))
         p += 1
       }
       s0 += 1

@@ -4674,6 +4674,7 @@ object Queries {
        |      exp(-pow(ln(sqrt(fu*fu + fv*fv) /
        |            (CASE WHEN s = 0 THEN ${f0(0)} ELSE ${f0(1)} END)), 2)
        |          / $logSig2)
+       |      * (1.0/(1.0 + pow(sqrt(fu*fu + fv*fv)/0.45, 30.0)))
        |      * exp(-pow(abs(atan2(sin(atan2(-fv, fu) - o*pi()/2),
        |                           cos(atan2(-fv, fu) - o*pi()/2))), 2)
        |            / (2*$sigTh*$sigTh)) END AS hf
@@ -4799,6 +4800,7 @@ object Queries {
        |      exp(-pow(ln(sqrt(fu*fu + fv*fv) /
        |            (CASE WHEN s = 0 THEN (1.0/3.0) ELSE (1.0/(3.0*2.1)) END)), 2)
        |          / $logSig2)
+       |      * (1.0/(1.0 + pow(sqrt(fu*fu + fv*fv)/0.45, 30.0)))
        |      * exp(-pow(abs(atan2(sin(atan2(-fv, fu) - o*pi()/2),
        |                           cos(atan2(-fv, fu) - o*pi()/2))), 2)
        |            / (2*$sigTh*$sigTh)) END AS hf
