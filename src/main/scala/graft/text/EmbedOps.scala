@@ -28,7 +28,15 @@ object EmbedOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-safe cosine from a precomputed dot and norms: a zero-norm
+    * vector has no direction, so its cosine is NULL (ranked never —
+    * every consumer filters nulls) instead of a DIVIDE_BY_ZERO error
+    * under Spark's default ANSI mode. */
+  private def cosineFrom(d: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 === 0, lit(null)).otherwise(d / (n1 * n2))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFrom(dot(a, b), norm(a), norm(b))
 
   /**
    * Exact brute-force cosine top-k: each query scans the corpus once.
@@ -47,7 +55,10 @@ object EmbedOps {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(q), col("q_id").isNotNull) // cross join, broadcast NL
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("cos", cosineFrom(dot(col("qe"), col("ce")), col("qn"), col("cn")))
+      // a NULL cosine (null element / zero norm) must never occupy a
+      // top-k rank — dotOrNull's contract
+      .where(col("cos").isNotNull)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("q_id", "vec_id", "cos", "rn")
@@ -62,8 +73,12 @@ object EmbedOps {
     * stride would alias plane p's high dims onto plane p+1). */
   val PlaneStride = 1048576L // 2^20: max supported embedding dimension
 
-  def lshSignature(emb: Column, planes: Int): Column =
+  def lshSignature(emb: Column, planes: Int): Column = {
+    require(planes >= 1 && planes <= 64,
+      s"lshSignature packs one bit per plane into a LONG: planes must be " +
+        s"in [1, 64], got $planes (Java shifts would silently wrap mod 64)")
     colOf(LshSigExpr(exprOf(emb), exprOf(lit(planes))))
+  }
 
   /**
    * LSH-bucketed approximate near-duplicate pairs: bucket by the
@@ -73,11 +88,18 @@ object EmbedOps {
    */
   def lshCosinePairs(corpus: DataFrame, planes: Int, bandBits: Int,
                      minCos: Double): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits must be in [1, 63], got $bandBits (64 would mask to 0 " +
+        "and funnel every vector into one bucket)")
     require(planes % bandBits == 0)
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
+    // null-signature vectors (a null element — no usable direction)
+    // drop here: they could never verify (cos is NULL) but would all
+    // share one bucket and blow the candidate join up quadratically
     val sig = corpus.select(col("vec_id"),
       lshSignature(col("embedding"), planes).as("sig"))
+      .where(col("sig").isNotNull)
     val banded = sig.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
@@ -98,8 +120,8 @@ object EmbedOps {
         col("embedding").as("e1"), col("nrm").as("n1")), Seq("v1"))
       .join(withNorm.select(col("vec_id").as("v2"),
         col("embedding").as("e2"), col("nrm").as("n2")), Seq("v2"))
-      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
-      .where(col("cos") >= minCos)
+      .withColumn("cos", cosineFrom(dot(col("e1"), col("e2")), col("n1"), col("n2")))
+      .where(col("cos") >= minCos) // NULL cos fails the predicate
       .select("v1", "v2", "cos")
   }
 
@@ -187,6 +209,7 @@ object EmbedOps {
     assigned.join(probed, Seq("list_id"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .where(col("cos").isNotNull) // see cosineTopK
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("q_id", "vec_id", "cos", "rn")
@@ -219,13 +242,18 @@ object EmbedRuntime {
   /** Bit p = sign of sum_i v_i * r_pi where r_pi = ±1 from bit 16 of the
     * LCG value 1103515245*(p*2^20 + i) + 12345 — identical formula and
     * accumulation order to the Column form this replaced (x + v*(-1.0)
-    * == x - v in IEEE, so the add of a signed product is exact). */
-  def lshSig(v: ArrayData, planes: Int): Long = {
+    * == x - v in IEEE, so the add of a signed product is exact).
+    *
+    * A null ELEMENT returns NULL (deliberate deviation from the old
+    * HOF form's signature 0): such a vector has no usable direction,
+    * could never verify (its dot products are NULL), and a shared
+    * 0-signature would funnel every broken vector into one LSH bucket
+    * — quadratic candidate blowup at corpus scale. Callers filter
+    * NULL signatures before bucketing. */
+  def lshSig(v: ArrayData, planes: Int): java.lang.Long = {
     val n = v.numElements()
-    // HOF-form parity: a null element nulled every projection, and the
-    // when(proj > 0).otherwise(0) fold then emitted signature 0
     var j = 0
-    while (j < n) { if (v.isNullAt(j)) return 0L; j += 1 }
+    while (j < n) { if (v.isNullAt(j)) return null; j += 1 }
     var sig = 0L
     var p = 0
     while (p < planes) {
@@ -240,7 +268,7 @@ object EmbedRuntime {
       if (proj > 0) sig |= (1L << p)
       p += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 }
 
@@ -279,10 +307,16 @@ case class LshSigExpr(child: Expression, planes: Expression) extends BinaryExpre
       case (t, pt) => TypeCheckResult.TypeCheckFailure(
         s"lsh_signature needs (ARRAY<FLOAT>, INT), got ($t, $pt)")
     }
-  override def nullSafeEval(v: Any, p: Any): Any =
-    EmbedRuntime.lshSig(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, p: Any): Any = {
+    val r = EmbedRuntime.lshSig(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+    if (r == null) null else r.longValue()
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (v, p) => s"graft.text.EmbedRuntime.lshSig($v, $p)")
+    nullSafeCodeGen(ctx, ev, (v, p) => s"""
+      java.lang.Long ${ev.value}_r = graft.text.EmbedRuntime.lshSig($v, $p);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, planes = r)
   override def prettyName: String = "lsh_signature"

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
@@ -71,15 +72,19 @@ object TextOps {
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) /
       lit(marker.length)).cast(IntegerType)
 
-  /** argmax over marker scores; first-listed language wins ties. */
+  /** argmax over marker scores; first-listed language wins ties. NULL
+    * text predicts NULL (without the guard every score is NULL, every
+    * when() falls through, and nulls would silently classify as the
+    * fold's seed language). */
   def langPredict(text: Column): Column = {
     val scores = langMarkers.map { case (l, ms) =>
       l -> ms.map(m => occurrences(text, m)).reduce(_ + _)
     }
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.reverse.foldLeft(lit(scores.head._1)) { case (acc, (l, s)) =>
+    val pred = scores.reverse.foldLeft(lit(scores.head._1)) { case (acc, (l, s)) =>
       when(s === maxScore, lit(l)).otherwise(acc)
     }
+    when(text.isNull, lit(null)).otherwise(pred)
   }
 
   // ------------------------------------------------------------- dedup
@@ -93,7 +98,11 @@ object TextOps {
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(
       md5(encode(lower(col(textCol)), "UTF-8")).as("__h"),
-      length(col(textCol)).as("__len"))
+      // the length key must describe the SAME string the digest does:
+      // lowercasing can change the character count (Turkish dotted I ->
+      // 'i' + combining dot), and a raw-length key would then keep case
+      // variants apart that the digest correctly merges
+      length(lower(col(textCol))).as("__len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
@@ -169,19 +178,30 @@ object TextOps {
         + lit(HashFamily.b(i))) % P).as(s"h$i"))
     val sig = sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    // LSH: polynomial fold of each band slice; bucket-join within (band, hash)
-    val banded = sig.select(col("doc"), col("sig"),
+    // LSH: polynomial fold of each band slice; bucket-join within (band,
+    // hash). The band join carries (band, bh, doc) ID rows only — never
+    // the numHashes-long signature array (16 bands would exchange every
+    // 512-byte signature 16x per side) — and a pair colliding in k bands
+    // dedupes to ONE row before the signatures join back, so the
+    // 64-element agreement scan runs once per pair, not once per shared
+    // band (the lshCosinePairs shape; the sig aggregate's exchange is
+    // computed once and reused across all three consumers).
+    val banded = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
           lit(0L), (acc, x) => (acc * HashFamily.B + x) % P))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("band"), col("bh"), col("doc").as("d1"), col("sig").as("s1"))
-    val b = banded.select(col("band"), col("bh"), col("doc").as("d2"), col("sig").as("s2"))
-    a.join(b, Seq("band", "bh")).where(col("d1") < col("d2"))
+    val cand = banded.select(col("band"), col("bh"), col("doc").as("d1"))
+      .join(banded.select(col("band"), col("bh"), col("doc").as("d2")),
+        Seq("band", "bh"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(sig.select(col("doc").as("d1"), col("sig").as("s1")), Seq("d1"))
+      .join(sig.select(col("doc").as("d2"), col("sig").as("s2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("jaccard_est"))
-      .groupBy("d1", "d2").agg(max("jaccard_est").as("jaccard_est"))
   }
 
   /**
@@ -533,14 +553,39 @@ object HashRuntime {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Min rolling-window fingerprint — the same prefix-hash tables as
+    * shingleFps, so every window extracts in O(1) instead of a fresh
+    * O(win) fp62 walk (that form rescanned every char ~win times in a
+    * codegen hot loop). Bit-identical to the per-window fp62, including
+    * its MaxChars cap (each window's range shortens the same way). */
   def rollingFp(v: UTF8String, win: Int): Long = {
     val s = v.toString
     val n = s.length
     if (n <= win) return HashFamily.fp62(s, 0, n)
+    val eff = math.min(win, HashFamily.MaxChars)
+    val P = HashFamily.P
+    val ph1 = new Array[Long](n + 1); val ph2 = new Array[Long](n + 1)
+    val inv1 = new Array[Long](n + 1); val inv2 = new Array[Long](n + 1)
+    var pw1 = 1L; var pw2 = 1L
+    inv1(0) = 1L; inv2(0) = 1L
+    var i = 0
+    while (i < n) {
+      val cc = s.charAt(i).toLong
+      ph1(i + 1) = (ph1(i) + cc * pw1) % P
+      ph2(i + 1) = (ph2(i) + cc * pw2) % P
+      pw1 = (pw1 * HashFamily.B) % P
+      pw2 = (pw2 * HashFamily.B2) % P
+      inv1(i + 1) = (inv1(i) * HashFamily.InvB) % P
+      inv2(i + 1) = (inv2(i) * HashFamily.InvB2) % P
+      i += 1
+    }
     var minH = Long.MaxValue
     var start = 0
     while (start + win <= n) {
-      val h = HashFamily.fp62(s, start, start + win)
+      val b = start + eff
+      val h1 = (((ph1(b) - ph1(start)) % P + P) % P) * inv1(start) % P
+      val h2 = (((ph2(b) - ph2(start)) % P + P) % P) * inv2(start) % P
+      val h = (h1 << 31) | h2
       if (h < minH) minH = h
       start += 1
     }
@@ -552,6 +597,12 @@ object HashRuntime {
   * (HashRuntime.textStats — the quality-score counts). */
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a STRING input, got $t")
+    }
   override def nullSafeEval(v: Any): Any =
     HashRuntime.textStats(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -565,6 +616,12 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 case class ShingleFpsExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a STRING input, got $t")
+    }
   override def nullSafeEval(v: Any): Any =
     HashRuntime.shingleFps(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -577,6 +634,12 @@ case class ShingleFpsExpr(child: Expression, n: Int) extends UnaryExpression {
   * (HashFamily.fp62). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a STRING input, got $t")
+    }
   override def nullSafeEval(v: Any): Any =
     HashRuntime.polyFp(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -590,6 +653,12 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   * the k-th permutation hash; add +1/-1 per bit; sign -> bit. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a STRING input, got $t")
+    }
   override def nullSafeEval(v: Any): Any =
     HashRuntime.simhash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -606,6 +675,12 @@ case class RollingFingerprintExpr(child: Expression, w: Expression)
   override def left: Expression = child
   override def right: Expression = w
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, w.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (t, wt) => TypeCheckResult.TypeCheckFailure(
+        s"rolling_fingerprint needs (STRING, INT), got ($t, $wt)")
+    }
   override def nullSafeEval(v: Any, wv: Any): Any =
     HashRuntime.rollingFp(v.asInstanceOf[UTF8String], wv.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
