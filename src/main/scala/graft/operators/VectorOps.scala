@@ -11,18 +11,23 @@ import graft.core.Geom
 object VectorOps {
 
   /** sqlfilter (shape.py:621-654): OGR SQL over a layer == spark.sql over
-    * a registered view of the polygon relation. */
-  def sqlFilter(polys: Dataset[PolyRow], sql: String)
+    * a registered view of the attribute relation. The layer is any
+    * DataFrame (OGR layers are attribute tables; geometry is just a
+    * column here), so the op works over polygon relations and plain
+    * tables alike. Catalyst plans the user SQL like any other query —
+    * predicates push to the scan, unused columns prune. */
+  def sqlFilter(layer: DataFrame, sql: String)
                (implicit spark: SparkSession): DataFrame = {
-    polys.toDF().createOrReplaceTempView("layer")
+    layer.createOrReplaceTempView("layer")
     spark.sql(sql)
   }
 
   /** filter_shp (shape.py:657-699): attribute predicate writes a label
-    * onto matching rows (schema mutation -> withColumn). */
-  def filterLabel(polys: Dataset[PolyRow], predicate: org.apache.spark.sql.Column,
+    * onto matching rows (schema mutation -> withColumn); non-matching
+    * rows keep a NULL label, as OGR leaves their field unset. */
+  def filterLabel(layer: DataFrame, predicate: org.apache.spark.sql.Column,
                   labelCol: String, label: String): DataFrame =
-    polys.toDF().withColumn(labelCol, when(predicate, lit(label)))
+    layer.withColumn(labelCol, when(predicate, lit(label)))
 
   /** write_id_field (shape.py:1536-1564): sequential FID assignment.
     * Distributed sort + RDD zipWithIndex instead of a global

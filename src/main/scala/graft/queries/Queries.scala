@@ -2506,6 +2506,35 @@ object Queries {
     """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS fid
       |FROM documents""".stripMargin
 
+  /** sqlfilter (shape.py:621-654): OGR SQL over a layer — the user's
+    * SQL string runs against the registered `layer` view and Catalyst
+    * plans it like any native query (predicate pushdown, pruning). The
+    * oracle is the SAME statement over the DuckDB view, so the check is
+    * dialect-shared ANSI SQL end to end. */
+  def qSqlFilter(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    VectorOps.sqlFilter(docs(spark, dir),
+      "SELECT doc_id, source, n_chars FROM layer " +
+        "WHERE n_chars > 400 AND lang = 'en'")
+  }
+
+  val qSqlFilterSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE n_chars > 400 AND lang = 'en'""".stripMargin
+
+  /** filter_shp (shape.py:657-699): attribute predicate writes a label
+    * onto matching rows; non-matching rows keep a NULL label (OGR
+    * leaves their field unset). */
+  def qFilterShp(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.filterLabel(docs(spark, dir),
+        col("lang") === "en" && col("n_chars") >= 200, "filter_label", "keep")
+      .select("doc_id", "filter_label")
+
+  val qFilterShpSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN lang = 'en' AND n_chars >= 200 THEN 'keep' END AS filter_label
+      |FROM documents""".stripMargin
+
   /** General JTS clip with a CONCAVE, HOLED clip polygon (the geometry
     * class clipToRects cannot express): L-shape = A(0,0,120,40) ∪
     * B(0,0,60,100) minus hole H(10,10,30,30) — every clipped area is

@@ -227,6 +227,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"iterFit must shuffle points, never image bytes:\n$pr")
   }
 
+  test("minhash LSH: no exchange carries a signature array on per-band rows, or strings at all") {
+    // the scale contract of the band-join rewrite: band-bucket rows are
+    // (band, bh, doc) IDs — the 64-element signature array crosses an
+    // exchange only keyed by a doc id (once per doc, not once per band
+    // per side), and raw text/shingles NEVER cross a shuffle (shingle
+    // fingerprints hash in place in the scan stage)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val q = Queries.qMinhashPairs(spark, "/root/testdata/sf0.001")
+    q.collect() // finalize the adaptive plan
+    def exchanges(p: SparkPlan): Seq[(String, Seq[Attribute])] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: QueryStageExec => exchanges(s.plan)
+      case s: ShuffleExchangeExec =>
+        (s"shuffle ${s.outputPartitioning}", s.output) +: s.children.flatMap(exchanges)
+      case b: BroadcastExchangeExec =>
+        ("broadcast", b.output) +: b.children.flatMap(exchanges)
+      case r: ReusedExchangeExec => Seq(("reused", r.output))
+      case o => o.children.flatMap(exchanges)
+    }
+    val ex = exchanges(q.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected exchanges in the minhash plan")
+    ex.foreach { case (desc, out) =>
+      val hasArray = out.exists(_.dataType.isInstanceOf[ArrayType])
+      val perBand = out.exists(a => a.name == "band" || a.name == "bh")
+      assert(!(hasArray && perBand),
+        s"signature array rides per-band rows through [$desc]: ${out.mkString(", ")}")
+      assert(!out.exists(_.dataType == StringType),
+        s"string payload crossed an exchange [$desc]: ${out.mkString(", ")}")
+    }
+    // at least one exchange DOES carry the signature array (the per-doc
+    // join back) — if none does, the gate is vacuously green because the
+    // plan shape changed under us
+    assert(ex.exists(_._2.exists(_.dataType.isInstanceOf[ArrayType])),
+      "expected the doc-keyed signature join exchange")
+  }
+
   test("rasterize: zero shuffle (broadcast cell->features map, typed map)") {
     import graft.operators.{Tiler, RasterOps}
     val images = spark.createDataset(Synth.images(4, seed = 3L, bands = 1).toSeq)

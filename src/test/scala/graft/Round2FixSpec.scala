@@ -176,6 +176,18 @@ class Round2FixSpec extends AnyFunSuite {
     assert(byK.sameElements(1L to 1000L), "fid must follow k order densely")
   }
 
+  test("sqlFilter runs user SQL over the layer view; filterLabel leaves non-matches NULL") {
+    val layer = Seq((1L, "a", 10), (2L, "b", 300), (3L, "a", 500))
+      .toDF("id", "grp", "m")
+    val filtered = VectorOps.sqlFilter(layer,
+      "SELECT id, m FROM layer WHERE grp = 'a' AND m > 100").collect()
+    assert(filtered.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((3L, 500)))
+    val labeled = VectorOps.filterLabel(layer, col("m") >= 300, "lab", "keep")
+      .select("id", "lab").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(labeled == Set((1L, null), (2L, "keep"), (3L, "keep")),
+      "matching rows labeled, non-matching rows NULL (OGR leaves the field unset)")
+  }
+
   test("hex-ring kNN == square-grid kNN (both exact by guard+fallback)") {
     import graft.queries.Queries
     val grid = Queries.qKnn(spark, "/root/testdata/sf0.001")
