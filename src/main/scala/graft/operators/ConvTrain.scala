@@ -637,6 +637,10 @@ object ConvTrain {
               (implicit spark: SparkSession): Double = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(net)
+    // try/finally like trainStep/gridSearch: the forwardAll band-count
+    // require (or any task failure) must not leak the broadcast on
+    // callers that catch-and-retry epochs
+    try {
     val rows = chips.mapPartitions { it =>
       val nt = bc.value
       val classes = nt.classes
@@ -674,12 +678,12 @@ object ConvTrain {
       .groupBy("c")
       .agg(sum("inter").as("inter"), sum("np").as("np"), sum("nm").as("nm"))
       .collect() // O(classes) rows by construction
-    bc.destroy()
     val ious = rows.map { r =>
       val inter = r.getLong(1); val uni = r.getLong(2) + r.getLong(3) - inter
       if (uni == 0L) 1.0 else inter.toDouble / uni
     }
     if (ious.isEmpty) 0.0 else ious.sum / ious.length
+    } finally bc.destroy()
   }
 
   /** The reference's FULL training loop (convnet.py:327-374): train on
@@ -774,6 +778,11 @@ object ConvTrain {
   def gradPlan(chips: Dataset[ChipRow], net: SegNet, gradBits: Int = 8)
               (implicit spark: SparkSession)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[SegNet]) = {
+    // same snap()-exactness bound as every other gradBits entry point
+    // (trainSegOpt, trainSegCheckpoint, gridSearch candidates)
+    require(gradBits >= 0 && gradBits <= 24,
+      s"gradBits $gradBits outside [0, 24] — snapped terms would leave " +
+        "the dyadic grid and gradient sums turn partition-order sensitive")
     val (df, bc) = gradRows(chips, net, math.pow(2.0, gradBits))
     (df.orderBy(col("li"), col("idx")), bc)
   }

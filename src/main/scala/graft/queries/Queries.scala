@@ -579,7 +579,10 @@ object Queries {
     val maxExpr = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
     val caseExpr = scores.map { case (l, s) => s"WHEN $s = __m THEN '$l'" }
       .mkString(" ")
-    s"""SELECT lang, CASE $caseExpr ELSE 'en' END AS pred, count(*) AS n
+    // no ELSE: the WHENs are exhaustive for non-null text (the max always
+    // equals one score), so the CASE's fall-through fires exactly for
+    // NULL text — matching langPredict's NULL-in-NULL-out contract
+    s"""SELECT lang, CASE $caseExpr END AS pred, count(*) AS n
        |FROM (SELECT lang, text, $maxExpr AS __m FROM documents)
        |GROUP BY 1, 2""".stripMargin
   }

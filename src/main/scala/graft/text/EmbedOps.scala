@@ -251,6 +251,15 @@ object EmbedRuntime {
     * — quadratic candidate blowup at corpus scale. Callers filter
     * NULL signatures before bucketing. */
   def lshSig(v: ArrayData, planes: Int): java.lang.Long = {
+    // validated HERE so every surface is covered — the registered SQL
+    // function builds LshSigExpr directly and would otherwise bypass the
+    // EmbedOps.lshSignature wrapper's guard (planes = 65 would shift-wrap
+    // onto bit 0 and silently double-write it; planes <= 0 would emit a
+    // constant 0 signature, funneling every vector into one LSH bucket).
+    // One predictable branch per row, dwarfed by the planes x dims loop.
+    require(planes >= 1 && planes <= 64,
+      s"lsh_signature packs one bit per plane into a LONG: planes must be " +
+        s"in [1, 64], got $planes")
     val n = v.numElements()
     var j = 0
     while (j < n) { if (v.isNullAt(j)) return null; j += 1 }

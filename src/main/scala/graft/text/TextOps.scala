@@ -351,6 +351,43 @@ object HashFamily {
   val InvB: Long = modPow(B, P - 2)
   val InvB2: Long = modPow(B2, P - 2)
 
+  /** Prefix-hash tables for O(1) substring fingerprints — returns
+    * Array(ph1, ph2, inv1, inv2), each of length s.length + 1, such
+    * that [[fpWindow]](tables, a, b) == [[fp62]](s, a, b) whenever
+    * b - a <= MaxChars. ONE shared builder for shingleFps and
+    * rollingFp: the construction is bit-exactness-critical (the DuckDB
+    * oracles replay it), so two copies that could drift independently
+    * would be a silent-divergence hazard. */
+  private[text] def prefixTables(s: String): Array[Array[Long]] = {
+    val len = s.length
+    val ph1 = new Array[Long](len + 1); val ph2 = new Array[Long](len + 1)
+    val inv1 = new Array[Long](len + 1); val inv2 = new Array[Long](len + 1)
+    var pw1 = 1L; var pw2 = 1L
+    inv1(0) = 1L; inv2(0) = 1L
+    var i = 0
+    while (i < len) {
+      val cc = s.charAt(i).toLong
+      ph1(i + 1) = (ph1(i) + cc * pw1) % P
+      ph2(i + 1) = (ph2(i) + cc * pw2) % P
+      pw1 = (pw1 * B) % P
+      pw2 = (pw2 * B2) % P
+      inv1(i + 1) = (inv1(i) * InvB) % P
+      inv2(i + 1) = (inv2(i) * InvB2) % P
+      i += 1
+    }
+    Array(ph1, ph2, inv1, inv2)
+  }
+
+  /** Composed 62-bit fingerprint of s[a, b) from [[prefixTables]]:
+    * fp(a, b) = (PH(b) - PH(a)) * B^{-a} mod P per component, composed
+    * (h1 << 31) | h2 — bit-identical to fp62's direct walk (callers cap
+    * b - a at MaxChars, exactly as fp62 shortens its own range). */
+  @inline private[text] def fpWindow(t: Array[Array[Long]], a: Int, b: Int): Long = {
+    val h1 = (((t(0)(b) - t(0)(a)) % P + P) % P) * t(2)(a) % P
+    val h2 = (((t(1)(b) - t(1)(a)) % P + P) % P) * t(3)(a) % P
+    (h1 << 31) | h2
+  }
+
   /** Component polynomial fingerprint sum(code(c_j) * base^j) mod P
     * over s[from, until). */
   def fp(s: String, from: Int, until: Int, base: Long = B): Long = {
@@ -519,34 +556,16 @@ object HashRuntime {
       out(0) = HashFamily.fp62(s, 0, math.min(len, ends(numToks - 1)))
     } else {
       // prefix-hash tables: ONE scan of the text, then each of the m
-      // overlapping shingles extracts in O(1) —
-      //   fp(a, b) = (PH(b) - PH(a)) * B^{-a} mod P
-      // (the naive per-shingle walk rescans every char ~n times; this is
-      // the fused-kernel form, bit-identical to fp62 incl. the MaxChars
-      // cap because the range just shortens to [a, a+MaxChars)).
-      val ph1 = new Array[Long](len + 1); val ph2 = new Array[Long](len + 1)
-      val inv1 = new Array[Long](len + 1); val inv2 = new Array[Long](len + 1)
-      var pw1 = 1L; var pw2 = 1L
-      inv1(0) = 1L; inv2(0) = 1L
-      val P = HashFamily.P
-      i = 0
-      while (i < len) {
-        val cc = s.charAt(i).toLong
-        ph1(i + 1) = (ph1(i) + cc * pw1) % P
-        ph2(i + 1) = (ph2(i) + cc * pw2) % P
-        pw1 = (pw1 * HashFamily.B) % P
-        pw2 = (pw2 * HashFamily.B2) % P
-        inv1(i + 1) = (inv1(i) * HashFamily.InvB) % P
-        inv2(i + 1) = (inv2(i) * HashFamily.InvB2) % P
-        i += 1
-      }
+      // overlapping shingles extracts in O(1) (the naive per-shingle
+      // walk rescans every char ~n times; this is the fused-kernel
+      // form, bit-identical to fp62 incl. the MaxChars cap because the
+      // range just shortens to [a, a+MaxChars)).
+      val t = HashFamily.prefixTables(s)
       var k = 0
       while (k < m) {
         val a = starts(k)
         val b = math.min(ends(math.min(k + n - 1, numToks - 1)), a + HashFamily.MaxChars)
-        val h1 = (((ph1(b) - ph1(a)) % P + P) % P) * inv1(a) % P
-        val h2 = (((ph2(b) - ph2(a)) % P + P) % P) * inv2(a) % P
-        out(k) = (h1 << 31) | h2
+        out(k) = HashFamily.fpWindow(t, a, b)
         k += 1
       }
     }
@@ -563,29 +582,11 @@ object HashRuntime {
     val n = s.length
     if (n <= win) return HashFamily.fp62(s, 0, n)
     val eff = math.min(win, HashFamily.MaxChars)
-    val P = HashFamily.P
-    val ph1 = new Array[Long](n + 1); val ph2 = new Array[Long](n + 1)
-    val inv1 = new Array[Long](n + 1); val inv2 = new Array[Long](n + 1)
-    var pw1 = 1L; var pw2 = 1L
-    inv1(0) = 1L; inv2(0) = 1L
-    var i = 0
-    while (i < n) {
-      val cc = s.charAt(i).toLong
-      ph1(i + 1) = (ph1(i) + cc * pw1) % P
-      ph2(i + 1) = (ph2(i) + cc * pw2) % P
-      pw1 = (pw1 * HashFamily.B) % P
-      pw2 = (pw2 * HashFamily.B2) % P
-      inv1(i + 1) = (inv1(i) * HashFamily.InvB) % P
-      inv2(i + 1) = (inv2(i) * HashFamily.InvB2) % P
-      i += 1
-    }
+    val t = HashFamily.prefixTables(s)
     var minH = Long.MaxValue
     var start = 0
     while (start + win <= n) {
-      val b = start + eff
-      val h1 = (((ph1(b) - ph1(start)) % P + P) % P) * inv1(start) % P
-      val h2 = (((ph2(b) - ph2(start)) % P + P) % P) * inv2(start) % P
-      val h = (h1 << 31) | h2
+      val h = HashFamily.fpWindow(t, start, start + eff)
       if (h < minH) minH = h
       start += 1
     }

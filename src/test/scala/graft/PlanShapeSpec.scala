@@ -227,6 +227,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"iterFit must shuffle points, never image bytes:\n$pr")
   }
 
+  test("sqlFilter: the user's OGR SQL rides Catalyst pushdown (pruned scan, pushed predicate)") {
+    // the reference's sqlfilter materializes the whole layer and filters
+    // feature-by-feature; here the SQL string plans like any native
+    // query — the n_chars predicate reaches the parquet scan and the
+    // untouched text column is never read
+    val q = Queries.qSqlFilter(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,400)"),
+      s"layer predicate not pushed to the scan:\n${p.take(2000)}")
+    assert(!p.contains("text"), s"sqlFilter scan reads the unused text column:\n$p")
+  }
+
   test("minhash LSH: no exchange carries a signature array on per-band rows, or strings at all") {
     // the scale contract of the band-join rewrite: band-bucket rows are
     // (band, bh, doc) IDs — the 64-element signature array crosses an
