@@ -773,7 +773,17 @@ object Queries {
 
   /** LSH plane signs are the LCG bits of EmbedOps.lshSignature — the
     * oracle recomputes signatures, band buckets, candidate pairs and the
-    * exact cosine verification relationally. */
+    * exact cosine verification relationally.
+    *
+    * Knife-edge caveat (applies to the whole embedding-oracle family):
+    * sign/threshold/rank decisions sit on float dot-product sums whose
+    * addition order the two engines don't guarantee to share, so a
+    * projection or cosine within a few ulps of 0 / minCos / a rank
+    * boundary could flip a row. Dot sums agree to ~1e-15 relative, so
+    * the per-pair flip probability is ~1e-10; at the driver's SFs
+    * (<=1e4 candidate pairs) the family's aggregate failure odds are
+    * ~1e-6 — accepted, documented here rather than papered over with a
+    * tolerance that would weaken the exact-membership check. */
   val qAnnLshSql: String =
     """WITH sp AS (SELECT vec_id, p,
       |    sum(CAST(embedding[i] AS DOUBLE) *
@@ -807,17 +817,11 @@ object Queries {
   //     identical pixel relation with generate_series while Spark decodes
   //     real encoded bytes through the real tiler — end-to-end checkable.
 
-  import graft.{ImageRow, PolyRow}
+  import graft.ImageRow
   import graft.operators._
   import graft.gen.GridImages
   import org.apache.spark.sql.Encoders
 
-  private def synthImages(spark: SparkSession, n: Int, bands: Int = 2) =
-    spark.createDataset(graft.gen.Synth.images(n, seed = 42L, bands = bands).toSeq)(
-      Encoders.product[ImageRow])
-  private def synthPolys(spark: SparkSession) =
-    spark.createDataset(graft.gen.Synth.polygons(nExtra = 6).toSeq)(
-      Encoders.product[PolyRow])
   private def gridImages(spark: SparkSession, n: Int, bands: Int = 2) =
     spark.createDataset(GridImages.images(n, bands).toSeq)(
       Encoders.product[ImageRow])
@@ -987,18 +991,22 @@ object Queries {
     d
   }
 
+  /** Per-call subdir counter: each invocation streams into a FRESH
+    * subdir of the per-JVM root instead of wiping the root — wiping
+    * would delete a previous call's output under its lazily-returned
+    * reader's feet (the same hazard ensureVrtFixtures guards against).
+    * Subdirs accumulate only within one JVM run (a handful for
+    * Verify/Bench); the root's shutdown hook removes them all. */
+  private val qisCallSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def qImageStream(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    // FIXED per-JVM scratch root (PID-suffixed so concurrent driver and
-    // bench processes never rmrf each other's live streaming state),
-    // wiped per call: repeated invocations in one JVM overwrite instead
-    // of accumulating temp dirs, and a stale checkpoint never pairs
-    // with fresh input. A (once-registered) shutdown hook removes the
-    // dir on JVM exit — PIDs don't repeat, so without it every process
-    // would leak its scratch permanently.
-    val base = qisScratchRoot
-    rmrf(base)
+    // per-JVM root is PID-suffixed so concurrent driver and bench
+    // processes never touch each other's live streaming state; the
+    // per-call subdir keeps a stale checkpoint from ever pairing with
+    // fresh input without invalidating earlier calls' readers
+    val base = new java.io.File(qisScratchRoot, s"c${qisCallSeq.getAndIncrement()}")
     val inDir = new java.io.File(base, "in").toString
     val outDir = new java.io.File(base, "hist").toString
     val ckpt = new java.io.File(base, "ckpt").toString
@@ -1066,13 +1074,7 @@ object Queries {
     val cellRes = Tiler.resForCellSize(64.0)
     val imgs = gridImages(spark, 12, 2)
     val mt = Tiler.multiTiles(imgs, 64, cellRes)
-    val trainPolys = classifyBoxes.zipWithIndex.map { case ((cls, x0, y0, x1, y1), k) =>
-      PolyRow(k.toLong, 0,
-        Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
-        cls, s"train$cls", 0.0)
-    }
-    val model = Training.fitCentroids(Training.extractSamples(mt,
-      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes))
+    val model = fittedModel(spark, mt, cellRes)
     val tiles = Tiler.tiles(imgs, 64, cellRes)
     val hist = ZonalStats.histogram(tiles,
       spark.createDataset(pipePolys)(Encoders.product[PolyRow]), cellRes)
@@ -1788,18 +1790,29 @@ object Queries {
     // (cls, x0, y0, x1, y1) — inside images 0, 1 and 10 respectively
     (1, 10, -40, 70, -10), (2, 270, -40, 330, -10), (3, 520, 210, 580, 250))
 
-  def qClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** ONE fitted model for qClassify / qClassifyObject / qProb — the
+    * three queries share classifyFvCentSql-family oracles that assume
+    * the SAME training boxes and fit, so the extraction + fit lives in
+    * one place (a drift between copies would train them apart while
+    * the oracles kept assuming one model). */
+  private def fittedModel(spark: SparkSession,
+                          tiles: org.apache.spark.sql.Dataset[graft.MultiTileRow],
+                          cellRes: Int): Training.CentroidModel = {
     implicit val s: SparkSession = spark
-    val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.multiTiles(gridImages(spark, 12, 2), 64, cellRes)
     val trainPolys = classifyBoxes.zipWithIndex.map { case ((cls, x0, y0, x1, y1), k) =>
       PolyRow(k.toLong, 0,
         Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
         cls, s"train$cls", 0.0)
     }
-    val samples = Training.extractSamples(tiles,
-      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes)
-    val model = Training.fitCentroids(samples)
+    Training.fitCentroids(Training.extractSamples(tiles,
+      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes))
+  }
+
+  def qClassify(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cellRes = Tiler.resForCellSize(64.0)
+    val tiles = Tiler.multiTiles(gridImages(spark, 12, 2), 64, cellRes)
+    val model = fittedModel(spark, tiles, cellRes)
     Training.classify(tiles, model).toDF()
       .select(col("image_id"),
         graft.functions.PxFunctions.pxSum(col("pixels")).as("class_sum"))
@@ -1849,14 +1862,7 @@ object Queries {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
     val tiles = Tiler.multiTiles(gridImages(spark, 12, 2), 64, cellRes)
-    val trainPolys = classifyBoxes.zipWithIndex.map { case ((cls, x0, y0, x1, y1), k) =>
-      PolyRow(k.toLong, 0,
-        Array(Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))),
-        cls, s"train$cls", 0.0)
-    }
-    val samples = Training.extractSamples(tiles,
-      spark.createDataset(trainPolys)(Encoders.product[PolyRow]), cellRes)
-    val model = Training.fitCentroids(samples)
+    val model = fittedModel(spark, tiles, cellRes)
     Training.classifyProb(tiles, model).toDF()
       .select(col("image_id"), col("band").as("cls"),
         graft.functions.PxFunctions.pxSum(col("pixels")).as("pmass"))
@@ -2116,7 +2122,15 @@ object Queries {
     * planar grid ids (pure bit math) and H3-style hex ids (axial cube
     * rounding) via the batched Catalyst expressions — BOTH recomputed by
     * the oracle, bit for bit, plus k-ring expansion sizes. S2 (Hilbert
-    * lookup tables, not SQL-expressible) is q_s2_index, spec-gated. */
+    * lookup tables, not SQL-expressible) is q_s2_index, spec-gated.
+    *
+    * "Bit for bit" holds for the integer/bit pipeline downstream of the
+    * trig; the hex rotation itself rides libm sin/cos/atan2, which JVM
+    * Math and DuckDB only guarantee to ~1 ulp. A fractional axial coord
+    * within ~1e-12 of a cube-rounding boundary could therefore round to
+    * different cells — per-point odds ~1e-10, same accepted-and-
+    * documented class as the embedding-oracle knife-edge note at
+    * qAnnLshSql. */
   def qCellIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SpatialFunctions._
     implicit val s: SparkSession = spark
@@ -2611,6 +2625,20 @@ object Queries {
     * streaming flatMapGroupsWithState path equal to this). */
   def qSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionizeBatch(events(spark, dir))
+
+  val qSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |o AS (SELECT user_id, t,
+      |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |               > 3600000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |s AS (SELECT user_id, t,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM o)
+      |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Canny edge detection (houghseg/ransac_lines front-end,
     * utilities.py:177-205): the step fixture exercises every stage
@@ -3329,6 +3357,21 @@ object Queries {
        |SELECT kind, CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb, v
        |FROM (SELECT * FROM gm UNION ALL SELECT * FROM ym)""".stripMargin
 
+  /** (kind, li, idx, v) weight/bias rows of a trained net — the ONE
+    * authority for the oracle-side weight-index convention every
+    * training query shares (its SQL twin lives in the per-query weight
+    * CTEs; a missed re-index produces an idx mismatch, so the Spark
+    * side is deliberately not repeated per query). */
+  private def netRows(net: graft.operators.SegNet): Seq[(String, Int, Int, Double)] =
+    net.layers.zipWithIndex.flatMap { case (l, li) =>
+      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
+        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
+    }
+
+  /** ("loss", epoch-or-batch, 0, v) rows of a training-loss ledger. */
+  private def lossRowsOf(losses: Seq[Double]): Seq[(String, Int, Int, Double)] =
+    losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
+
   /** q_train_seg — train_semantic_seg (convnet.py:50-428) as distributed
     * full-batch SGD (ConvTrain.trainSeg): 2 epochs of quantized-gradient
     * descent on the 2-layer fixture net over one image's 15 chips. The
@@ -3347,11 +3390,8 @@ object Queries {
       chipSize = 16, includeZero = true)
     val (trained, losses) = ConvTrain.trainSeg(chips, ConvNet.fixtureNet,
       epochs = 2, lr = math.pow(2.0, -25), gradBits = 8)
-    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
-    val wRows = trained.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val lossRows = lossRowsOf(losses)
+    val wRows = netRows(trained)
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
@@ -3580,9 +3620,8 @@ object Queries {
         ((r.name, "hold", 0, 0, r.holdoutLoss))
     }
     val winRows = Seq((winner.name, "winner", 0, 0, 1.0))
-    val wRows = winner.net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => (winner.name, "w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => (winner.name, "b", li, i, b.toDouble) }
+    val wRows = netRows(winner.net).map { case (k, li, i, v) =>
+      (winner.name, k, li, i, v)
     }
     (lossRows ++ winRows ++ wRows).toDF("cand", "kind", "li", "idx", "v")
   }
@@ -3637,11 +3676,8 @@ object Queries {
       chipSize = 16, includeZero = true)
     val (net, losses) = ConvTrain.trainSegBatched(chips, ConvNet.fixtureNet,
       epochs = 1, batches = 2, lr = math.pow(2.0, -25))
-    val lossRows = losses.zipWithIndex.map { case (l, b) => ("loss", b, 0, l) }
-    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val lossRows = lossRowsOf(losses)
+    val wRows = netRows(net)
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
@@ -3673,11 +3709,8 @@ object Queries {
       chipSize = 16, includeZero = true)
     val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNet,
       epochs = 2, ConvTrain.Adam(lr = 0.015625))
-    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
-    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val lossRows = lossRowsOf(losses)
+    val wRows = netRows(net)
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
@@ -3809,11 +3842,8 @@ object Queries {
     val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetSoft,
       epochs = 2, ConvTrain.Adam(lr = math.pow(2.0, -10)), gradBits = 20,
       lossFn = ConvTrain.Dice())
-    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
-    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val lossRows = lossRowsOf(losses)
+    val wRows = netRows(net)
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
@@ -3854,11 +3884,8 @@ object Queries {
     val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetBinary,
       epochs = 2, ConvTrain.Sgd(math.pow(2.0, -10)), gradBits = 20,
       lossFn = ConvTrain.LossBinary(0.5))
-    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
-    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val lossRows = lossRowsOf(losses)
+    val wRows = netRows(net)
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
       .select(col("kind"), col("li"), col("idx"),
         when(col("kind") === "loss", round(col("v"), 6))
@@ -3968,11 +3995,8 @@ object Queries {
     val (net, losses) = ConvTrain.trainSegOpt(chips, ConvNet.fixtureNetSoft,
       epochs = 2, ConvTrain.Sgd(math.pow(2.0, -10)), gradBits = 20,
       lossFn = ConvTrain.LossMulti(0.5))
-    val lossRows = losses.zipWithIndex.map { case (l, e) => ("loss", e, 0, l) }
-    val wRows = net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val lossRows = lossRowsOf(losses)
+    val wRows = netRows(net)
     (lossRows ++ wRows).toDF("kind", "li", "idx", "v")
       .select(col("kind"), col("li"), col("idx"),
         when(col("kind") === "loss", round(col("v"), 6))
@@ -4026,11 +4050,8 @@ object Queries {
         ((r.name, "hold", 0, 0, r.holdoutLoss))
     }
     val winRows = Seq((winner.name, "winner", 0, 0, 1.0))
-    val wRows = winner.net.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) =>
-        (winner.name, "w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) =>
-          (winner.name, "b", li, i, b.toDouble) }
+    val wRows = netRows(winner.net).map { case (k, li, i, v) =>
+      (winner.name, k, li, i, v)
     }
     (lossRows ++ winRows ++ wRows).toDF("cand", "kind", "li", "idx", "v")
   }
@@ -4105,10 +4126,7 @@ object Queries {
         ("lr", l.epoch, 0, l.lr),
         ("ckpt", l.epoch, 0, if (l.checkpointed) 1.0 else 0.0))
     }
-    val wRows = best.layers.zipWithIndex.flatMap { case (l, li) =>
-      l.weights.zipWithIndex.map { case (w, i) => ("w", li, i, w.toDouble) } ++
-        l.bias.zipWithIndex.map { case (b, i) => ("b", li, i, b.toDouble) }
-    }
+    val wRows = netRows(best)
     (logRows ++ wRows).toDF("kind", "li", "idx", "v")
   }
 
@@ -4900,17 +4918,4 @@ object Queries {
        |FROM mfin GROUP BY 1""".stripMargin
   }
 
-  val qSessionsSql: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
-      |o AS (SELECT user_id, t,
-      |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-      |               > 3600000000 THEN 1 ELSE 0 END AS brk
-      |      FROM e),
-      |s AS (SELECT user_id, t,
-      |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
-      |          ROWS UNBOUNDED PRECEDING) AS sid
-      |      FROM o)
-      |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
-      |  count(*) AS n_events
-      |FROM s GROUP BY user_id, sid""".stripMargin
 }
