@@ -1005,8 +1005,14 @@ object Queries {
     // per-JVM root is PID-suffixed so concurrent driver and bench
     // processes never touch each other's live streaming state; the
     // per-call subdir keeps a stale checkpoint from ever pairing with
-    // fresh input without invalidating earlier calls' readers
+    // fresh input without invalidating earlier calls' readers. The
+    // just-minted subdir is still wiped: a kill -9'd process whose PID
+    // the OS later reuses can leave a same-named dir (its shutdown hook
+    // never ran), and appending onto its stale input/checkpoint would
+    // silently double the streamed counts — no reader in THIS JVM can
+    // hold a name minted this instant, so the wipe is hazard-free.
     val base = new java.io.File(qisScratchRoot, s"c${qisCallSeq.getAndIncrement()}")
+    rmrf(base)
     val inDir = new java.io.File(base, "in").toString
     val outDir = new java.io.File(base, "hist").toString
     val ckpt = new java.io.File(base, "ckpt").toString
