@@ -394,8 +394,19 @@ object Queries {
       |    sum(count(*)) OVER () AS total
       |  FROM (SELECT cast(l_quantity AS int) AS v FROM lineitem) GROUP BY v)""".stripMargin
 
-  /** hist_match quantile mapping (raster.py:2139-2217): source CDF ->
-    * smallest template bucket with cdf >= source cdf. */
+  /** hist_match quantile mapping (raster.py:2139-2217): the reference
+    * maps each distinct source value's CDF through
+    * `np.interp(s_quantiles, t_quantiles, t_values)` — piecewise-LINEAR
+    * interpolation between the bracketing template values, left-clamped
+    * to the first template value (x <= xp[0] -> fp[0]; the right clamp
+    * is unreachable because both CDFs end at exactly 1.0). Replayed
+    * relationally: the template CDF becomes half-open intervals
+    * (lag, cur] via a window lag, each source row joins the ONE interval
+    * containing its quantile, and the linear blend runs inside the join
+    * row. The template side is a value HISTOGRAM (bounded by the value
+    * domain, like qHistEcdf's window input), so the unpartitioned lag
+    * window and the broadcast interval join are size-bounded by
+    * construction regardless of raster row count. */
   def qHistMatch(spark: SparkSession, dir: String): DataFrame = {
     def cdf(df: DataFrame, vcol: String): DataFrame = {
       val cum = Window.orderBy(vcol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -406,11 +417,20 @@ object Queries {
     }
     val s = cdf(li(spark, dir).select(col("l_quantity").cast("int").as("v")), "v")
       .withColumnRenamed("cdf", "scdf")
+    val byTb = Window.orderBy("tb")
     val t = cdf(orders(spark, dir).select(
       floor(col("o_totalprice") / 10000.0).cast("int").as("tb")), "tb")
       .withColumnRenamed("cdf", "tcdf")
-    s.join(t, col("tcdf") >= col("scdf"))
-      .groupBy("v").agg(min("tb").as("matched"))
+      .withColumn("tbp", lag("tb", 1).over(byTb))
+      .withColumn("tcp", lag("tcdf", 1).over(byTb))
+    s.join(broadcast(t),
+        (col("tcp").isNull && col("scdf") <= col("tcdf")) ||
+          (col("scdf") > col("tcp") && col("scdf") <= col("tcdf")))
+      .select(col("v"),
+        round(when(col("tcp").isNull, col("tb").cast("double"))
+          .otherwise(col("tbp") + (col("tb") - col("tbp")) *
+            (col("scdf") - col("tcp")) / (col("tcdf") - col("tcp"))), 6)
+          .as("matched"))
   }
 
   val qHistMatchSql: String =
@@ -421,8 +441,13 @@ object Queries {
       |t AS (
       |  SELECT tb, sum(c) OVER (ORDER BY tb) * 1.0 / sum(c) OVER () AS tcdf
       |  FROM (SELECT cast(floor(o_totalprice / 10000.0) AS int) AS tb, count(*) AS c
-      |        FROM orders GROUP BY 1))
-      |SELECT v, min(tb) AS matched FROM s JOIN t ON tcdf >= scdf GROUP BY v""".stripMargin
+      |        FROM orders GROUP BY 1)),
+      |t2 AS (SELECT tb, tcdf, lag(tb) OVER (ORDER BY tb) AS tbp,
+      |              lag(tcdf) OVER (ORDER BY tb) AS tcp FROM t)
+      |SELECT v, round(CASE WHEN tcp IS NULL THEN CAST(tb AS DOUBLE)
+      |    ELSE tbp + (tb - tbp) * (scdf - tcp) / (tcdf - tcp) END, 6) AS matched
+      |FROM s JOIN t2 ON (tcp IS NULL AND scdf <= tcdf)
+      |               OR (scdf > tcp AND scdf <= tcdf)""".stripMargin
 
   /** RGB band-algebra indices (shape.py:1354-1502): ALL 11 reference
     * formulas via RasterOps.rgbIndices. Bands shift by +1 so every
