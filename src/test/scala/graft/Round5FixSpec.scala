@@ -36,6 +36,43 @@ class Round5FixSpec extends AnyFunSuite {
     assert(band("Roughness")(0) == 2f)
   }
 
+  test("qHistMatch equals a literal np.interp quantile-map replay") {
+    // Third implementation: the DuckDB oracle shares the relational
+    // interval-join shape with the query, so a shared-logic slip would
+    // pass both — this replay computes np.interp(s_quantiles,
+    // t_quantiles, t_values) directly (left clamp + bracketing linear
+    // blend), with the same left-to-right cumulative sums, the same
+    // mult-before-div blend association and the same HALF_UP round, so
+    // the comparison is exact double equality.
+    import graft.queries.Queries
+    val dir = "/root/testdata/sf0.001"
+    val src = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("cast(l_quantity as int) as v").collect().map(_.getInt(0))
+    val tmpl = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("cast(floor(o_totalprice / 10000.0) as int) as tb")
+      .collect().map(_.getInt(0))
+    def cdf(xs: Array[Int]): (Array[Int], Array[Double]) = {
+      val g = xs.groupBy(identity).toArray.sortBy(_._1)
+      val cum = g.map(_._2.length.toLong).scanLeft(0L)(_ + _).tail
+      (g.map(_._1), cum.map(c => c * 1.0 / xs.length))
+    }
+    val (sv, sq) = cdf(src)
+    val (tv, tq) = cdf(tmpl)
+    def interp(x: Double): Double =
+      if (x <= tq(0)) tv(0).toDouble
+      else {
+        val j = tq.indexWhere(x <= _) // >= 1; both CDFs end at exactly 1.0
+        tv(j - 1) + (tv(j) - tv(j - 1)) * (x - tq(j - 1)) / (tq(j) - tq(j - 1))
+      }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = sv.zip(sq).map { case (v, q) => (v, r6(interp(q))) }.toMap
+    val got = Queries.qHistMatch(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((v, m) <- expected) assert(got(v) == m, s"v=$v")
+  }
+
   test("colorRelief: end-stop clamps and exact mid-segment interpolation") {
     val ramp = Seq((0.0, 0.0, 0.0, 240.0), (48.0, 48.0, 192.0, 96.0),
       (96.0, 240.0, 48.0, 0.0))
