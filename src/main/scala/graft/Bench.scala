@@ -114,13 +114,22 @@ object Bench {
 
     // ---- dev lever: time ONLY the named queries (best-of-3) and exit
     sys.env.get("SPARK_GRAFT_ONLY").foreach { names =>
+      // validate up front: a typo'd name must not abort minutes of timing
+      val asked = names.split(",").map(_.trim).filter(_.nonEmpty)
+      val unknown = asked.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
       val spark0 = session(cpus)
       val warm = "/root/testdata/sf0.001"
-      val out = names.split(",").map(_.trim).filter(_.nonEmpty).map { name =>
+      val out = asked.map { name =>
         val fn = SparkEntry.queries(name)
         try fn(spark0, warm).count() catch { case _: Throwable => }
-        val ts = (1 to 3).map(_ => time { fn(spark0, sfDir).count() }._1)
-        name -> ts.min
+        // same contract as the headline loop: a throwing query records
+        // -1.0 instead of discarding every already-timed number
+        val ts = (1 to 3).map(_ =>
+          try time { fn(spark0, sfDir).count() }._1
+          catch { case _: Throwable => -1.0 })
+        name -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
       }
       spark0.stop()
       println(out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

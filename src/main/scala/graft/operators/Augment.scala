@@ -32,6 +32,11 @@ import graft.core.PixelCodec
  */
 object Augment {
 
+  /** NaN-aware nodata test: the tiler's default sentinel is NaN, for
+    * which plain `==` is always false. */
+  @inline private def isNodata(v: Float, nd: Float): Boolean =
+    (v.isNaN && nd.isNaN) || v == nd
+
   /** `i` reflected into [0, n) with OpenCV BORDER_REFLECT_101
     * semantics (edge pixel not repeated): ... 2 1 | 0 1 2 | 1 0 ...
     * Valid for pads < n (one reflection), which `padIfNeeded` enforces. */
@@ -168,7 +173,10 @@ object Augment {
       it.map { t =>
         var mn = Double.MaxValue; var mx = Double.MinValue
         t.pixels.foreach { v =>
-          if (v != t.nodata) {
+          // NaN-aware: the tiler's default sentinel IS NaN, and
+          // `v == NaN` is false for every v — a plain equality guard
+          // would be dead and (rng == 0 below) rewrite nodata to 0f
+          if (!isNodata(v, t.nodata)) {
             if (v < mn) mn = v
             if (v > mx) mx = v
           }
@@ -182,7 +190,7 @@ object Augment {
       .map { case (t, st) =>
         val mn = st.getDouble(1); val rng = st.getDouble(2) - mn
         t.copy(pixels = t.pixels.map(v =>
-          if (v == t.nodata) v
+          if (isNodata(v, t.nodata)) v
           else if (rng == 0) 0f
           else ((v - mn) / rng).toFloat))
       }

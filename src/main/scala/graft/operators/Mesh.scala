@@ -59,18 +59,8 @@ object Mesh {
                                (implicit spark: SparkSession): Dataset[TileRow] = {
     import spark.implicits._
     tiles.mapPartitions { it =>
-      var last: (String, Int, Int, Int) = null
-      val seen = scala.collection.mutable.HashSet.empty[(String, Int, Int, Int)]
-      it.filter { t =>
-        val k = (t.image_id, t.tx, t.ty, t.band)
-        if (k == last) false
-        else {
-          require(seen.add(k),
-            s"dedupeConsecutive saw non-adjacent duplicate tile $k — " +
-              "input must come straight off the tiler (no repartition/sort in between)")
-          last = k; true
-        }
-      }
+      Tiler.firstByKey(it, (t: TileRow) => (t.image_id, t.tx, t.ty, t.band),
+        "dedupeConsecutive")
     }
   }
 

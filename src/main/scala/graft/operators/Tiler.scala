@@ -35,17 +35,30 @@ object Tiler {
     * sorted input) instead of silently double-counting. The seen-set
     * holds one small tuple per distinct tile key in the partition. */
   private[operators] def firstCellOnly(it: Iterator[graft.MultiTileRow])
-      : Iterator[graft.MultiTileRow] = {
-    var last: (String, Int, Int) = null
-    val seen = scala.collection.mutable.HashSet.empty[(String, Int, Int)]
+      : Iterator[graft.MultiTileRow] =
+    firstByKey(it, (t: graft.MultiTileRow) => (t.image_id, t.tx, t.ty),
+      "firstCellOnly")
+
+  /** First occurrence per key with the adjacency tripwire — ONE
+    * definition of the zero-shuffle dedupe semantics shared by
+    * `firstCellOnly` (MultiTileRow) and `Mesh.dedupeConsecutive`
+    * (TileRow), so the contract cannot drift between row types.
+    * Duplicates must be adjacent (input straight off the tiler);
+    * a non-adjacent duplicate — the signature of repartitioned or
+    * sorted input — fails loudly instead of double-counting. The
+    * seen-set holds one key tuple per distinct key in the partition. */
+  private[operators] def firstByKey[T, K](it: Iterator[T], key: T => K,
+                                          what: String): Iterator[T] = {
+    var last: Option[K] = None
+    val seen = scala.collection.mutable.HashSet.empty[K]
     it.filter { t =>
-      val k = (t.image_id, t.tx, t.ty)
-      if (k == last) false
+      val k = key(t)
+      if (last.contains(k)) false
       else {
         require(seen.add(k),
-          s"firstCellOnly saw non-adjacent duplicate tile $k — input " +
+          s"$what saw non-adjacent duplicate tile $k — input " +
             "must come straight off the tiler (no repartition/sort in between)")
-        last = k; true
+        last = Some(k); true
       }
     }
   }
@@ -57,9 +70,20 @@ object Tiler {
     * consumer (ConvNet.segPredictTiles, Edge.cannyTiles, the PhaseCong
     * tile paths, Mesh.imAngle) so the cropping arithmetic cannot
     * drift between them. */
-  @inline private[operators] def coreWindow(tx: Int, ty: Int, tw: Int,
+  @inline private[graft] def coreWindow(tx: Int, ty: Int, tw: Int,
                                             th: Int, tileSize: Int,
                                             halo: Int): (Int, Int, Int, Int) = {
+    // tripwire: a truthful (tileSize, halo) bounds every window at
+    // tileSize + 2*halo per side. A caller claiming a SMALLER halo than
+    // the tiler used (the silent-coordinate-shift direction) trips this
+    // on its first interior tile. The opposite direction (claiming a
+    // larger halo) yields cores narrower than tileSize on interior
+    // tiles — indistinguishable per-row from a genuine image edge, so
+    // it stays a documented caller contract.
+    require(tw <= tileSize + 2 * halo && th <= tileSize + 2 * halo,
+      s"coreWindow: window ${tw}x$th exceeds tileSize=$tileSize + " +
+        s"2*halo=$halo per side — the tiler was run with a larger halo " +
+        "than this consumer was told")
     val offX = math.min(halo, tx * tileSize)
     val offY = math.min(halo, ty * tileSize)
     (offX, offY, math.min(tw - offX, tileSize), math.min(th - offY, tileSize))

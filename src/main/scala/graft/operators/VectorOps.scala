@@ -15,12 +15,21 @@ object VectorOps {
     * DataFrame (OGR layers are attribute tables; geometry is just a
     * column here), so the op works over polygon relations and plain
     * tables alike. Catalyst plans the user SQL like any other query —
-    * predicates push to the scan, unused columns prune. */
+    * predicates push to the scan, unused columns prune.
+    *
+    * The OGR contract fixes the view name (`layer`), so concurrent
+    * calls on one session would race on the catalog entry. The
+    * register -> analyze -> drop window is serialized per session;
+    * `spark.sql` analyzes eagerly and analysis INLINES the view into
+    * the returned plan, so dropping the view immediately after is safe
+    * and nothing leaks into the caller's catalog. */
   def sqlFilter(layer: DataFrame, sql: String)
-               (implicit spark: SparkSession): DataFrame = {
-    layer.createOrReplaceTempView("layer")
-    spark.sql(sql)
-  }
+               (implicit spark: SparkSession): DataFrame =
+    spark.synchronized {
+      layer.createOrReplaceTempView("layer")
+      try spark.sql(sql)
+      finally spark.catalog.dropTempView("layer")
+    }
 
   /** filter_shp (shape.py:657-699): attribute predicate writes a label
     * onto matching rows (schema mutation -> withColumn); non-matching

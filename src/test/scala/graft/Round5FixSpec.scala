@@ -87,4 +87,55 @@ class Round5FixSpec extends AnyFunSuite {
     assert(rgb(4) == ((240f, 48f, 0f)))      // last stop
     assert(rgb(5) == ((240f, 48f, 0f)))      // above ramp clamps
   }
+
+  test("cv2normTiles: NaN nodata survives the rng==0 branch and the stats") {
+    import graft.operators.{Augment, Tiler}
+    // constant valid value + NaN fill: stats must ignore the NaNs and
+    // the rescale must NOT rewrite them to 0f (NaN == NaN is false, so
+    // a plain equality nodata guard is dead for the tiler's default
+    // sentinel)
+    val px = Array.tabulate(16)(i => if (i % 3 == 0) Float.NaN else 7f)
+    val img = img1("n", px, 4, 4)
+    val tiles = Tiler.tiles(Seq(img).toDS, tileSize = 2, cellRes = 4)
+    val out = Augment.cv2normTiles(tiles).collect()
+    assert(out.nonEmpty)
+    for (t <- out; i <- t.pixels.indices) {
+      val v = t.pixels(i)
+      assert(v.isNaN || v == 0f, s"got $v") // valid 7f -> 0f (rng==0)
+    }
+    assert(out.exists(_.pixels.exists(_.isNaN)), "NaN nodata was rewritten")
+    // finite-sentinel behavior unchanged: sentinel preserved, ramp to [0,1]
+    val img2 = img1("m", Array(-9999f, 0f, 5f, 10f), 2, 2)
+    val t2 = Tiler.tiles(Seq(img2).toDS, tileSize = 2, cellRes = 4,
+      nodata = -9999f)
+    val o2 = Augment.cv2normTiles(t2).collect().head
+    assert(o2.pixels.sorted.sameElements(Array(-9999f, 0f, 0.5f, 1f)))
+  }
+
+  test("coreWindow tripwire: under-claimed halo fails fast") {
+    import graft.operators.Tiler
+    // tiler ran with halo 8 (interior window 32+16=48 wide); a consumer
+    // claiming halo 4 must trip, not silently shift every coordinate
+    val e = intercept[IllegalArgumentException] {
+      Tiler.coreWindow(1, 1, 48, 48, 32, 4)
+    }
+    assert(e.getMessage.contains("larger halo"))
+    // truthful halo passes, including image-edge-clipped windows
+    assert(Tiler.coreWindow(1, 1, 48, 48, 32, 8) == ((8, 8, 32, 32)))
+    assert(Tiler.coreWindow(0, 0, 40, 40, 32, 8) == ((0, 0, 32, 32)))
+  }
+
+  test("sqlFilter: view dropped after the call; returned plan stays live") {
+    import graft.operators.VectorOps
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq((9, "z")).toDF("id", "v")
+    val fa = VectorOps.sqlFilter(a, "SELECT id FROM layer WHERE id > 1")
+    // the view must not leak into the session catalog...
+    assert(!spark.catalog.tableExists("layer"))
+    // ...and a second call over a DIFFERENT layer must not disturb the
+    // first call's already-analyzed (view-inlined) plan
+    val fb = VectorOps.sqlFilter(b, "SELECT id FROM layer")
+    assert(fa.collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(fb.collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
 }
