@@ -4346,6 +4346,39 @@ object Queries {
        |       AS DOUBLE) AS v
        |FROM px p JOIN mm m ON m.i = p.i""".stripMargin
 
+  /** q_gif — multiband2gif (raster.py:2665-2726): one animated-GIF frame
+    * per band, each band rescaled to uint8 with skimage
+    * rescale_intensity semantics. The query runs the REAL operator —
+    * encode through the JDK GIF plugin — then DECODES the binary back
+    * and emits every frame pixel, so a row only matches if the GIF is a
+    * genuinely decodable, lossless container; the oracle replays the
+    * rescale arithmetic on the regenerated pixel relation
+    * (floor(((v - mn) / (mx - mn)) * 255), frame b = band b). */
+  def qGif(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    Gif.multibandGif(gridImages(spark, 3, 2)).as[(String, Array[Byte], Int, Int, Int)]
+      .flatMap { case (id, gif, _, _, _) =>
+        val (frames, w, _) = Gif.decodeFrames(gif)
+        frames.iterator.zipWithIndex.flatMap { case (f, b) =>
+          f.iterator.zipWithIndex.map { case (v, p) =>
+            (id, b, p % w, p / w, v.toDouble)
+          }
+        }
+      }.toDF("image_id", "b", "x", "y", "v")
+  }
+
+  val qGifSql: String =
+    s"""WITH ${GridImages.pxSql(3, 2)},
+       |mm AS (SELECT i, b, min(v) AS mn, max(v) AS mx FROM px GROUP BY i, b)
+       |SELECT p.image_id, CAST(p.b AS INT) AS b,
+       |  CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+       |  CAST(CASE WHEN m.mx = m.mn
+       |            THEN floor(least(greatest(p.v, 0), 255))
+       |            ELSE floor(((p.v - m.mn) / (m.mx - m.mn)) * 255) END
+       |       AS DOUBLE) AS v
+       |FROM px p JOIN mm m ON m.i = p.i AND m.b = p.b""".stripMargin
+
   /** q_iou_seg — the validation iou_score (convnet.py:365-374 via
     * smp.utils.metrics.IoU): per-(image, class) intersection, predicted
     * and mask counts, union and IoU of the fixture net's whole-image
