@@ -207,8 +207,15 @@ object Augment {
   def iouSeg(pred: Dataset[ImageRow], masks: Dataset[ImageRow],
              classes: Array[Int])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val pairs = pred.joinWith(masks, pred("image_id") === masks("image_id"))
+    // full outer: an image_id present on only one side is a broken
+    // pairing (the reference's paired-batch iou_score cannot skip an
+    // item) — fail loudly executor-side instead of silently scoring
+    // the matched subset
+    val pairs = pred.joinWith(masks,
+      pred("image_id") === masks("image_id"), "full_outer")
     pairs.flatMap { case (p, m) =>
+      require(p != null, s"iouSeg: mask ${m.image_id} has no prediction")
+      require(m != null, s"iouSeg: prediction ${p.image_id} has no mask")
       require(p.w == m.w && p.h == m.h,
         s"pred/mask size mismatch for ${p.image_id}")
       val pv = PixelCodec.decode(p.bytes, p.fmt, p.w, p.h).bands(0)

@@ -136,7 +136,8 @@ object Ransac {
     * round index); inlier — for BOTH the consensus count and the
     * removal (reference: `inData = inData[outliers]`) — is the
     * integer-exact cross^2 <= residual^2 * len^2; burn rounds half-up
-    * via exact floorDiv, as in `lines`. A round with < 2 points or no
+    * via exact floorDiv, as in `lines`, and keeps in-raster pixels
+    * only (see the burn-site note). A round with < 2 points or no
     * valid pair ends the loop (skimage would raise there; stopping is
     * the bounded-kernel behavior). */
   def iterFit(edgePx: DataFrame, noIter: Int, orient: String = "col",
@@ -148,12 +149,14 @@ object Ransac {
     require(orient == "col" || orient == "row", s"orient: $orient")
     val colMode = orient == "col"
     val r2 = residual * residual
-    edgePx.select("image_id", "x", "y").as[(String, Int, Int)]
+    edgePx.select("image_id", "w", "h", "x", "y")
+      .as[(String, Int, Int, Int, Int)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: String, it: Iterator[(String, Int, Int)]) =>
+      .flatMapGroups { (id: String, it: Iterator[(String, Int, Int, Int, Int)]) =>
         val buf = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
+        var imW = 0; var imH = 0
         while (it.hasNext) {
-          val t = it.next(); buf += ((t._2, t._3))
+          val t = it.next(); imW = t._2; imH = t._3; buf += ((t._4, t._5))
           require(buf.length <= maxPointsPerImage,
             s"iter_ransac mask for image $id exceeds $maxPointsPerImage points")
         }
@@ -187,7 +190,16 @@ object Ransac {
                   2L * den)).toInt
               val bx = if (colMode) pred else xs(i)
               val by = if (colMode) ys(i) else pred
-              if (seen.add((bx, by))) out += ((id, iter, bx, by))
+              // burn only in-raster pixels. A steep (col mode) /
+              // shallow (row mode) dominant line legally predicts
+              // coordinates outside [0,w)x[0,h) for far drive rows;
+              // the reference's `outData[line_x, ...] = 1`
+              // (utilities.py:1017-1037) would wrap negative indices
+              // to the opposite edge and IndexError on pred >= width —
+              // neither is raster semantics, so those burns are
+              // dropped (deliberate deviation, spec-pinned).
+              if (bx >= 0 && bx < imW && by >= 0 && by < imH &&
+                  seen.add((bx, by))) out += ((id, iter, bx, by))
               i += 1
             }
             // outliers only survive to the next round
@@ -244,7 +256,12 @@ object Ransac {
       floor((num * 2 + den).cast("double") / (den * 2)).cast("int"))
     val burnX = if (colMode) pred else col("x")
     val burnY = if (colMode) col("y") else pred
-    joined.select(col("image_id"), col("strip"),
+    // in-raster burns only — same deliberate deviation from the numpy
+    // wrap/IndexError burn as iterFit (see there); px carries w/h from
+    // edgePixels so the bound is per image, zero extra shuffle
+    joined.where(burnX >= 0 && burnX < col("w") &&
+        burnY >= 0 && burnY < col("h"))
+      .select(col("image_id"), col("strip"),
         burnX.as("x"), burnY.as("y"))
       .distinct()
   }

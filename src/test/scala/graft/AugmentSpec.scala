@@ -207,6 +207,24 @@ class AugmentSpec extends AnyFunSuite {
       ConvNet.fixtureNet) == got)
   }
 
+  test("iouSeg fails loudly on an unpaired image_id") {
+    val masks = spark.createDataset(GridImages.maskImages(2).toSeq)(
+      Encoders.product[ImageRow])
+    val one = masks.filter(_.image_id == "g000")
+    def msg(x: Throwable): String =
+      Option(x).map(t => t.getMessage + msg(t.getCause)).getOrElse("")
+    // a prediction with no mask
+    val e1 = intercept[Exception] {
+      Augment.iouSeg(masks, one, Array(1)).collect()
+    }
+    assert(msg(e1).contains("has no mask"))
+    // a mask with no prediction
+    val e2 = intercept[Exception] {
+      Augment.iouSeg(one, masks, Array(1)).collect()
+    }
+    assert(msg(e2).contains("has no prediction"))
+  }
+
   test("iouChips single-logit: binary foreground IoU on a 0/255 mask") {
     // training's target() treats any mv > 0 as foreground for a
     // single-logit net — scoring must use the SAME convention, or a

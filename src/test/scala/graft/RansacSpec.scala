@@ -71,7 +71,8 @@ class RansacSpec extends AnyFunSuite {
   /** Independent naive replay of the whole iter_ransac loop — fresh
     * loops, no shared code with Ransac.iterFit. */
   private def naiveIter(pts0: Seq[(Int, Int)], noIter: Int,
-                        r2: Double = 1.0): Seq[(Int, Int, Int)] = {
+                        r2: Double = 1.0, w: Int = Int.MaxValue,
+                        h: Int = Int.MaxValue): Seq[(Int, Int, Int)] = {
     var pts = pts0.sortBy(p => (p._2, p._1))
     val out = collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     var it = 0
@@ -97,7 +98,9 @@ class RansacSpec extends AnyFunSuite {
             // col mode: predict x from y, round half-up (ya < yb by ord)
             val pred = xa + Math.floorDiv(
               2L * (xb - xa) * (y - ya) + (yb - ya), 2L * (yb - ya)).toInt
-            if (seen.add((pred, y))) out += ((it, pred, y))
+            // same in-raster clamp as the engine (naive re-derivation)
+            if (pred >= 0 && pred < w && y >= 0 && y < h &&
+                seen.add((pred, y))) out += ((it, pred, y))
           }
           val dx = (xb - xa).toDouble; val dy = (yb - ya).toDouble
           val l2 = dx * dx + dy * dy
@@ -146,7 +149,8 @@ class RansacSpec extends AnyFunSuite {
       val pts = for {
         y <- 0 until im.h; x <- 0 until im.w if v(y * im.w + x) > 95.0
       } yield (x, y)
-      assert(got(im.image_id) == naiveIter(pts, noIter = 3).toSet, im.image_id)
+      assert(got(im.image_id) ==
+        naiveIter(pts, noIter = 3, w = im.w, h = im.h).toSet, im.image_id)
     }
   }
 
@@ -171,6 +175,33 @@ class RansacSpec extends AnyFunSuite {
     def msg(x: Throwable): String =
       Option(x).map(t => t.getMessage + msg(t.getCause)).getOrElse("")
     assert(msg(e).contains("exceeds"))
+  }
+
+  test("out-of-raster burns are dropped (steep dominant line)") {
+    // 3 points on a 20x20 raster; the row-major-first winning pair
+    // (0,0)-(19,1) is steep in col mode: drive y=0 -> x=0, y=1 -> x=19
+    // are in-raster, y=5 predicts x=95 — the reference's numpy burn
+    // would IndexError there; the engine drops the pixel (spec-pinned
+    // deliberate deviation)
+    val px = Seq(("steep", 20, 20, 0, 0), ("steep", 20, 20, 19, 1),
+        ("steep", 20, 20, 5, 5))
+      .toDF("image_id", "w", "h", "x", "y")
+    val got = Ransac.iterFit(px, noIter = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == Set((0, 0, 0), (0, 19, 1)))
+
+    // the strip-fit burn (`lines`) rides the same clamp, via a real image
+    val bright = Set((0, 0), (19, 1), (5, 5))
+    val band = Array.tabulate(20 * 20)(p =>
+      if (bright((p % 20, p / 20))) 100f else 0f)
+    val enc = graft.core.PixelCodec.encode(
+      graft.core.PixelCodec.FmtRawLe, 20, 20, Array(band))
+    val im = graft.ImageRow("steep", enc, 20, 20,
+      graft.core.PixelCodec.FmtRawLe, "steep fixture", 0L, 0.0, 0.0, 1.0)
+    val rows = Ransac.lines(spark.createDataset(Seq(im)), binwidth = 20,
+        orient = "col", thresh = 50.0)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSet
+    assert(rows == Set((0, 0), (19, 1)))
   }
 
   test("sampled path (n > exhaustiveMax) is deterministic in the seed") {
