@@ -305,28 +305,37 @@ object PxRuntime {
 
   /** Mosaic fold: first non-`nodata` value in series order (layers are
     * pre-sorted by image_id); null layers/elements poison like zip_with. */
-  def mosaicComposite(arrays: ArrayData, nodata: Float): ArrayData = {
+  /** First non-nodata per pixel across layers, each layer tested against
+    * ITS OWN nodata (`nds(k)`) — layers from different sources may carry
+    * different sentinels, and a single global value would both misread
+    * the other layers and (fed from a `first()` aggregate) flip
+    * nondeterministically. Unfilled pixels emit `nds(0)` (the sorted
+    * first layer's sentinel — deterministic). A null pixel in ANY layer
+    * poisons the output pixel to null, as before. */
+  def mosaicComposite(arrays: ArrayData, nds: ArrayData): ArrayData = {
     val t = arrays.numElements()
     if (t == 0) return null
+    require(nds.numElements() == t,
+      s"px_mosaic: ${nds.numElements()} nodata values for $t layers")
     var k = 0
     while (k < t) { if (arrays.getArray(k) == null) return null; k += 1 }
-    val first = arrays.getArray(0)
-    val n = first.numElements()
+    val n = arrays.getArray(0).numElements()
     val out = new Array[Float](n)
+    java.util.Arrays.fill(out, nds.getFloat(0))
+    val filled = new java.util.BitSet(n)
     var nulls: java.util.BitSet = null
-    var i = 0
-    while (i < n) {
-      if (first.isNullAt(i)) nulls = mark(nulls, i) else out(i) = first.getFloat(i)
-      i += 1
-    }
-    k = 1
+    k = 0
     while (k < t) {
       val cur = arrays.getArray(k)
-      i = 0
+      val nd = nds.getFloat(k)
+      var i = 0
       while (i < n) {
         if (nulls == null || !nulls.get(i)) {
           if (i >= cur.numElements() || cur.isNullAt(i)) nulls = mark(nulls, i)
-          else if (cmp(out(i), nodata) == 0) out(i) = cur.getFloat(i)
+          else if (!filled.get(i)) {
+            val v = cur.getFloat(i)
+            if (cmp(v, nd) != 0) { out(i) = v; filled.set(i) }
+          }
         }
         i += 1
       }
@@ -497,13 +506,13 @@ case class MosaicCompositeExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def dataType: DataType = PixelExprs.PxTypeNullable
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(ArrayType(FloatType, _), _), FloatType) =>
+    case (ArrayType(ArrayType(FloatType, _), _), ArrayType(FloatType, _)) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"px_mosaic needs (ARRAY<ARRAY<FLOAT>>, FLOAT), got ($l, $r)")
+      s"px_mosaic needs (ARRAY<ARRAY<FLOAT>>, ARRAY<FLOAT> per-layer nodata), got ($l, $r)")
   }
   override def nullSafeEval(a: Any, nd: Any): Any =
-    PxRuntime.mosaicComposite(a.asInstanceOf[ArrayData], nd.asInstanceOf[Float])
+    PxRuntime.mosaicComposite(a.asInstanceOf[ArrayData], nd.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, nd) => s"""
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =

@@ -34,7 +34,7 @@ object Augment {
 
   /** NaN-aware nodata test: the tiler's default sentinel is NaN, for
     * which plain `==` is always false. */
-  @inline private def isNodata(v: Float, nd: Float): Boolean =
+  @inline private[operators] def isNodata(v: Float, nd: Float): Boolean =
     (v.isNaN && nd.isNaN) || v == nd
 
   /** `i` reflected into [0, n) with OpenCV BORDER_REFLECT_101

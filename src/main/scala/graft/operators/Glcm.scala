@@ -60,13 +60,13 @@ object Glcm {
         val cy = t.y_max - (row + 0.5) * t.px
         Geom.pointInPolygon(cx, cy, rings)
       }
-      // core region inside the (possibly halo-expanded) pixel array: the
-      // left/top pad is `halo` except on image-edge tiles where the
-      // tiler clipped it away; the core never exceeds tileSize
-      val cLeft = if (halo == 0 || t.tx == 0) 0 else halo
-      val rTop = if (halo == 0 || t.ty == 0) 0 else halo
-      val coreW = if (halo == 0) t.tw else math.min(tileSize, t.tw - cLeft)
-      val coreH = if (halo == 0) t.th else math.min(tileSize, t.th - rTop)
+      // core region inside the (possibly halo-expanded) pixel array —
+      // the ONE shared definition (Tiler.coreWindow), so the cropping
+      // arithmetic cannot drift from the tiler's halo clipping and the
+      // halo-mismatch tripwire guards this consumer too
+      val (cLeft, rTop, coreW, coreH) =
+        if (halo == 0) (0, 0, t.tw, t.th)
+        else Tiler.coreWindow(t.tx, t.ty, t.tw, t.th, tileSize, halo)
       // origins scan the core; partner indices bounds-check against the
       // FULL array (halo included), handling negative offsets too
       var row = rTop

@@ -110,22 +110,41 @@ object Hough {
     }
   }
 
-  /** Burn one (theta, rho) line into the mask: intersect the infinite
-    * line with the image box, round endpoints, clamp, Bresenham — the
-    * reference's draw loop (utilities.py:76-108). Near-vertical lines
-    * (|sin| ~ 0) burn the column x = round(rho / cos). */
+  /** Burn one (theta, rho) line into the mask — the reference's draw
+    * loop (utilities.py:67-103): take the SEGMENT between x = 0 and
+    * x = W (origin = (0, width)), intersect it with the image box
+    * [0,W]x[0,H] (shapely `bbox.intersection(linestr)` — geometry
+    * preserved, the slope is NOT distorted), round half-even
+    * (np.around), nudge an exact ==W / ==H hit onto the last pixel,
+    * Bresenham. Liang-Barsky replays the box clip exactly; a segment
+    * that misses the box burns nothing (the reference would IndexError
+    * on the empty intersection — graceful skip, documented deviation).
+    * Near-vertical lines (|sin| ~ 0) burn the column
+    * x = round(rho / cos). */
   def burnLine(mask: Array[Boolean], w: Int, h: Int, theta: Double, rho: Double): Unit = {
     val s = math.sin(theta); val c = math.cos(theta)
     if (math.abs(s) < 1e-9) {
       val x = math.floor(rho / c + 0.5).toInt
       if (x >= 0 && x < w) drawLine(mask, w, h, x, 0, x, h - 1)
     } else {
-      // y at x = 0 and x = w-1 (the reference uses origins 0 and W)
-      val y0 = (rho - 0.0 * c) / s
-      val y1 = (rho - (w - 1).toDouble * c) / s
-      val cy0 = math.max(0, math.min(h - 1, math.floor(y0 + 0.5).toInt))
-      val cy1 = math.max(0, math.min(h - 1, math.floor(y1 + 0.5).toInt))
-      drawLine(mask, w, h, 0, cy0, w - 1, cy1)
+      val y0 = rho / s
+      val y1 = (rho - w.toDouble * c) / s
+      val dy = y1 - y0
+      var t0 = 0.0; var t1 = 1.0
+      if (math.abs(dy) < 1e-12) {
+        if (y0 < 0 || y0 > h) return
+      } else {
+        val ta = (0.0 - y0) / dy; val tb = (h.toDouble - y0) / dy
+        t0 = math.max(0.0, math.min(ta, tb))
+        t1 = math.min(1.0, math.max(ta, tb))
+        if (t0 > t1) return // segment misses the box entirely
+      }
+      def cl(v: Int, hi: Int) = if (v == hi) hi - 1 else v
+      val ax = cl(math.rint(w.toDouble * t0).toInt, w)
+      val ay = cl(math.rint(y0 + t0 * dy).toInt, h)
+      val bx = cl(math.rint(w.toDouble * t1).toInt, w)
+      val by = cl(math.rint(y0 + t1 * dy).toInt, h)
+      drawLine(mask, w, h, ax, ay, bx, by)
     }
   }
 
@@ -184,8 +203,14 @@ object Hough {
       .groupBy("image_id")
       .agg(collect_list(struct(col("theta_idx"), col("rho_idx"))).as("pk"))
       .as[(String, Seq[(Int, Int)])]
-    images.joinWith(grouped, images("image_id") === grouped("image_id"), "inner")
-      .flatMap { case (im, (_, pk)) =>
+    // left outer: an image with NO detected peaks still segments — the
+    // reference chain (burn nothing -> invert -> all-ones mask -> label)
+    // yields ONE whole-image component of area w*h; an inner join would
+    // silently drop the image from the segment table
+    images.joinWith(grouped, images("image_id") === grouped("image_id"),
+        "left_outer")
+      .flatMap { case (im, g) =>
+        val pk = if (g == null) Seq.empty[(Int, Int)] else g._2
         val mask = new Array[Boolean](im.w * im.h)
         pk.foreach { case (ti, ri) =>
           burnLine(mask, im.w, im.h, thetaArr(ti), ri * rhoBin)

@@ -35,10 +35,13 @@ object ImageDedup {
         val group = it.toArray
         if (group.length == 1) Iterator((group(0).image_id, 1L))
         else {
-          // confirm with decoded band-0 equality (lossless fmts exact;
-          // lossy grouped only with themselves via phash+dims)
+          // confirm with decoded ALL-band equality (lossless fmts exact;
+          // lossy grouped only with themselves via phash+dims) — phash
+          // reads only band 0, so band 0 alone would falsely merge
+          // multi-band images that differ in a later band
           val decoded = group.map { g =>
-            (g, graft.core.PixelCodec.decode(g.bytes, g.fmt, g.w, g.h).bands(0).toSeq)
+            (g, graft.core.PixelCodec.decode(g.bytes, g.fmt, g.w, g.h)
+              .bands.map(_.toSeq).toSeq)
           }
           decoded.groupBy(_._2).valuesIterator.map { dup =>
             (dup.map(_._1.image_id).min, dup.length.toLong)

@@ -163,7 +163,9 @@ object ImageOps {
         val wasFilled = new Array[Boolean](b.length)
         var p = 0
         while (p < b.length) {
-          if (b(p) == nodata) {
+          // NaN-aware: `v == nodata` is dead when the sentinel is NaN —
+          // the tiler's own default — so holes would never be detected
+          if (Augment.isNodata(b(p), nodata)) {
             val x = p % img.w; val y = p / img.w
             var num = 0.0; var den = 0.0
             dirs.foreach { case (dx, dy) =>
@@ -173,7 +175,7 @@ object ImageOps {
                 val xx = x + dx * d; val yy = y + dy * d
                 if (xx >= 0 && yy >= 0 && xx < img.w && yy < img.h) {
                   val v = b(yy * img.w + xx)
-                  if (v != nodata) {
+                  if (!Augment.isNodata(v, nodata)) {
                     num += v / d; den += 1.0 / d
                     hit = true
                   }
@@ -199,7 +201,7 @@ object ImageOps {
                 while (dx <= 1) {
                   val xx = x + dx; val yy = y + dy
                   if (xx >= 0 && yy >= 0 && xx < img.w && yy < img.h &&
-                      src(yy * img.w + xx) != nodata) {
+                      !Augment.isNodata(src(yy * img.w + xx), nodata)) {
                     s += src(yy * img.w + xx); n += 1
                   }
                   dx += 1

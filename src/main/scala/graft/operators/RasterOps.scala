@@ -228,10 +228,15 @@ object RasterOps {
         col("x_min"), col("y_max"), col("tw"), col("th"))
       .agg(sort_array(collect_list(struct(col("image_id"), col("pixels"),
         col("nodata")))).as("layers"),
-        first("px").as("px"), first("nodata").as("nodata"))
+        first("px").as("px"))
+    // per-layer nodata rides the sorted struct: each layer is tested
+    // against ITS OWN sentinel (a single first("nodata") would both
+    // misread differing layers and flip nondeterministically); the
+    // output tile's sentinel is the sorted FIRST layer's — deterministic
     val composited = colOf(graft.functions.MosaicCompositeExpr(
-      exprOf(col("layers.pixels")), exprOf(col("nodata"))))
+      exprOf(col("layers.pixels")), exprOf(col("layers.nodata"))))
     gathered.withColumn("pixels", composited)
+      .withColumn("nodata", col("layers.nodata").getItem(0))
       .withColumn("image_id", lit("mosaic")).drop("layers")
   }
 

@@ -165,7 +165,10 @@ object ThreshSeg {
               }
               r += 1
             }
-            if (win.forall(_ == 0f)) Iterator.empty // reference skips max==0
+            // reference skips max==0; NaN-only windows (a polygon whose
+            // window is all nodata) must skip too — otsuLocal drops NaNs
+            // and would face an empty histogram
+            if (win.forall(v => v == 0f || v.isNaN)) Iterator.empty
             else {
               val thr = otsuLocal(win)
               val bw = win.map(_ > thr)

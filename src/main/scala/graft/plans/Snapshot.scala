@@ -293,6 +293,25 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     }.toMap
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Exact inverse of `q`'s escaping in one left-to-right pass: \" and
+    * \\ unwrap, \uXXXX (the control-char form q emits) decodes — the
+    * old pairwise replace left \uXXXX literal, so a partition key with
+    * a control character never matched committed() and its shard was
+    * re-done on every resume. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -68,16 +68,37 @@ class HoughSpec extends AnyFunSuite {
     assert((0 until 8).forall(y => m2(y * w + 3)))
   }
 
-  test("burnLine at 45 degrees matches the analytic rounded-y rasterization endpoints") {
+  test("burnLine clips geometrically: a 45-degree line keeps its slope") {
     val w = 20; val h = 20
     val m = new Array[Boolean](w * h)
-    val theta = math.Pi / 4
-    val rho = 10.0 // line x cos + y sin = 10 -> y = (10 - x c)/s
-    Hough.burnLine(m, w, h, theta, rho)
-    val s = math.sin(theta); val c = math.cos(theta)
-    val y0 = math.max(0, math.min(h - 1, math.floor((rho - 0 * c) / s + 0.5).toInt))
-    val y1 = math.max(0, math.min(h - 1, math.floor((rho - (w - 1) * c) / s + 0.5).toInt))
-    assert(m(y0 * w + 0) && m(y1 * w + (w - 1)))
+    // x cos(pi/4) + y sin(pi/4) = 10 is the anti-diagonal x + y = 14.14;
+    // the box-clipped segment runs (0,14) -> (14,0). The old endpoint
+    // clamp distorted the slope and burned toward (19,0).
+    Hough.burnLine(m, w, h, math.Pi / 4, 10.0)
+    val pts = m.zipWithIndex.collect { case (true, p) => (p % w, p / w) }.toSet
+    assert(pts.contains((0, 14)) && pts.contains((14, 0)))
+    assert(pts.forall { case (x, y) => math.abs(x + y - 14) <= 1 }, pts)
+    assert(!pts.contains((19, 0)))
+    // a line that misses the box entirely burns nothing
+    val m2 = new Array[Boolean](w * h)
+    Hough.burnLine(m2, w, h, math.Pi / 4, 40.0) // x + y = 56.6 > 2*19
+    assert(!m2.exists(identity))
+  }
+
+  test("segments: an image with zero peaks is one whole-image segment") {
+    // reference chain: no lines burned -> invert -> all-ones -> label
+    // yields one full-extent component; an inner join would drop it
+    val ds = spark.createDataset(GridImages.lineImages(2).toSeq)
+    val thetas = Seq(0.0, math.Pi / 2)
+    val acc = Hough.accumulate(Hough.edgePixels(ds, thresh = 50.0), thetas, 1.0)
+    val pk = Hough.peaks(acc, minVotes = 1000000, nTheta = 0, nRho = 1)
+    assert(pk.isEmpty)
+    val got = Hough.segments(ds, pk, thetas, rhoBin = 1.0, minArea = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    val (w, h) = (GridImages.W, GridImages.H)
+    assert(got == (0 until 2).map(i =>
+      (f"g$i%03d", w.toLong * h, 0, 0, w - 1, h - 1)).toSet)
   }
 
   test("segments on the line fixture equal the closed-form grid cells") {

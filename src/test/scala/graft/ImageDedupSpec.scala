@@ -42,6 +42,24 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(groups.count(_._2 == 2L) == 8)  // the 8 planted duplicates
     assert(groups.count(_._2 == 1L) == 12) // the untouched originals
   }
+
+  test("dedupExact compares every band, not just band 0") {
+    // two 2-band images identical in band 0 (same phash, dims) but
+    // different in band 1 must NOT merge
+    val b0 = Array.tabulate(16)(_.toFloat)
+    val b1a = Array.fill(16)(1f); val b1b = Array.fill(16)(2f)
+    def mk(id: String, b1: Array[Float]) = graft.ImageRow(id,
+      graft.core.PixelCodec.encode("raw-le", 4, 4, Array(b0, b1)),
+      4, 4, "raw-le", "band-1 differs", graft.core.PixelCodec.phash64(4, 4, b0),
+      0.0, 0.0, 1.0)
+    val all = spark.createDataset(Seq(mk("a", b1a), mk("b", b1b)))
+    val groups = ImageDedup.dedupExact(all).as[(String, Long)].collect().toSet
+    assert(groups == Set(("a", 1L), ("b", 1L)))
+    // and a true 2-band duplicate still merges
+    val all2 = spark.createDataset(Seq(mk("a", b1a), mk("b", b1a)))
+    val g2 = ImageDedup.dedupExact(all2).as[(String, Long)].collect().toSet
+    assert(g2 == Set(("a", 2L)))
+  }
 }
 
 class SkewSpec extends AnyFunSuite {

@@ -57,6 +57,24 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(gsm(1) == got(1), "unfilled pixels not smoothed")
   }
 
+  test("fillNodata detects NaN holes (the engine's default sentinel)") {
+    import graft.operators.ImageOps
+    val w = 6; val h = 4
+    val base = Array.tabulate(w * h)(p => (p % 11 + 1).toFloat)
+    base(2 + 1 * w) = Float.NaN // isolated interior hole
+    val img = ImageOps.fromArray("n0", Array(base), w, h, 0, 0, 1.0,
+      graft.core.PixelCodec.FmtRawLe)
+    val out = ImageOps.fillNodata(spark.createDataset(Seq(img)), Float.NaN,
+      maxSearchDist = 3).collect().head
+    val got = graft.core.PixelCodec.decode(out.bytes, out.fmt, out.w, out.h).bands(0)
+    // every 8-direction first-valid is the distance-1 neighbor ->
+    // plain IDW mean of the 8 neighbors at weight 1
+    val nbrs = for (dy <- -1 to 1; dx <- -1 to 1 if (dx, dy) != ((0, 0)))
+      yield base((1 + dy) * w + 2 + dx).toDouble
+    assert(got(2 + 1 * w) == (nbrs.sum / 8).toFloat)
+    assert(!got.exists(_.isNaN))
+  }
+
   test("warpResample: identity at ratio 1; near/bilinear sample correctly") {
     import graft.operators.ImageOps
     val src = Synth.images(2, seed = 9L, bands = 2)

@@ -115,15 +115,36 @@ class PixelExprsSpec extends AnyFunSuite {
         sdf.select(colOf(SeriesCompositeExpr(exprOf(arrays), op, qq))),
         sdf.select(hof))
     }
-    // mosaic fold vs its HOF (nodata = 0)
+    // mosaic fold vs its HOF (uniform nodata = 0 across layers)
     val nod = lit(0f)
     val mosaicHof = aggregate(
       slice(arrays, lit(2), greatest(size(arrays) - 1, lit(0))),
       element_at(arrays, 1),
       (acc, cur) => zip_with(acc, cur, (a, x) => when(a === nod, x).otherwise(a)))
     check(
-      sdf.select(colOf(MosaicCompositeExpr(exprOf(arrays), exprOf(nod.cast("float"))))),
+      sdf.select(colOf(MosaicCompositeExpr(exprOf(arrays),
+        exprOf(array_repeat(nod.cast("float"), size(arrays)))))),
       sdf.select(mosaicHof))
+  }
+
+  test("MosaicCompositeExpr honors per-layer nodata") {
+    // layer 0 sentinel -1: pixel0 is a hole, pixel1 = 5 is real
+    // layer 1 sentinel  5: pixel0 = 7 is real, pixel1 = 5 is a hole
+    val df = Seq(1).toDF("i").select(
+      array(array(lit(-1f), lit(5f)), array(lit(7f), lit(5f))).as("arrays"),
+      array(lit(-1f), lit(5f)).as("nds"))
+    val got = df.select(colOf(MosaicCompositeExpr(exprOf(col("arrays")),
+      exprOf(col("nds")))).as("px")).as[Seq[Float]].head()
+    // pixel0: layer0 hole -> layer1's 7; pixel1: layer0's 5 wins (5 is
+    // only a sentinel for layer 1, NOT layer 0)
+    assert(got == Seq(7f, 5f))
+    // all-holes pixel emits the FIRST layer's sentinel
+    val df2 = Seq(1).toDF("i").select(
+      array(array(lit(-1f)), array(lit(9f))).as("arrays"),
+      array(lit(-1f), lit(9f)).as("nds"))
+    val got2 = df2.select(colOf(MosaicCompositeExpr(exprOf(col("arrays")),
+      exprOf(col("nds")))).as("px")).as[Seq[Float]].head()
+    assert(got2 == Seq(-1f))
   }
 
   test("ZipMulExpr / CombineSceneExpr / NdviExpr == zip_with HOFs") {

@@ -165,6 +165,18 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.committed().values.forall(_.bytes > 0))
   }
 
+  test("control characters in a partition key round-trip the manifest") {
+    // the manifest writes control chars as \uXXXX; committed() must
+    // decode them back or the shard re-runs on every resume
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    val keys = Seq("tab\there", "nl\nthere", "quote\"back\\slash")
+    t.commit(workload(keys), writer = "w1")
+    assert(t.committed().keySet == keys.toSet)
+    // idempotence: a re-commit of the same keys writes nothing
+    assert(t.commit(workload(keys), writer = "w2").isEmpty)
+  }
+
   test("expireSnapshots reclaims unreferenced data dirs, keeps the live read") {
     val root = freshRoot()
     val t = new SnapshotTable(spark, root, "shard")

@@ -33,6 +33,23 @@ class ThreshSegSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-NaN window skips instead of crashing otsu") {
+    // polygon window entirely over NaN pixels: every in-polygon value is
+    // NaN (not 0f), so the old max==0 guard missed it and otsuLocal
+    // faced an empty histogram
+    val w = 16; val h = 12
+    val band = Array.fill(w * h)(Float.NaN)
+    val img = graft.operators.ImageOps.fromArray("n0", Array(band), w, h,
+      0.0, h.toDouble, 1.0, graft.core.PixelCodec.FmtRawLe)
+    val poly = spark.createDataset(Seq(graft.PolyRow(0L, 0,
+      Array(Array(graft.Pt(2.25, 2.25), graft.Pt(9.75, 2.25),
+        graft.Pt(9.75, 9.75), graft.Pt(2.25, 9.75))), 1, "nan window", 0.0)))(
+      org.apache.spark.sql.Encoders.product[PolyRow])
+    val rows = ThreshSeg.threshSeg(spark.createDataset(Seq(img))(
+      org.apache.spark.sql.Encoders.product[ImageRow]), poly)
+    assert(rows.count() == 0L)
+  }
+
   test("minArea=1 keeps specks; holeArea=1 leaves the hole open") {
     val rows = ThreshSeg.threshSeg(imgs, polys(2), minArea = 1.0, holeArea = 1)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3), r.getInt(4)))
