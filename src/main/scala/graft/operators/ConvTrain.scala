@@ -160,11 +160,17 @@ object ConvTrain {
   final case class LossBinary(jaccardWeight: Double) extends Loss
   /** loss.py:32-55 LossMulti: (1-w)*NLL(log_softmax, mean over the
     * target-weight mass) - w*sum_c ln((I_c+1e-15)/(U_c-I_c+1e-15)).
-    * Mask values outside `classes` are the NLL ignore analog (zero
-    * loss term, excluded from the weight mass) but their softmax
-    * probs still count toward the per-class jaccard sums, exactly as
-    * the reference's formula sums jaccard_output over every pixel.
-    * Spec-gated (finite differences), like CrossEntropy. */
+    * The weight-mass divisor IS torch's: NLLLoss 'mean' divides by the
+    * sum of the target pixels' class weights, which with
+    * classWeights=null (weight 1 per pixel) is the in-class pixel
+    * count — identical to dividing by all pixels on any input torch
+    * accepts (an out-of-class target index CRASHES torch's NLLLoss).
+    * Mask values outside `classes` are this engine's graceful ignore
+    * analog for that crash (zero loss term, excluded from the weight
+    * mass) but their softmax probs still count toward the per-class
+    * jaccard sums, exactly as the reference's formula sums
+    * jaccard_output over every pixel. Spec-gated (finite differences),
+    * like CrossEntropy. */
   final case class LossMulti(jaccardWeight: Double,
                              classWeights: Array[Double] = null) extends Loss
 
@@ -621,8 +627,19 @@ object ConvTrain {
                             lr: Double, checkpointed: Boolean)
 
   /** Macro-averaged per-class IoU of `net`'s chip predictions against
-    * the chip masks — the reference's validation `iou_score`
-    * (convnet.py:365-368). Distributed exactly like the gradient pass:
+    * the chip masks — the engine's checkpoint-selection metric for the
+    * reference's validation `iou_score` (convnet.py:365-368).
+    *
+    * DELIBERATE DEVIATION: the reference's metric is
+    * smp.utils.metrics.IoU(threshold=0.5) — ONE micro-averaged score
+    * over thresholded activation probabilities, running-mean'd over
+    * loader batches. This engine scores the per-class IoU of the ARGMAX
+    * labels (the prediction rule segPredict actually deploys) and
+    * macro-averages, which keeps per-class visibility and cannot be
+    * gamed by a dominant background class. The faithful smp definition
+    * is available as [[iouChipsSmp]]; on data where the two rank epochs
+    * differently, trainSegOpt's checkpoint choice follows THIS metric.
+    * Distributed exactly like the gradient pass:
     * weights broadcast, every partition folds its chips into ONE
     * per-class (inter, n_pred, n_mask) count triple, the exchange
     * carries 3 longs per (partition, class), the driver reduces
@@ -683,6 +700,79 @@ object ConvTrain {
       if (uni == 0L) 1.0 else inter.toDouble / uni
     }
     if (ious.isEmpty) 0.0 else ious.sum / ious.length
+    } finally bc.destroy()
+  }
+
+  /** The reference's metric VERBATIM: smp.utils.metrics.IoU(
+    * threshold=0.5) (convnet.py:322-324) — one micro-averaged IoU over
+    * thresholded activation probabilities, all channels and pixels
+    * jointly, eps = 1e-7 (smp default). Activations follow
+    * create_model's contract (convnet.py:52,95-96): softmax across
+    * channels for a multi-class net, sigmoid for a single-logit net —
+    * sigmoid(l) > 0.5 is exactly l > 0, and softmax_c > 0.5 is computed
+    * from the stable shifted exponentials. Thresholded probs and one-hot
+    * targets are 0/1, so the fold carries integer counts and the score
+    * is parallelism-invariant to the bit. One global batch: the
+    * distributed fold scores the WHOLE chip set at once (the reference's
+    * running mean over loader batches depends on batch_size; this is
+    * its single-batch limit — documented boundary). */
+  def iouChipsSmp(chips: Dataset[ChipRow], net: SegNet)
+                 (implicit spark: SparkSession): Double = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(net)
+    try {
+      val rows = chips.mapPartitions { it =>
+        val nt = bc.value
+        val classes = nt.classes
+        val binary = nt.layers.last.outC == 1
+        val nCls = if (binary) 1 else classes.length
+        var inter = 0L; var nPred = 0L; var nMask = 0L
+        var any = false
+        it.foreach { ch =>
+          any = true
+          val planes = forwardAll(ch.bands, ch.w, ch.h, nt).last
+          var p = 0
+          while (p < ch.w * ch.h) {
+            val mv = ch.mask(p)
+            if (binary) {
+              val pr = planes(0)(p) > 0f // sigmoid(l) > 0.5 <=> l > 0
+              val gt = mv > 0
+              if (pr && gt) inter += 1
+              if (pr) nPred += 1
+              if (gt) nMask += 1
+            } else {
+              var m = planes(0)(p).toDouble
+              var c = 1
+              while (c < nCls) {
+                if (planes(c)(p) > m) m = planes(c)(p); c += 1
+              }
+              var z = 0.0
+              c = 0
+              while (c < nCls) { z += math.exp(planes(c)(p) - m); c += 1 }
+              c = 0
+              while (c < nCls) {
+                val pr = math.exp(planes(c)(p) - m) / z > 0.5
+                val gt = mv == classes(c)
+                if (pr && gt) inter += 1
+                if (pr) nPred += 1
+                if (gt) nMask += 1
+                c += 1
+              }
+            }
+            p += 1
+          }
+        }
+        if (!any) Iterator.empty else Iterator((inter, nPred, nMask))
+      }.toDF("inter", "np", "nm")
+        .agg(sum("inter"), sum("np"), sum("nm"))
+        .collect() // one row by construction
+      val r = rows.head
+      if (r.isNullAt(0)) 0.0 // empty chip set
+      else {
+        val inter = r.getLong(0)
+        val uni = r.getLong(1) + r.getLong(2) - inter
+        (inter + 1e-7) / (uni + 1e-7)
+      }
     } finally bc.destroy()
   }
 

@@ -406,7 +406,14 @@ object Queries {
     * row. The template side is a value HISTOGRAM (bounded by the value
     * domain, like qHistEcdf's window input), so the unpartitioned lag
     * window and the broadcast interval join are size-bounded by
-    * construction regardless of raster row count. */
+    * construction regardless of raster row count.
+    *
+    * Independence note: engine and oracle deliberately share this
+    * interval+blend SHAPE (the np.interp contract), so this pair alone
+    * could not catch a shared misreading — the independent third
+    * implementation is Round5FixSpec's LITERAL np.interp replay
+    * (searchsorted + index arithmetic, no intervals), which pins the
+    * semantics outside the oracle contract. */
   def qHistMatch(spark: SparkSession, dir: String): DataFrame = {
     def cdf(df: DataFrame, vcol: String): DataFrame = {
       val cum = Window.orderBy(vcol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -850,6 +857,27 @@ object Queries {
   private def gridImages(spark: SparkSession, n: Int, bands: Int = 2) =
     spark.createDataset(GridImages.images(n, bands).toSeq)(
       Encoders.product[ImageRow])
+
+  /** gridImages with per-(image, band) value clipping. The raw grid
+    * formula attains (0, 96) for EVERY image and band (the x/y residue
+    * sets cover all of Z_97), so any min/max-scoped oracle (cv2norm's
+    * joint-over-bands extrema, gif's per-band rescale, color_raster's
+    * per-raster auto ramp) is vacuous on it — a wrong-scope or
+    * wrong-image stats join would still pass. Clipping to distinct
+    * per-(i, b) bounds makes the scoping falsifiable; the SQL side
+    * replays the same least/greatest on the regenerated pixels. */
+  private def clippedGridImages(spark: SparkSession, n: Int, bands: Int,
+      lo: (Int, Int) => Float, hi: (Int, Int) => Float) =
+    gridImages(spark, n, bands).map { im =>
+      val i = im.image_id.stripPrefix("g").toInt
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      val nb = dec.bands.zipWithIndex.map { case (bnd, b) =>
+        val l = lo(i, b); val h = hi(i, b)
+        bnd.map(v => math.min(h, math.max(l, v)))
+      }
+      im.copy(bytes = graft.core.PixelCodec.encode(im.fmt, im.w, im.h, nb),
+        phash = graft.core.PixelCodec.phash64(im.w, im.h, nb(0)))
+    }(Encoders.product[ImageRow])
 
   /** The flagship pipeline, oracle-checked end to end: encoded grid
     * images -> decode+tile -> broadcast cell-prefilter join -> PIP ->
@@ -1372,7 +1400,12 @@ object Queries {
   def qColorRaster(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    ImageOps.colorRaster(gridImages(spark, 8, 1)).map { im =>
+    // clipped fixture: per-image (2i, 93-3i) extrema make the per-raster
+    // AUTO ramp falsifiable (raw grid min/max are (0,96) for every
+    // image, so a global-stats or wrong-image bug would pass), and the
+    // non-divisible-by-6 ranges exercise trunc() on fractional stops
+    ImageOps.colorRaster(clippedGridImages(spark, 8, 1,
+      (i, _) => 2f * i, (i, _) => 93f - 3f * i)).map { im =>
       val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
       def tot(b: Int) = dec.bands(b).foldLeft(0L)((a, f) => a + f.toLong)
       (im.image_id, tot(0), tot(1), tot(2))
@@ -1381,7 +1414,8 @@ object Queries {
 
   val qColorRasterSql: String =
     """WITH d AS (
-      |  SELECT i, CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE) AS v
+      |  SELECT i, least(greatest(CAST((x*7 + y*13 + i*17) % 97 AS DOUBLE),
+      |                           2*i), 93 - 3*i) AS v
       |  FROM generate_series(0, 7) t(i), generate_series(0, 79) tx(x),
       |       generate_series(0, 47) ty(y)),
       |mm AS (
@@ -2412,13 +2446,34 @@ object Queries {
     * masked per-band masses. The oracle rebuilds the EXACT double
     * arithmetic per pixel — same branch order (V==R, V==G, V==B), same
     * +360 wrap-then-halve, same S = d*255/V scaling — from the
-    * regenerated pixel relation, so the mask matches bit-for-bit. */
+    * regenerated pixel relation, so the mask matches bit-for-bit.
+    * Planted grey/black/wrap/boundary pixels activate the otherwise-dead
+    * branches and the binding sMax/vMax exercise the upper bounds. */
   def qColourThresh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val cellRes = Tiler.resForCellSize(64.0)
-    val tiles = Tiler.multiTiles(gridImages(spark, 8, 3), 64, cellRes)
-    RasterOps.colourThresh(tiles, hMin = 20, hMax = 160, sMin = 60, sMax = 255,
-        vMin = 20, vMax = 255)
+    // the raw grid bands are pairwise distinct mod 97, so the d==0
+    // (grey), v==0 (black) and negative-hue-wrap branches are dead on
+    // the plain fixture — plant one pixel for each in row 0 of every
+    // image so the oracle pair exercises them; (2,0) sits exactly on
+    // the V==R/V==G sector boundary (h = 30 by continuity either way)
+    val special = Map((0, 0) -> Array(50f, 50f, 50f),
+      (1, 0) -> Array(0f, 0f, 0f), (2, 0) -> Array(80f, 80f, 10f),
+      (3, 0) -> Array(90f, 10f, 50f))
+    val imgs = gridImages(spark, 8, 3).map { im =>
+      val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
+      special.foreach { case ((x, y), rgb) =>
+        var b = 0
+        while (b < 3) { dec.bands(b)(y * im.w + x) = rgb(b); b += 1 }
+      }
+      im.copy(bytes = graft.core.PixelCodec.encode(im.fmt, im.w, im.h, dec.bands),
+        phash = graft.core.PixelCodec.phash64(im.w, im.h, dec.bands(0)))
+    }(Encoders.product[ImageRow])
+    val tiles = Tiler.multiTiles(imgs, 64, cellRes)
+    // sMax = 220 / vMax = 90 are BINDING on this fixture (raw s reaches
+    // 252, v reaches 96) so the upper-bound comparisons are exercised
+    RasterOps.colourThresh(tiles, hMin = 20, hMax = 160, sMin = 60, sMax = 220,
+        vMin = 20, vMax = 90)
       .select(col("image_id"),
         graft.functions.PxFunctions.pxSum(col("mask")).as("np"),
         graft.functions.PxFunctions.pxSum(col("r")).as("mr"),
@@ -2433,12 +2488,24 @@ object Queries {
 
   val qColourThreshSql: String =
     s"""WITH ${GridImages.pxSql(8, 3)},
-       |rgb AS (
+       |rgb0 AS (
        |  SELECT image_id, x, y,
        |    max(CASE WHEN b = 0 THEN v END) AS r,
        |    max(CASE WHEN b = 1 THEN v END) AS g,
        |    max(CASE WHEN b = 2 THEN v END) AS bl
        |  FROM px GROUP BY 1, 2, 3),
+       |rgb AS (
+       |  SELECT image_id, x, y,
+       |    CASE WHEN y = 0 AND x = 0 THEN 50.0 WHEN y = 0 AND x = 1 THEN 0.0
+       |         WHEN y = 0 AND x = 2 THEN 80.0 WHEN y = 0 AND x = 3 THEN 90.0
+       |         ELSE r END AS r,
+       |    CASE WHEN y = 0 AND x = 0 THEN 50.0 WHEN y = 0 AND x = 1 THEN 0.0
+       |         WHEN y = 0 AND x = 2 THEN 80.0 WHEN y = 0 AND x = 3 THEN 10.0
+       |         ELSE g END AS g,
+       |    CASE WHEN y = 0 AND x = 0 THEN 50.0 WHEN y = 0 AND x = 1 THEN 0.0
+       |         WHEN y = 0 AND x = 2 THEN 10.0 WHEN y = 0 AND x = 3 THEN 50.0
+       |         ELSE bl END AS bl
+       |  FROM rgb0),
        |hx AS (
        |  SELECT image_id, r, g, bl,
        |    greatest(r, g, bl) AS v,
@@ -2455,8 +2522,8 @@ object Queries {
        |  FROM hx),
        |m AS (
        |  SELECT image_id, r, g, bl,
-       |    CASE WHEN h >= 20 AND h <= 160 AND s >= 60 AND s <= 255
-       |          AND v >= 20 AND v <= 255 THEN 1 ELSE 0 END AS pass
+       |    CASE WHEN h >= 20 AND h <= 160 AND s >= 60 AND s <= 220
+       |          AND v >= 20 AND v <= 90 THEN 1 ELSE 0 END AS pass
        |  FROM hs)
        |SELECT image_id,
        |  CAST(sum(pass) AS BIGINT) AS n_pass,
@@ -2685,20 +2752,29 @@ object Queries {
       Encoders.product[ImageRow])
     Edge.canny(ds, lowT = 20, highT = 40, sigma = 0).map { im =>
       val m = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h).bands(0)
-      var n = 0L; var xs = 0L; var ys = 0L
+      var n = 0L; var xs = 0L; var ys = 0L; var ps = 0L
       var p = 0
       while (p < m.length) {
-        if (m(p) > 0) { n += 1; xs += p % im.w; ys += p / im.w }
+        if (m(p) > 0) {
+          val cx = p % im.w; val cy = p / im.w
+          n += 1; xs += cx; ys += cy
+          // nonlinear position checksum: sum of squared codes pins the
+          // exact edge SET — linear sums alone admit compensating
+          // multi-pixel errors (the tile-seam hazard of the tiled path)
+          ps += (1009L * cx + cy) * (1009L * cx + cy)
+        }
         p += 1
       }
-      (im.image_id, n, xs, ys)
-    }.toDF("image_id", "n_edge", "xsum", "ysum")
+      (im.image_id, n, xs, ys, ps)
+    }.toDF("image_id", "n_edge", "xsum", "ysum", "possq")
   }
 
   val qCannySql: String =
     s"""WITH ${GridImages.edgeSetSql(6)}
        |SELECT printf('g%03d', i) AS image_id, count(*) AS n_edge,
-       |  CAST(sum(x) AS BIGINT) AS xsum, CAST(sum(y) AS BIGINT) AS ysum
+       |  CAST(sum(x) AS BIGINT) AS xsum, CAST(sum(y) AS BIGINT) AS ysum,
+       |  CAST(sum((1009*CAST(x AS BIGINT) + y)*(1009*CAST(x AS BIGINT) + y))
+       |    AS BIGINT) AS possq
        |FROM edges GROUP BY 1""".stripMargin
 
   /** q_canny_tiled — the distributed big-raster Canny
@@ -2714,10 +2790,15 @@ object Queries {
       Encoders.product[ImageRow])
     val tiles = Tiler.multiTiles(ds, tileSize = 32,
       cellRes = Tiler.resForCellSize(64.0), halo = 4)
+    val code = col("x").cast("long") * 1009L + col("y")
     Edge.cannyTiles(tiles, tileSize = 32, halo = 4, lowT = 20, highT = 40)
       .groupBy("image_id")
       .agg(count(lit(1)).as("n_edge"),
-        sum("x").cast("long").as("xsum"), sum("y").cast("long").as("ysum"))
+        sum("x").cast("long").as("xsum"), sum("y").cast("long").as("ysum"),
+        // the nonlinear checksum is what actually pins the tile seams —
+        // compensating duplicate/drop pairs with equal linear sums (the
+        // characteristic stitching failure) cannot preserve it
+        sum(code * code).as("possq"))
   }
 
   val qCannyTiledSql: String = qCannySql
@@ -2731,8 +2812,16 @@ object Queries {
   def qMb2Array(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val tiles = Tiler.tiles(gridImages(spark, 4, 2), 32,
-      Tiler.resForCellSize(64.0), halo = 8)
+    // x_min shifted +16 OFF the 64-unit cell grid so every tx=1 core
+    // tile straddles two cells: the per-covering-cell row multiplicity
+    // (the tiler emits one row per (tile, cell)) becomes an oracle-
+    // checked n_cells count instead of being erased by distinct() —
+    // a regression assigning windows to extra/missing cells would
+    // silently double-count or drop pixels in grouped consumers
+    val shifted = gridImages(spark, 4, 2)
+      .map(im => im.copy(x_min = im.x_min + 16.0))(
+        Encoders.product[graft.ImageRow])
+    val tiles = Tiler.tiles(shifted, 32, Tiler.resForCellSize(64.0), halo = 8)
     tiles.map { t =>
       var sum = 0.0
       var i = 0
@@ -2740,8 +2829,9 @@ object Queries {
       (t.image_id, t.tx, t.ty, t.band, t.tw, t.th, sum)
     }.toDF("image_id", "tx", "ty", "band", "win_w", "win_h", "psum")
       // duplicate (tile x overlapped-cell) rows carry bit-identical
-      // values — distinct is exact, not a float hazard
-      .distinct()
+      // values — grouping on them is exact, not a float hazard
+      .groupBy("image_id", "tx", "ty", "band", "win_w", "win_h", "psum")
+      .agg(count(lit(1)).as("n_cells"))
       .withColumn("psum", round(col("psum"), 1))
   }
 
@@ -2753,12 +2843,20 @@ object Queries {
       |w AS (
       |  SELECT i, b, tx, ty,
       |    greatest(0, tx*32 - 8) AS wx0, least(80, tx*32 + 40) AS wx1,
-      |    greatest(0, ty*32 - 8) AS wy0, least(48, ty*32 + 40) AS wy1
+      |    greatest(0, ty*32 - 8) AS wy0, least(48, ty*32 + 40) AS wy1,
+      |    -- covering-cell count of the CORE tile (ownership ignores the
+      |    -- halo): 64-unit world cells, image origin 256*i + 16 in x
+      |    -- (deliberately off-grid) and 0 in y (i < 8 -> y_max = 0)
+      |    (floor((256*i + 16 + least(80, tx*32 + 32) - 1e-9) / 64)
+      |      - floor((256*i + 16 + tx*32 + 1e-9) / 64) + 1)
+      |    * (floor((-(ty*32) - 1e-9) / 64)
+      |      - floor((-least(48, ty*32 + 32) + 1e-9) / 64) + 1) AS n_cells
       |  FROM t)
       |SELECT printf('g%03d', i) AS image_id, CAST(tx AS INT) AS tx,
       |  CAST(ty AS INT) AS ty, CAST(b AS INT) AS band,
       |  CAST(wx1 - wx0 AS INT) AS win_w, CAST(wy1 - wy0 AS INT) AS win_h,
-      |  round(sum(CAST((x*7 + y*13 + b*31 + i*17) % 97 AS DOUBLE)), 1) AS psum
+      |  round(sum(CAST((x*7 + y*13 + b*31 + i*17) % 97 AS DOUBLE)), 1) AS psum,
+      |  CAST(any_value(n_cells) AS BIGINT) AS n_cells
       |FROM w, generate_series(0, 79) gx(x), generate_series(0, 47) gy(y)
       |WHERE x >= wx0 AND x < wx1 AND y >= wy0 AND y < wy1
       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
@@ -4300,7 +4398,8 @@ object Queries {
   def qCv2norm(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    Augment.cv2norm(gridImages(spark, 3, 2)).flatMap { im =>
+    Augment.cv2norm(clippedGridImages(spark, 3, 2,
+      (i, b) => 3f * b + 2f * i, (i, b) => 90f - 7f * b - 5f * i)).flatMap { im =>
       val dec = graft.core.PixelCodec.decode(im.bytes, im.fmt, im.w, im.h)
       dec.bands.iterator.zipWithIndex.flatMap { case (b, bi) =>
         b.iterator.zipWithIndex.map { case (v, p) =>
@@ -4312,13 +4411,15 @@ object Queries {
 
   val qCv2normSql: String =
     s"""WITH ${GridImages.pxSql(3, 2)},
-       |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM px GROUP BY i)
+       |pc AS (SELECT i, image_id, b, x, y,
+       |         least(greatest(v, 3*b + 2*i), 90 - 7*b - 5*i) AS v FROM px),
+       |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM pc GROUP BY i)
        |SELECT p.image_id, CAST(p.b AS INT) AS b,
        |  CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
        |  CAST(CAST(CASE WHEN m.mx = m.mn THEN 0
        |                 ELSE (p.v - m.mn) / (m.mx - m.mn) END AS FLOAT)
        |       AS DOUBLE) AS v
-       |FROM px p JOIN mm m ON m.i = p.i""".stripMargin
+       |FROM pc p JOIN mm m ON m.i = p.i""".stripMargin
 
   /** q_cv2norm_tiles — the 100 TB shape of cv2norm: per-image (mn, mx)
     * from tile partials (the ONLY exchange — two doubles per image),
@@ -4328,7 +4429,8 @@ object Queries {
   def qCv2normTiles(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val tiles = Tiler.tiles(gridImages(spark, 3, 1), 64,
+    val tiles = Tiler.tiles(clippedGridImages(spark, 3, 1,
+      (i, _) => 2f * i, (i, _) => 90f - 5f * i), 64,
       Tiler.resForCellSize(64.0))
     Augment.cv2normTiles(tiles).flatMap { t =>
       t.pixels.iterator.zipWithIndex.map { case (v, p) =>
@@ -4339,12 +4441,14 @@ object Queries {
 
   val qCv2normTilesSql: String =
     s"""WITH ${GridImages.pxSql(3, 1)},
-       |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM px GROUP BY i)
+       |pc AS (SELECT i, image_id, x, y,
+       |         least(greatest(v, 2*i), 90 - 5*i) AS v FROM px),
+       |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM pc GROUP BY i)
        |SELECT p.image_id, CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
        |  CAST(CAST(CASE WHEN m.mx = m.mn THEN 0
        |                 ELSE (p.v - m.mn) / (m.mx - m.mn) END AS FLOAT)
        |       AS DOUBLE) AS v
-       |FROM px p JOIN mm m ON m.i = p.i""".stripMargin
+       |FROM pc p JOIN mm m ON m.i = p.i""".stripMargin
 
   /** q_gif — multiband2gif (raster.py:2665-2726): one animated-GIF frame
     * per band, each band rescaled to uint8 with skimage
@@ -4357,7 +4461,9 @@ object Queries {
   def qGif(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    Gif.multibandGif(gridImages(spark, 3, 2)).as[(String, Array[Byte], Int, Int, Int)]
+    Gif.multibandGif(clippedGridImages(spark, 3, 2,
+      (i, b) => 3f * b + 2f * i, (i, b) => 90f - 7f * b - 5f * i))
+      .as[(String, Array[Byte], Int, Int, Int)]
       .flatMap { case (id, gif, _, _, _) =>
         val (frames, w, _) = Gif.decodeFrames(gif)
         frames.iterator.zipWithIndex.flatMap { case (f, b) =>
@@ -4370,20 +4476,26 @@ object Queries {
 
   val qGifSql: String =
     s"""WITH ${GridImages.pxSql(3, 2)},
-       |mm AS (SELECT i, b, min(v) AS mn, max(v) AS mx FROM px GROUP BY i, b)
+       |pc AS (SELECT i, image_id, b, x, y,
+       |         least(greatest(v, 3*b + 2*i), 90 - 7*b - 5*i) AS v FROM px),
+       |mm AS (SELECT i, b, min(v) AS mn, max(v) AS mx FROM pc GROUP BY i, b)
        |SELECT p.image_id, CAST(p.b AS INT) AS b,
        |  CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
        |  CAST(CASE WHEN m.mx = m.mn
        |            THEN floor(least(greatest(p.v, 0), 255))
        |            ELSE floor(((p.v - m.mn) / (m.mx - m.mn)) * 255) END
        |       AS DOUBLE) AS v
-       |FROM px p JOIN mm m ON m.i = p.i AND m.b = p.b""".stripMargin
+       |FROM pc p JOIN mm m ON m.i = p.i AND m.b = p.b""".stripMargin
 
-  /** q_iou_seg — the validation iou_score (convnet.py:365-374 via
-    * smp.utils.metrics.IoU): per-(image, class) intersection, predicted
-    * and mask counts, union and IoU of the fixture net's whole-image
-    * predictions against the mask rasters. The oracle replays the full
-    * forward pass (shared CTEs with q_cnn_seg) plus the count fold. */
+  /** q_iou_seg — the engine's per-(image, class) validation IoU for the
+    * reference's iou_score loop (convnet.py:365-374): intersection,
+    * predicted and mask counts, union and IoU of the fixture net's
+    * whole-image ARGMAX predictions against the mask rasters. (The
+    * reference's own metric is smp's micro thresholded IoU — the
+    * faithful form is ConvTrain.iouChipsSmp; the per-class argmax form
+    * here is the engine's documented checkpoint metric, see
+    * ConvTrain.iouChips.) The oracle replays the full forward pass
+    * (shared CTEs with q_cnn_seg) plus the count fold. */
   def qIouSeg(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val masks = spark.createDataset(GridImages.maskImages(2).toSeq)(

@@ -246,4 +246,49 @@ class AugmentSpec extends AnyFunSuite {
       Seq(allBg))(org.apache.spark.sql.Encoders.product[graft.operators.ChipRow]), net)
     assert(got2 == 0.0, s"all-background must score 0, got $got2")
   }
+
+  test("iouChipsSmp: smp micro thresholded IoU vs a naive replay") {
+    import graft.operators.{ConvNet, ConvTrain}
+    val masks = spark.createDataset(GridImages.maskImages(2).toSeq)(
+      Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.images(2, 2).toSeq)(
+      Encoders.product[ImageRow])
+    val chips = ConvNet.collectChipsLabeled(imgs, masks,
+      chipSize = 16, includeZero = true)
+    val net = ConvNet.fixtureNet
+    val got = ConvTrain.iouChipsSmp(chips, net)
+    // naive: softmax probs > 0.5 vs one-hot targets, micro over all
+    var inter = 0L; var np = 0L; var nm = 0L
+    chips.collect().foreach { ch =>
+      val planes = ConvNet.forward(ch.bands, ch.w, ch.h, net)
+      val nCls = net.classes.length
+      ch.mask.indices.foreach { p =>
+        val logits = (0 until nCls).map(c => planes(c)(p).toDouble)
+        val m = logits.max
+        val exps = logits.map(l => math.exp(l - m))
+        val z = exps.sum
+        (0 until nCls).foreach { c =>
+          val pr = exps(c) / z > 0.5
+          val gt = ch.mask(p) == net.classes(c)
+          if (pr && gt) inter += 1
+          if (pr) np += 1
+          if (gt) nm += 1
+        }
+      }
+    }
+    val want = (inter + 1e-7) / ((np + nm - inter) + 1e-7)
+    assert(got == want, s"micro IoU: $got vs $want")
+    // parallelism-invariant to the bit (integer counts)
+    assert(ConvTrain.iouChipsSmp(chips.repartition(7), net) == got)
+    // binary: sigmoid threshold == logit > 0, same counts as the
+    // hand-derived iouChips example above (inter 1, union 3)
+    val bnet = graft.operators.SegNet(
+      Seq(graft.operators.ConvLayer(1, 1, 1, Array(1f), Array(0f),
+        relu = false)), Array(1))
+    val chip = graft.operators.ChipRow("c0", 0, 0, 2, 2,
+      Array(Array(-1f, 5f, -2f, 3f)), Array(255f, 0f, 0f, 255f), 1)
+    val b = ConvTrain.iouChipsSmp(spark.createDataset(Seq(chip))(
+      Encoders.product[graft.operators.ChipRow]), bnet)
+    assert(math.abs(b - (1 + 1e-7) / (3 + 1e-7)) < 1e-18, s"binary smp IoU $b")
+  }
 }
