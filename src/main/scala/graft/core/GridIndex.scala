@@ -96,11 +96,22 @@ object GridIndex {
     out.toArray
   }
 
+  /** Hard per-feature cell-cover cap (16M cells = a 128 MB Long array).
+    * boundedCollect caps feature COUNT; this caps cells-per-feature so a
+    * continent-sized bbox at fine res fails loudly instead of silently
+    * truncating the Long product to Int (negative allocation size) or
+    * OOMing the broadcast build side. */
+  val MaxCoverCells: Long = 1L << 24
+
   /** Cells overlapping an axis-aligned box (inclusive of edge-touching). */
   def coverBBox(b: Geom.BBox, res: Int): Array[Long] = {
     val x0 = axisIndex(b.x0, res); val x1 = axisIndex(b.x1, res)
     val y0 = axisIndex(b.y0, res); val y1 = axisIndex(b.y1, res)
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val n = (x1 - x0 + 1) * (y1 - y0 + 1) // Long arithmetic
+    require(n <= MaxCoverCells,
+      s"coverBBox: $n cells at res $res for bbox $b exceeds $MaxCoverCells" +
+        " — coarsen the grid res for features this large")
+    val out = new Array[Long](n.toInt)
     var i = 0; var x = x0
     while (x <= x1) {
       var y = y0

@@ -214,6 +214,16 @@ object PxRuntime {
   def seriesComposite(arrays: ArrayData, op: Int, q: Double): ArrayData = {
     val t = arrays.numElements()
     if (t == 0) return null // element_at(arrays, 1) -> null seed -> null
+    // fail-fast, not OOM: the gathered series is one aggregation-buffer
+    // row (t x tile bytes — a decade of dailies on 256x256 floats is
+    // ~1 GB/row). 64k snapshots is far past any sane composite; beyond
+    // it, pre-aggregate coarser epochs upstream. (mean/min/max/sum
+    // could run as an incremental element-wise aggregate that never
+    // materializes the series — the documented scale-up path if a
+    // workload ever needs unbounded series.)
+    require(t <= 65536,
+      s"px_series_composite: $t snapshots in one series — pre-aggregate " +
+        "upstream (media/percentile need the full series; cap = 65536)")
     if (op == 4) {
       val first = arrays.getArray(0)
       if (first == null) return null // size(null) -> null index list

@@ -50,13 +50,24 @@ object Components {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
 
-    // LAZY local checkpoint: the Dataset's plan is truncated to a
-    // LogicalRDD either way; with eager=false the RDD materializes (and
+    // LAZY checkpoint: the Dataset's plan is truncated to a LogicalRDD
+    // either way; with eager=false the RDD materializes (and
     // checkpoints) under the FIRST action that reads it — here the
     // checksum aggregate that immediately follows — so a round skips
     // the separate checkpoint-count job (measured: a few jobs saved per
     // query, wall-neutral at bench scale; identical results).
-    val eInit = e0.localCheckpoint(false)
+    //
+    // RELIABLE vs LOCAL: localCheckpoint stores blocks unreplicated on
+    // executors — after truncation an executor loss is unrecoverable
+    // and aborts the whole multi-round job. local[*] never loses an
+    // executor; a cluster deployment MUST set a checkpoint dir
+    // (sc.setCheckpointDir) and then every truncation here rides the
+    // fault-tolerant path instead.
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(false)
+      else df.localCheckpoint(false)
+    val eInit = truncate(e0)
     // checkpoint the (small) distinct node list NOW, off the edge
     // checkpoint — the final join reads it, so the (large) initial edge
     // set is free to unpersist after round 1 instead of pinning peak
@@ -71,9 +82,13 @@ object Components {
     // Union.rewriteConstraints ("key not found" on the dropped
     // attribute) because the checkpoint carries constraints over BOTH
     // columns — and the explode scans the edges once, not twice.
-    val nodes = eInit
-      .select(explode(array(col("u"), col("v"))).as("id"))
-      .distinct().localCheckpoint()
+    val nodes =
+      if (eInit.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        eInit.select(explode(array(col("u"), col("v"))).as("id"))
+          .distinct().checkpoint()
+      else
+        eInit.select(explode(array(col("u"), col("v"))).as("id"))
+          .distinct().localCheckpoint()
     var e = eInit
     var prevSig: (Long, Long) = checksum(e)
     var converged = prevSig._1 == 0L // empty graph: nothing to iterate
@@ -81,7 +96,7 @@ object Components {
     while (!converged) {
       require(rounds < maxRounds,
         s"Components.connected did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = truncate(smallStar(largeStar(e)))
       val sig = checksum(next) // the materializing action for `next`
       // (count, order-free xxhash sum) equality is the cheap convergence
       // probe; on a hit, confirm exactly (runs once, at the fixpoint).

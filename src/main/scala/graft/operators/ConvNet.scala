@@ -261,12 +261,13 @@ object ConvNet {
       val n = bc.value
       val h = n.halo
       val scratch = new ConvScratch
-      var lastKey: (String, Int, Int) = null
-      it.flatMap { t =>
-        val key = (t.image_id, t.tx, t.ty)
-        if (key == lastKey) None // same tile, another overlapped cell
-        else {
-          lastKey = key
+      // shared dedupe with the non-adjacent tripwire (Tiler.firstByKey):
+      // a hand-rolled lastKey filter would silently KEEP duplicates that
+      // arrive non-adjacent (repartitioned/sorted input) and double-count
+      // predicted pixels downstream; every other halo-tile consumer
+      // fails loudly there, and so does this one now
+      Tiler.firstCellOnly(it).flatMap { t =>
+        {
           require(t.bands.length == n.layers.head.inC,
             s"tile ${t.image_id}(${t.tx},${t.ty}) has ${t.bands.length} bands, net wants ${n.layers.head.inC}")
           val planes = forward(t.bands, t.tw, t.th, n, scratch)

@@ -1143,23 +1143,32 @@ object ConvTrain {
                       lossFn: Loss = SquaredError)
                      (implicit spark: SparkSession): (SegNet, Seq[Double]) = {
     require(epochs >= 1 && batches >= 1)
+    // persist each batch once: the typed-lambda filter is opaque to
+    // pushdown, so WITHOUT the persist every one of the epochs*batches
+    // steps would rescan the ENTIRE upstream chip lineage to keep
+    // 1/batches of it (50 epochs x 8 batches = 400 full-table reads at
+    // the 100 TB design point). Cached, the upstream is read `batches`
+    // times total and each step reads only its own batch's partitions.
     val parts = (0 until batches).map(b =>
-      chips.filter(ch => (ch.cx / ch.w + ch.cy / ch.h) % batches == b))
-    var net = net0
-    val losses = Seq.newBuilder[Double]
-    var e = 0
-    while (e < epochs) {
-      var b = 0
-      while (b < batches) {
-        val (n2, l2) =
-          trainSegOpt(parts(b), net, epochs = 1, Sgd(lr), gradBits, lossFn)
-        net = n2
-        losses ++= l2
-        b += 1
+      chips.filter(ch => (ch.cx / ch.w + ch.cy / ch.h) % batches == b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      var net = net0
+      val losses = Seq.newBuilder[Double]
+      var e = 0
+      while (e < epochs) {
+        var b = 0
+        while (b < batches) {
+          val (n2, l2) =
+            trainSegOpt(parts(b), net, epochs = 1, Sgd(lr), gradBits, lossFn)
+          net = n2
+          losses ++= l2
+          b += 1
+        }
+        e += 1
       }
-      e += 1
-    }
-    (net, losses.result())
+      (net, losses.result())
+    } finally parts.foreach(_.unpersist(false))
   }
 
   /** One hyper-parameter candidate: a learning rate (power of two) and

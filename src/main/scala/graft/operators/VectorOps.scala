@@ -44,10 +44,17 @@ object VectorOps {
     * zipWithIndex's count pass and the final pass both execute the SAME
     * RDD instance, so the range-sampler's RDD-id-derived seed — and
     * therefore the partition boundaries — are identical across the two
-    * jobs (re-deriving the plan per action would not guarantee that). */
+    * jobs (re-deriving the plan per action would not guarantee that).
+    * Ties on `orderCol` break by a hash of the WHOLE row: without it,
+    * tied rows sort by shuffle-fetch arrival, so a task retry or an
+    * independent re-run could permute their fids. With it, the output
+    * multiset is deterministic — rows identical in every column are
+    * interchangeable, so their arbitrary relative order is
+    * unobservable. */
   def writeIdField(df: DataFrame, orderCol: String, idCol: String = "fid"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
-    val sorted = df.sort(orderCol)
+    val tiebreak = xxhash64(struct(df.columns.map(col): _*))
+    val sorted = df.sort(col(orderCol), tiebreak)
     val schema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))

@@ -52,7 +52,34 @@ object ZonalStats {
    * Exact per-(poly_id, band, value) pixel histogram of all pixels whose
    * center falls inside the polygon (nodata skipped). This is the zonal
    * core; every stat below derives from it.
+   *
+   * Scale contract: the histogram's cardinality is the number of
+   * DISTINCT values per (poly, band) — bounded (256-entry fast path) on
+   * the uint8-like imagery this engine targets, but pixel-proportional
+   * on continuous floats, where stats()'s per-(poly, band) ordered
+   * window would funnel a giant AOI's whole histogram through one
+   * reducer. Continuous rasters must pre-bin: [[quantize]] maps pixels
+   * onto a fixed bin grid in one shuffle-free pass (the otsuThreshold
+   * probe+bin pattern, made explicit for callers).
    */
+  /** Shuffle-free pre-binning for continuous-float rasters: every pixel
+    * maps to the CENTER of its `width`-sized bin anchored at `origin`
+    * (nodata/NaN pass through untouched). Bounds the zonal histogram's
+    * distinct-value cardinality at (range/width) regardless of raster
+    * size — run it before [[histogram]] whenever the value domain is
+    * not already discrete. */
+  def quantize(tiles: Dataset[TileRow], width: Double, origin: Double = 0.0)
+              (implicit spark: SparkSession): Dataset[TileRow] = {
+    import spark.implicits._
+    require(width > 0, s"bin width must be positive: $width")
+    tiles.map { t =>
+      t.copy(pixels = t.pixels.map { v =>
+        if (v.isNaN || v == t.nodata) v
+        else (origin + (math.floor((v - origin) / width) + 0.5) * width).toFloat
+      })
+    }
+  }
+
   def histogram(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
                 pipParallelism: Int = 0)
                (implicit spark: SparkSession): DataFrame = {

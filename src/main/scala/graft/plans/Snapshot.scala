@@ -113,14 +113,24 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
       else df.filter(!col(partKey).isin(prior.keys.toSeq: _*))
     val v = currentVersion + 1
     val outDir = dataDir(v)
-    // row counts per partition (metrics) in one agg pass
-    val counted = fresh.groupBy(partKey).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // write FIRST, metrics from the WRITTEN snapshot: a pre-write
+    // count().collect() would execute the incoming plan twice (the
+    // whole batch job re-runs for the second action) and, under any
+    // upstream nondeterminism, describe different data than what the
+    // write then produced. The read-back count is partition-pruned
+    // columnar metadata over the snapshot we just wrote — cheap, and
+    // the manifest rows/bytes now describe the committed bytes exactly.
+    fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
+    val wrotePartDirs = fs.exists(outDir) && fs.listStatus(outDir).iterator
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$partKey="))
+    val counted: Map[String, Long] =
+      if (!wrotePartDirs) Map.empty
+      else spark.read.schema(fresh.schema).parquet(outDir.toString)
+        .groupBy(partKey).count() // explicit schema: no partition-type
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // inference
     val counts = counted ++ (declaredKeys -- prior.keySet -- counted.keySet)
       .map(_ -> 0L)
-    if (counts.isEmpty) return Set.empty
-    if (counted.nonEmpty)
-      fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
+    if (counts.isEmpty) { fs.delete(outDir, true); return Set.empty }
     // byte metrics from the files just written
     val bytes = counts.keys.map(k => k -> parquetFiles(partDir(v, k))._2).toMap
     val merged = prior ++ counts.map { case (k, n) =>
