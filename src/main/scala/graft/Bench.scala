@@ -39,13 +39,28 @@ object Bench {
     s
   }
 
+  /** Consume a DataFrame COMPLETELY: the noop sink reads every column of
+    * every row, so Catalyst cannot prune work out of the timed plan the
+    * way `count()` can (count over an Aggregate lets ColumnPruning drop
+    * the unreferenced aggregate expressions AND their input columns —
+    * the timed number would describe a lighter query than the one
+    * named). */
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** Materialize the synthetic image table to parquet ONCE (the real
     * pipeline reads a table, not driver memory — also keeps task sizes
-    * small). Returns (path, decoded-pixel count = sum w*h*bands). */
+    * small). Returns (path, decoded-pixel count = sum w*h*bands).
+    * The path embeds a fingerprint of the CURRENT generator's image 0,
+    * so a change to Synth/PixelCodec invalidates the cache instead of
+    * silently benchmarking a previous jar's fixture. */
   private def materializeImages(spark: SparkSession, nImages: Int): (String, Long) = {
     import org.apache.spark.sql.Encoders
     import spark.implicits._
-    val path = s"/tmp/graft_bench_images_$nImages"
+    val probe = gen.Synth.imageAt(0L, seed = 7L, bands = 3)
+    val fp = (java.util.Arrays.hashCode(probe.bytes) * 31 + probe.w * 7
+      + probe.h).toHexString
+    val path = s"/tmp/graft_bench_images_${nImages}_$fp"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       // DISTRIBUTED generation (imageAt is per-index): the driver never
       // holds the table; ~256 input splits keep decode tasks fine-grained
@@ -64,14 +79,21 @@ object Bench {
     * heavy stage by coalescing the input (the Spark-native lever for
     * "how many cores does this job use"). */
   private def pipeline(spark: SparkSession, imagesPath: String,
-                       parallelism: Int = 0): Unit = {
+                       parallelism: Int = 0, limit: Int = 0): Unit = {
     implicit val s: SparkSession = spark
     import org.apache.spark.sql.Encoders
     // the parallel width must bind EVERY stage: map stages via coalesce,
-    // shuffle stages via shuffle.partitions (runtime conf, per-run)
-    if (parallelism > 0)
+    // shuffle stages via shuffle.partitions (runtime conf, per-run);
+    // fine-grained scan splits so coalesce(parallelism) gets EVEN task
+    // sizes — the same even-split control as cnnRun (default 128 MB
+    // bin-packing + coalesce(4) inherits a bins%4 packing skew that
+    // inflates only the big leg and reads as fake inefficiency)
+    if (parallelism > 0) {
       spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
-    val images0 = spark.read.parquet(imagesPath)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    }
+    val images1 = spark.read.parquet(imagesPath)
+    val images0 = if (limit > 0) images1.limit(limit) else images1
     val images = (if (parallelism > 0) images0.coalesce(parallelism) else images0)
       .as[ImageRow](Encoders.product[ImageRow])
     val polys = spark.createDataset(
@@ -86,8 +108,11 @@ object Bench {
     // the timed unit is the north-rule metric: spatial-join + tile
     // assignment (decode -> tile -> broadcast join -> PIP -> histogram
     // agg). The stats() windows are a tiny constant tail measured via the
-    // headline queries, not inside the scaling unit.
-    hist.count()
+    // headline queries, not inside the scaling unit. Consumed via the
+    // noop sink so the final agg expressions stay in the timed plan.
+    consume(hist)
+    if (parallelism > 0) // restore AFTER the action (conf reads at plan time)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
     ()
   }
 
@@ -100,7 +125,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val small = math.max(1, cpus / 4)
     // big enough that compute (decode + PIP), not job overhead, bounds the
     // wall time at 32 cores — the scaling number is meaningless otherwise
     val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "16384").toInt
@@ -123,11 +147,11 @@ object Bench {
       val warm = "/root/testdata/sf0.001"
       val out = asked.map { name =>
         val fn = SparkEntry.queries(name)
-        try fn(spark0, warm).count() catch { case _: Throwable => }
+        try consume(fn(spark0, warm)) catch { case _: Throwable => }
         // same contract as the headline loop: a throwing query records
         // -1.0 instead of discarding every already-timed number
         val ts = (1 to 3).map(_ =>
-          try time { fn(spark0, sfDir).count() }._1
+          try time { consume(fn(spark0, sfDir)) }._1
           catch { case _: Throwable => -1.0 })
         name -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
       }
@@ -139,13 +163,20 @@ object Bench {
 
     // ---- headline queries at full parallelism; each query warms once at
     // sf0.001 so the timed number is steady-state throughput, not the
-    // one-off codegen/compile of its plan
+    // one-off codegen/compile of its plan. The sf tables are touched once
+    // up front so the FIRST query over each table doesn't pay the cold
+    // file-listing + page-cache read its siblings then skip — per-query
+    // numbers stop depending on their position in the list.
     var spark = session(cpus)
     val warmDir = "/root/testdata/sf0.001"
+    new java.io.File(sfDir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => try consume(spark.read.parquet(f.getPath))
+        catch { case _: Throwable => })
     val queryTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
-      val t = try time { fn(spark, sfDir).count() }._1
+      try consume(fn(spark, warmDir)) catch { case _: Throwable => }
+      val t = try time { consume(fn(spark, sfDir)) }._1
               catch { case _: Throwable => -1.0 }
       name -> t
     }
@@ -170,7 +201,16 @@ object Bench {
     val scaleCores = math.min(4, cpus)
     val scaleSmall = math.max(1, scaleCores / 4)
     spark = session(math.min(16, cpus))
-    pipeline(spark, path, scaleCores) // warm
+    // AQE partition coalescing would collapse the big leg's tiny shuffle
+    // stages back to width ~1 — a shared serial fraction that breaks the
+    // "width binds every stage" control. Off for the whole scaling
+    // session (both legs, identically).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // symmetric warm-up: BOTH widths ramp (JIT, broadcast registration,
+    // scheduler) before any timed leg — the small width warms on a 1/8
+    // slice, enough for ramp without a full 40 s leg
+    pipeline(spark, path, scaleCores) // warm big
+    pipeline(spark, path, scaleSmall, limit = nImages / 8) // warm small
     // PAIRED design: each (small, big) pair runs back-to-back so host
     // noise (which is common-mode across adjacent runs) cancels in the
     // per-pair ratio; the reported efficiency is the median pair ratio.
@@ -205,7 +245,7 @@ object Bench {
         .as[ImageRow](Encoders.product[ImageRow])
       val cellRes = operators.Tiler.resForCellSize(64.0)
       val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = cnnNet.halo)
-      operators.ConvNet.segPredictTiles(tiles, cnnNet, 64).count()
+      consume(operators.ConvNet.segPredictTiles(tiles, cnnNet, 64).toDF())
       if (parallelism > 0) // restore AFTER the action (conf reads at plan time)
         spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
       ()
@@ -220,7 +260,8 @@ object Bench {
     // throughput figure; the ratio needs matched runs, not volume.
     val cnnScaleImages = math.max(512, nImages / 4)
     val (cnnScalePath, _) = materializeImages(spark, cnnScaleImages)
-    cnnRun(cnnScalePath, 0, scaleSmall) // warm the small width too
+    cnnRun(cnnScalePath, 0, scaleSmall) // warm small on this table
+    cnnRun(cnnScalePath, 0, scaleCores) // and big — symmetric ramp
     val cnnPairs = (1 to 3).map { _ =>
       val ts = time(cnnRun(cnnScalePath, 0, scaleSmall))._1
       val tb = time(cnnRun(cnnScalePath, 0, scaleCores))._1
@@ -237,11 +278,17 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum + tBig
+    // failed queries (-1.0 sentinel) stay visible in the map but must
+    // NOT shrink the total — a crash would otherwise read as a speedup
+    val failed = queryTimes.filter(_._2 < 0).map(_._1)
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum + tBig
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val scaling = f"""{"cores_small":$scaleSmall,"cores_big":$scaleCores,""" +
       f""""t_small_sec":$tSmall%.3f,"t_big_sec":$tBig%.3f,""" +
-      f""""pixels":$pixels,"rows_per_sec_small":$thrSmall%.0f,""" +
-      f""""rows_per_sec_big":$thrBig%.0f,"efficiency":$eff%.3f}"""
+      f""""pixels":$pixels,"px_per_sec_small":$thrSmall%.0f,""" +
+      f""""px_per_sec_big":$thrBig%.0f,"efficiency":$eff%.3f}"""
     val thrCnn = pixels / tCnn
     val cnnEff = median(cnnPairs.map { case (ts, tb) =>
       (ts / tb) / (scaleCores.toDouble / scaleSmall) })
@@ -251,7 +298,7 @@ object Bench {
       f""""t_big_sec":${median(cnnPairs.map(_._2))}%.3f,""" +
       f""""efficiency":$cnnEff%.3f}"""
     val jsonLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"pipeline_sec":$tBig%.3f,"cnn_seg_sec":$tCnn%.3f,"cnn_px_per_sec":$thrCnn%.0f,"scaling":$scaling%s,"cnn_scaling":$cnnScaling%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s$errs%s,"pipeline_sec":$tBig%.3f,"cnn_seg_sec":$tCnn%.3f,"cnn_px_per_sec":$thrCnn%.0f,"scaling":$scaling%s,"cnn_scaling":$cnnScaling%s,"sf":"$sfDir%s"}"""
     println(jsonLine)
     // the stdout line drowns in sbt [info] noise (round-1 BENCH_r01.json
     // came back "parsed": null) — ALSO write the machine-readable copy
