@@ -20,9 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * pairs run back-to-back (common-mode host noise cancels in the ratio)
  * and the reported efficiency is the median pair ratio.
  *
- * Dev lever: SPARK_GRAFT_ONLY="q_a,q_b" times just those queries
- * (best-of-3 each, no pipeline/CNN blocks, no BENCH.json overwrite) —
- * for A/B-ing one operator without a full bench run.
+ * Dev levers (neither writes BENCH.json): SPARK_GRAFT_ONLY="q_a,q_b"
+ * times just those queries (best-of-3 each, no pipeline/CNN blocks) —
+ * for A/B-ing one operator without a full bench run; and
+ * SPARK_GRAFT_SCALING_ONLY=1|cnn + SPARK_GRAFT_AB=... runs just one
+ * scaling-pair block under harness-control toggles (documented at the
+ * lever in main) — for attributing measured-efficiency shifts to a
+ * specific harness control on the same jar.
  */
 object Bench {
 
@@ -51,10 +55,12 @@ object Bench {
     // 0.884 (count) on the same jar — the consuming action is
     // measurement-neutral here; noop is kept as the stricter contract.
 
-  // A/B lever for SPARK_GRAFT_SCALING_ONLY runs (never set in the
+  // A/B levers for SPARK_GRAFT_SCALING_ONLY runs (never set in the
   // graded path): re-apply the fine-split scan override to the
-  // flagship legs to reproduce the artifact documented at pipeline().
+  // flagship legs to reproduce the artifact documented at pipeline(),
+  // and vary the CNN legs' split size ("off" = default 128 MB bins).
   @volatile private var abFineSplit = false
+  @volatile private var abCnnSplit = "32m"
 
   /** Materialize the synthetic image table to parquet ONCE (the real
     * pipeline reads a table, not driver memory — also keeps task sizes
@@ -131,6 +137,42 @@ object Bench {
     ()
   }
 
+  /** CNN inference over an image table: haloed multiTiles ->
+    * broadcast-weights forward -> per-pixel labels (the distributed
+    * semseg_pred path). The forward pass is zero-shuffle, so input
+    * partitioning IS the parallel width — the same narrow coalesce
+    * lever as pipeline(). Unlike the flagship table, the dedicated
+    * 1/4-size CNN table genuinely bin-packs into a handful of UNEVEN
+    * default 128 MB bins (measured: coalesce(4) inherited a
+    * 2-bins-vs-1 skew, ratio 0.60 — a packing artifact, not an engine
+    * cost), so these legs keep a split override (abCnnSplit) — sized by
+    * a three-way A/B on the same jar (median pair ratio, 3 pairs each):
+    * 8 MB 0.829, default 128 MB 0.869, 32 MB 0.901 with the fastest
+    * and tightest big legs. 32 MB yields ~50 even bins (~13 per task at
+    * width 4) — enough splits to balance both legs, coarse enough to
+    * avoid the per-split overhead that fine splits levy on the wide
+    * leg (the same trade the flagship A/B at pipeline() quantified). */
+  private def cnnRun(spark: SparkSession, net: operators.SegNet, p: String,
+                     limit: Int, parallelism: Int = 0): Unit = {
+    import org.apache.spark.sql.Encoders
+    implicit val s: SparkSession = spark
+    if (parallelism > 0) {
+      spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
+      if (abCnnSplit != "off")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", abCnnSplit)
+    }
+    val im0 = spark.read.parquet(p)
+    val im1 = if (limit > 0) im0.limit(limit) else im0
+    val im = (if (parallelism > 0) im1.coalesce(parallelism) else im1)
+      .as[ImageRow](Encoders.product[ImageRow])
+    val cellRes = operators.Tiler.resForCellSize(64.0)
+    val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = net.halo)
+    consume(operators.ConvNet.segPredictTiles(tiles, net, 64).toDF())
+    if (parallelism > 0 && abCnnSplit != "off") // restore AFTER the action
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    ()
+  }
+
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val r = f
@@ -176,29 +218,48 @@ object Bench {
       return
     }
 
-    // ---- dev lever: ONLY the flagship scaling pairs (no headline, no
-    // CNN, no BENCH.json overwrite) — for A/B-ing harness controls.
-    // SPARK_GRAFT_SCALING_ONLY=1 with optional SPARK_GRAFT_AB toggles:
-    // "8m-on" (force 8 MB scan splits on the flagship legs — reproduces
-    // the documented wide-leg artifact), "aqe-coalesce-on".
+    // ---- dev lever: ONLY the scaling pairs (no headline, no BENCH.json
+    // overwrite) — for A/B-ing harness controls on the same jar.
+    // SPARK_GRAFT_SCALING_ONLY=1 runs the flagship pairs;
+    // SPARK_GRAFT_SCALING_ONLY=cnn runs the CNN pairs on the dedicated
+    // 1/4-size table. Optional SPARK_GRAFT_AB toggles: "8m-on" (force
+    // 8 MB scan splits on the flagship legs — reproduces the documented
+    // wide-leg artifact), "aqe-coalesce-on", "cnn-split=<size|off>"
+    // (override the CNN legs' split size; "off" = default 128 MB bins).
     if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) {
       val ab = sys.env.getOrElse("SPARK_GRAFT_AB", "")
       val sp = session(math.min(16, cpus))
       if (!ab.contains("aqe-coalesce-on"))
         sp.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       abFineSplit = ab.contains("8m-on")
-      val (p2, px2) = materializeImages(sp, nImages)
+      ab.split(",").find(_.startsWith("cnn-split=")).foreach(v =>
+        abCnnSplit = v.stripPrefix("cnn-split="))
       val sc = math.min(4, cpus); val ss = math.max(1, sc / 4)
-      pipeline(sp, p2, sc)
-      pipeline(sp, p2, ss, limit = nImages / 8)
-      val prs = (1 to 5).map { _ =>
-        val ts = time(pipeline(sp, p2, ss))._1
-        val tb = time(pipeline(sp, p2, sc))._1
-        println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / 4}%.3f")
-        (ts, tb)
-      }
+      val prs =
+        if (sys.env("SPARK_GRAFT_SCALING_ONLY") == "cnn") {
+          val net = operators.ConvNet.fixtureNet3
+          val (p3, _) = materializeImages(sp, math.max(512, nImages / 4))
+          cnnRun(sp, net, p3, 0, ss)
+          cnnRun(sp, net, p3, 0, sc)
+          (1 to 3).map { _ =>
+            val ts = time(cnnRun(sp, net, p3, 0, ss))._1
+            val tb = time(cnnRun(sp, net, p3, 0, sc))._1
+            println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / 4}%.3f")
+            (ts, tb)
+          }
+        } else {
+          val (p2, _) = materializeImages(sp, nImages)
+          pipeline(sp, p2, sc)
+          pipeline(sp, p2, ss, limit = nImages / 8)
+          (1 to 5).map { _ =>
+            val ts = time(pipeline(sp, p2, ss))._1
+            val tb = time(pipeline(sp, p2, sc))._1
+            println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / 4}%.3f")
+            (ts, tb)
+          }
+        }
       val effs = prs.map { case (a, b) => a / b / 4 }.sorted
-      println(f"[ab] '$ab%s' median_eff=${effs(effs.size / 2)}%.3f px=$px2%d")
+      println(f"[ab] '$ab%s' median_eff=${effs(effs.size / 2)}%.3f")
       sp.stop()
       return
     }
@@ -266,34 +327,8 @@ object Bench {
     // distributed semseg_pred path). One warm pass, then timed at the
     // big width.
     val cnnNet = operators.ConvNet.fixtureNet3
-    def cnnRun(p: String, limit: Int, parallelism: Int = 0): Unit = {
-      import org.apache.spark.sql.Encoders
-      implicit val s: SparkSession = spark
-      import s.implicits._
-      if (parallelism > 0) {
-        spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
-        // fine-grained scan splits so coalesce(parallelism) gets EVEN
-        // task sizes: at 1/8 table volume the default 128 MB bin-packing
-        // yields ~6 bins and coalesce(4) inherits a 2-bins-vs-1 skew
-        // (measured: the 4-core leg ran 40% under its even-split rate,
-        // ratio 0.60 — a packing artifact, not an engine cost)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      }
-      val im0 = spark.read.parquet(p)
-      val im1 = if (limit > 0) im0.limit(limit) else im0
-      // the forward pass is zero-shuffle, so input partitioning IS the
-      // parallel width — the same narrow coalesce lever as pipeline()
-      val im = (if (parallelism > 0) im1.coalesce(parallelism) else im1)
-        .as[ImageRow](Encoders.product[ImageRow])
-      val cellRes = operators.Tiler.resForCellSize(64.0)
-      val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = cnnNet.halo)
-      consume(operators.ConvNet.segPredictTiles(tiles, cnnNet, 64).toDF())
-      if (parallelism > 0) // restore AFTER the action (conf reads at plan time)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
-      ()
-    }
-    cnnRun(path, 512) // warm
-    val tCnn = time(cnnRun(path, 0))._1
+    cnnRun(spark, cnnNet, path, 512) // warm
+    val tCnn = time(cnnRun(spark, cnnNet, path, 0))._1
     // ---- CNN scaling: the same paired 1-vs-4-core design as the
     // flagship, on its OWN 1/4-size 256-split table: a limit()+
     // repartition subset of the big table adds a common-mode shuffle +
@@ -302,11 +337,11 @@ object Bench {
     // throughput figure; the ratio needs matched runs, not volume.
     val cnnScaleImages = math.max(512, nImages / 4)
     val (cnnScalePath, _) = materializeImages(spark, cnnScaleImages)
-    cnnRun(cnnScalePath, 0, scaleSmall) // warm small on this table
-    cnnRun(cnnScalePath, 0, scaleCores) // and big — symmetric ramp
+    cnnRun(spark, cnnNet, cnnScalePath, 0, scaleSmall) // warm small on this table
+    cnnRun(spark, cnnNet, cnnScalePath, 0, scaleCores) // and big — symmetric ramp
     val cnnPairs = (1 to 3).map { _ =>
-      val ts = time(cnnRun(cnnScalePath, 0, scaleSmall))._1
-      val tb = time(cnnRun(cnnScalePath, 0, scaleCores))._1
+      val ts = time(cnnRun(spark, cnnNet, cnnScalePath, 0, scaleSmall))._1
+      val tb = time(cnnRun(spark, cnnNet, cnnScalePath, 0, scaleCores))._1
       (ts, tb)
     }
     spark.stop()
