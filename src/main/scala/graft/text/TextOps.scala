@@ -186,10 +186,14 @@ object TextOps {
     // 64-element agreement scan runs once per pair, not once per shared
     // band (the lshCosinePairs shape; the sig aggregate's exchange is
     // computed once and reused across all three consumers).
+    // native band fold + agreement count (BandKeysExpr / SigAgreeExpr):
+    // the interpreted transform+aggregate+slice fold ran a lambda per
+    // signature element per DOC, and the zip_with agreement chain a
+    // lambda per element per candidate PAIR — both replaced by
+    // codegen'd one-pass kernels, bit-parity spec-gated vs the HOF
+    // forms (incl. null poisoning and short-array edges)
     val banded = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
-          lit(0L), (acc, x) => (acc * HashFamily.B + x) % P))))
+      posexplode(colOf(BandKeysExpr(exprOf(col("sig")), bands, rows))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cand = banded.select(col("band"), col("bh"), col("doc").as("d1"))
       .join(banded.select(col("band"), col("bh"), col("doc").as("d2")),
@@ -200,7 +204,7 @@ object TextOps {
       .join(sig.select(col("doc").as("d1"), col("sig").as("s1")), Seq("d1"))
       .join(sig.select(col("doc").as("d2"), col("sig").as("s2")), Seq("d2"))
       .select(col("d1"), col("d2"),
-        (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y), b => b))
+        (colOf(SigAgreeExpr(exprOf(col("s1")), exprOf(col("s2"))))
           .cast("double") / numHashes).as("jaccard_est"))
   }
 
@@ -592,6 +596,54 @@ object HashRuntime {
     }
     minH
   }
+
+  /** Per-band polynomial fold of a minhash signature — the native form
+    * of `transform(sequence(0, bands-1), b => aggregate(slice(sig,
+    * b*rows+1, rows), 0L, (acc, x) => (acc*B + x) % P))`, bit-identical
+    * including the HOF's edge semantics: a null element nulls ITS band
+    * (aggregate's poisoned accumulator) without touching the others,
+    * and a short signature folds only the elements present (an empty
+    * band slice returns the 0L seed). Runs once per DOCUMENT in the
+    * LSH hot path, so the interpreted per-element lambda + per-band
+    * slice allocation it replaces scale with corpus size. */
+  def bandKeys(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+               bands: Int, rows: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var poisoned = false
+      var i = b * rows
+      val end = math.min(i + rows, n)
+      while (i < end && !poisoned) {
+        if (sig.isNullAt(i)) poisoned = true
+        else acc = (acc * HashFamily.B + sig.getLong(i)) % HashFamily.P
+        i += 1
+      }
+      out(b) = if (poisoned) null else java.lang.Long.valueOf(acc)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Count of positions where two signatures agree — the native form of
+    * `size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))`:
+    * zip_with null-pads the shorter side and `null === x` is null, so
+    * only positions present AND non-null in BOTH arrays can count.
+    * Runs once per candidate PAIR in the LSH verify step. */
+  def sigAgree(s1: org.apache.spark.sql.catalyst.util.ArrayData,
+               s2: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = math.min(s1.numElements(), s2.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!s1.isNullAt(i) && !s2.isNullAt(i) && s1.getLong(i) == s2.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** [n_chars, n_tokens, n_punct, n_stop] of a document in one byte-walk
@@ -689,4 +741,50 @@ case class RollingFingerprintExpr(child: Expression, w: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, w = r)
   override def prettyName: String = "rolling_fingerprint"
+}
+
+/** Per-band LSH bucket keys of a minhash signature
+  * (HashRuntime.bandKeys — replaces the interpreted
+  * transform+aggregate+slice fold, bit-parity spec-gated). */
+case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rows >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs an ARRAY<BIGINT> input, got $t")
+    }
+  override def nullSafeEval(v: Any): Any =
+    HashRuntime.bandKeys(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HashRuntime.bandKeys($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "band_keys"
+}
+
+/** Count of agreeing positions between two minhash signatures
+  * (HashRuntime.sigAgree — replaces the interpreted
+  * size(filter(zip_with(...))) chain, bit-parity spec-gated). */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two ARRAY<BIGINT> inputs, got ($lt, $rt)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashRuntime.sigAgree(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.HashRuntime.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agree"
 }

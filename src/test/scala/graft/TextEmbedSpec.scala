@@ -53,6 +53,41 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("band_keys / sig_agree natives == transform+aggregate / zip_with HOFs") {
+    import org.apache.spark.sql.GraftBridge.{expression => exprOf, column => colOf}
+    import graft.text.{BandKeysExpr, SigAgreeExpr, HashFamily}
+    val bands = 4; val rows = 4
+    // edges: full-length, short (partial + empty bands), empty, a null
+    // element (must null ONLY its band / drop only its position), and
+    // values at the top of the mod-P domain
+    val arrs: Seq[Seq[java.lang.Long]] = Seq(
+      (1 to 16).map(i => java.lang.Long.valueOf(i * 1000L)),
+      (1 to 7).map(i => java.lang.Long.valueOf(HashFamily.P - i)),
+      Seq.empty,
+      Seq[java.lang.Long](3L, null, 5L, 7L, 11L, 13L, 17L, 19L),
+      (1 to 16).map(i => java.lang.Long.valueOf(HashFamily.P - 1 - i)))
+    val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "sig")
+    val hofK = df.select(col("id"), transform(sequence(lit(0), lit(bands - 1)),
+        b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+          lit(0L), (acc, x) => (acc * HashFamily.B + x) % HashFamily.P)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val natK = df.select(col("id"),
+        colOf(BandKeysExpr(exprOf(col("sig")), bands, rows)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(natK == hofK)
+    val pairs = df.select(col("id").as("i1"), col("sig").as("s1"))
+      .crossJoin(df.select(col("id").as("i2"), col("sig").as("s2")))
+    val hofA = pairs.select(col("i1"), col("i2"),
+        size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y),
+          b => b)).as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val natA = pairs.select(col("i1"), col("i2"),
+        colOf(SigAgreeExpr(exprOf(col("s1")), exprOf(col("s2")))).as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(natA == hofA)
+  }
+
   test("qualityFeatures (native text_stats) == split/filter HOF tree") {
     // the exact expression tree the native byte-walk replaced
     def hofQuality(text: org.apache.spark.sql.Column) = {
