@@ -55,10 +55,13 @@ object Bench {
     // 0.884 (count) on the same jar — the consuming action is
     // measurement-neutral here; noop is kept as the stricter contract.
 
-  // A/B levers for SPARK_GRAFT_SCALING_ONLY runs (never set in the
-  // graded path): re-apply the fine-split scan override to the
-  // flagship legs to reproduce the artifact documented at pipeline(),
-  // and vary the CNN legs' split size ("off" = default 128 MB bins).
+  // Scan-split controls. abFineSplit is a dev-only lever (false in the
+  // graded path; SPARK_GRAFT_AB=8m-on re-applies the fine-split override
+  // to the flagship legs to reproduce the artifact documented at
+  // pipeline()). abCnnSplit IS the graded CNN legs' split size — its
+  // "32m" default is the measured optimum (A/B at cnnRun); the lever
+  // only exists so scaling-only runs can re-test other sizes ("off" =
+  // default 128 MB bins).
   @volatile private var abFineSplit = false
   @volatile private var abCnnSplit = "32m"
 
@@ -108,6 +111,7 @@ object Bench {
     // is the opposite regime (~6 uneven default bins vs coalesce(4)) and
     // keeps its override — split size must be tuned to the table, which
     // is exactly the Snapshot.compact co-tuning note at cluster scale.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     if (parallelism > 0) {
       spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
       if (abFineSplit)
@@ -132,8 +136,14 @@ object Bench {
     // headline queries, not inside the scaling unit. Consumed via the
     // noop sink so the final agg expressions stay in the timed plan.
     consume(hist)
-    if (parallelism > 0 && abFineSplit) // restore AFTER the action
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    // restore AFTER the action (conf reads at plan time) — including
+    // shuffle.partitions, so a later parallelism=0 run in the same
+    // session doesn't silently inherit the last scaling width
+    if (parallelism > 0) {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (abFineSplit)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    }
     ()
   }
 
@@ -156,6 +166,7 @@ object Bench {
                      limit: Int, parallelism: Int = 0): Unit = {
     import org.apache.spark.sql.Encoders
     implicit val s: SparkSession = spark
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     if (parallelism > 0) {
       spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
       if (abCnnSplit != "off")
@@ -168,8 +179,12 @@ object Bench {
     val cellRes = operators.Tiler.resForCellSize(64.0)
     val tiles = operators.Tiler.multiTiles(im, 64, cellRes, halo = net.halo)
     consume(operators.ConvNet.segPredictTiles(tiles, net, 64).toDF())
-    if (parallelism > 0 && abCnnSplit != "off") // restore AFTER the action
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    // restore AFTER the action — incl. shuffle.partitions (see pipeline)
+    if (parallelism > 0) {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (abCnnSplit != "off")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    }
     ()
   }
 
@@ -180,6 +195,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every number below renders through the f interpolator, which uses
+    // the JVM default locale — a comma-decimal locale (de_DE, fr_FR)
+    // would emit unparseable BENCH.json (the exact "parsed: null"
+    // failure the file-write guard at the bottom exists to prevent)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // big enough that compute (decode + PIP), not job overhead, bounds the
@@ -235,6 +255,8 @@ object Bench {
       ab.split(",").find(_.startsWith("cnn-split=")).foreach(v =>
         abCnnSplit = v.stripPrefix("cnn-split="))
       val sc = math.min(4, cpus); val ss = math.max(1, sc / 4)
+      val ratio = sc.toDouble / ss // true width ratio (sc/ss), not a literal 4:
+                                   // at SPARK_GRAFT_CPUS=2 the pair is 1v2
       val prs =
         if (sys.env("SPARK_GRAFT_SCALING_ONLY") == "cnn") {
           val net = operators.ConvNet.fixtureNet3
@@ -244,7 +266,7 @@ object Bench {
           (1 to 3).map { _ =>
             val ts = time(cnnRun(sp, net, p3, 0, ss))._1
             val tb = time(cnnRun(sp, net, p3, 0, sc))._1
-            println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / 4}%.3f")
+            println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / ratio}%.3f")
             (ts, tb)
           }
         } else {
@@ -254,11 +276,11 @@ object Bench {
           (1 to 5).map { _ =>
             val ts = time(pipeline(sp, p2, ss))._1
             val tb = time(pipeline(sp, p2, sc))._1
-            println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / 4}%.3f")
+            println(f"[ab] pair ts=$ts%.2f tb=$tb%.2f ratio=${ts / tb / ratio}%.3f")
             (ts, tb)
           }
         }
-      val effs = prs.map { case (a, b) => a / b / 4 }.sorted
+      val effs = prs.map { case (a, b) => a / b / ratio }.sorted
       println(f"[ab] '$ab%s' median_eff=${effs(effs.size / 2)}%.3f")
       sp.stop()
       return
@@ -272,7 +294,10 @@ object Bench {
     // numbers stop depending on their position in the list.
     var spark = session(cpus)
     val warmDir = "/root/testdata/sf0.001"
-    new java.io.File(sfDir).listFiles().toSeq
+    // listFiles() is null for a missing/typo'd dir — skip pretouch then
+    // (each query still records -1.0 individually) instead of NPEing
+    // before a single query has run
+    Option(new java.io.File(sfDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => try consume(spark.read.parquet(f.getPath))
         catch { case _: Throwable => })

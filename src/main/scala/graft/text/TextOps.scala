@@ -94,9 +94,13 @@ object TextOps {
     * document text (at 100 TB, shuffling whole docs as groupBy keys is
     * the dominant cost). 128-bit digest + exact length makes a false
     * merge cryptographically improbable. Returns (keep_id, n_dups) —
-    * min doc id is kept, reference-free. */
+    * min doc id is kept, reference-free. NULL text is MISSING data, not
+    * identical content: groupBy would treat every NULL key as equal and
+    * silently collapse all text-less docs into one "duplicate" group
+    * (dropping all but one downstream), so NULL-text docs bypass the
+    * digest and keep themselves. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(
+    docs.where(col(textCol).isNotNull).groupBy(
       md5(encode(lower(col(textCol)), "UTF-8")).as("__h"),
       // the length key must describe the SAME string the digest does:
       // lowercasing can change the character count (Turkish dotted I ->
@@ -105,6 +109,8 @@ object TextOps {
       length(lower(col(textCol))).as("__len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
+      .unionByName(docs.where(col(textCol).isNull)
+        .select(col(idCol).as("keep_id"), lit(1L).as("n_dups")))
 
   /** Transitive near-dup clustering: candidate PAIRS (from minHashLsh /
     * simHashPairs / phash matching) collapse into connected components
@@ -582,6 +588,11 @@ object HashRuntime {
     * codegen hot loop). Bit-identical to the per-window fp62, including
     * its MaxChars cap (each window's range shortens the same way). */
   def rollingFp(v: UTF8String, win: Int): Long = {
+    // fail loudly, not per-row garbage: win <= 0 would index t(0)(-1)
+    // (negative) or hash every window as the empty range (zero — every
+    // doc silently "identical"); siblings guard their params the same
+    // way (ShingleFpsExpr n >= 1, BandKeysExpr bands/rows >= 1)
+    require(win >= 1, s"rolling_fingerprint window must be >= 1, got $win")
     val s = v.toString
     val n = s.length
     if (n <= win) return HashFamily.fp62(s, 0, n)

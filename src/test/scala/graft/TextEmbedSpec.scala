@@ -28,6 +28,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r.contains(3L))
   }
 
+  test("dedupExact: NULL text is missing data, never a duplicate group") {
+    // groupBy would treat every NULL key as equal — two text-less docs
+    // must each survive as their own singleton, not collapse to one
+    val withNulls = Seq[(Long, String)](
+      (0L, base), (1L, base), (2L, null), (3L, null), (4L, other))
+      .toDF("doc_id", "text")
+    val r = TextOps.dedupExact(withNulls, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("rolling fingerprint rejects a non-positive window loudly") {
+    val one = Seq((0L, "some text")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      one.select(TextOps.fingerprint(col("text"), 0)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("shingles (native shingle_fps) == split/transform/concat_ws HOF chain") {
     // the exact pipeline the native substring-hashing expression replaced
     def hofShingles(d: org.apache.spark.sql.DataFrame, n: Int) = {
