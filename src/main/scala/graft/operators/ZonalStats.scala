@@ -148,6 +148,14 @@ object ZonalStats {
       .groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
   }
 
+  /** Fold partial histograms (per batch / per shard) back into one
+    * histogram row per (poly_id, band, value) — the shared re-aggregation
+    * both resumable-pipeline and streaming reads apply before stats();
+    * ONE definition so the batch and streaming paths cannot silently
+    * diverge on the histogram key set. */
+  def foldPartials(hist: DataFrame): DataFrame =
+    hist.groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
+
   /**
    * Full reference stat set per (poly_id, band), from the histogram:
    * count/sum/mean/min/max/std/var (shape.py:1023-1068), skew/kurtosis

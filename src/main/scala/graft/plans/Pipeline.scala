@@ -93,9 +93,6 @@ object Pipeline {
   }
 
   /** Zonal stats over everything committed so far. */
-  def stats(table: SnapshotTable): DataFrame = {
-    val hist = table.read()
-      .groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
-    ZonalStats.stats(hist)
-  }
+  def stats(table: SnapshotTable): DataFrame =
+    ZonalStats.stats(ZonalStats.foldPartials(table.read()))
 }

@@ -46,19 +46,63 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
   /** Partition dir for `key` under snapshot `v` — built with Spark's own
     * partition-path escaping, so values containing %, /, etc. resolve to
     * the directory the partitioned write actually produced. */
+  private def partDirName(key: String): String =
+    s"$partKey=" + org.apache.spark.sql.catalyst
+      .catalog.ExternalCatalogUtils.escapePathName(key)
   private def partDir(v: Int, key: String): Path =
-    new Path(dataDir(v), s"$partKey=" + org.apache.spark.sql.catalyst
-      .catalog.ExternalCatalogUtils.escapePathName(key))
+    new Path(dataDir(v), partDirName(key))
 
-  /** (parquet file count, total parquet bytes) in `dir`; (0, 0) when the
-    * dir is absent (declared-empty partitions write no files). */
-  private def parquetFiles(dir: Path): (Int, Long) = {
+  /** (parquet file count, total bytes) per partition subdir of snapshot
+    * `v`, in ONE recursive listing (object stores serve this as a flat
+    * LIST) — listing each partition dir separately would be one
+    * filesystem RPC per partition, which at the 10^4-10^5-partition
+    * design point is hours of serial driver-side listing on s3a://. */
+  private def parquetFilesByPart(v: Int): Map[String, (Int, Long)] = {
+    val d = dataDir(v)
     val f = fs
-    if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory) (0, 0L)
-    else {
-      val ps = f.listStatus(dir).iterator
-        .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-      (ps.size, ps.map(_.getLen).sum)
+    if (!f.exists(d)) return Map.empty
+    val it = f.listFiles(d, true)
+    val acc = scala.collection.mutable.HashMap.empty[String, (Int, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val part = st.getPath.getParent.getName
+        val (c, b) = acc.getOrElse(part, (0, 0L))
+        acc(part) = (c + 1, b + st.getLen)
+      }
+    }
+    acc.toMap
+  }
+
+  /** Move a fully-written, validated staging dir into place as
+    * dataDir(v). The long, expensive phase (the distributed write) never
+    * touches shared paths; only this short metadata step does. If
+    * dataDir(v) already exists: a PUBLISHED manifest for v means a
+    * concurrent committer won the version — fail LOUDLY with its data
+    * untouched (the old direct mode("overwrite") write would have
+    * silently deleted it); no manifest means the dir is a crashed
+    * writer's orphan, which the class contract makes invisible and
+    * replaceable ("a partial data dir without a manifest is simply
+    * invisible"), so the retry replaces it. A racer still inside its own
+    * [rename, publish] window is indistinguishable from an orphan — that
+    * residual window is two metadata ops wide (vs the whole write
+    * duration before), and the manifest publish guard still fails one of
+    * the two writers loudly; true multi-writer ACID needs an atomic CAS
+    * this layer does not claim (use real Iceberg there). */
+  private def moveIntoPlace(staging: Path, v: Int): Unit = {
+    val outDir = dataDir(v)
+    if (fs.exists(outDir)) {
+      if (fs.exists(new Path(manifestDir, s"v$v.json"))) {
+        fs.delete(staging, true)
+        throw new java.io.IOException(
+          s"snapshot v$v at $root already published by a concurrent committer")
+      }
+      fs.delete(outDir, true) // documented crash-orphan recovery
+    }
+    if (!fs.rename(staging, outDir) ||
+        !fs.exists(new Path(outDir, "_SUCCESS"))) {
+      throw new java.io.IOException(
+        s"failed to move staged snapshot into place for v$v at $root")
     }
   }
 
@@ -107,12 +151,28 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     * is still completed work and must publish, or resume would reprocess
     * it forever. */
   def commit(df: DataFrame, writer: String, declaredKeys: Set[String]): Set[String] = {
-    val prior = committed()
+    // PIN the version this commit builds against (same rule as compact):
+    // re-reading currentVersion after committed() would let a commit that
+    // interleaves between the two reads vanish from the merged manifest
+    // with no version collision for the publish guard to catch.
+    val v0 = currentVersion
+    val prior = committedAt(v0)
     val fresh =
       if (prior.isEmpty) df
-      else df.filter(!col(partKey).isin(prior.keys.toSeq: _*))
-    val v = currentVersion + 1
+      // keep NULL-keyed rows (isin-negation is null for them — silently
+      // dropping rows is never ok); they fail loudly at the require below
+      else df.filter(col(partKey).isNull || !col(partKey).isin(prior.keys.toSeq: _*))
+    val v = v0 + 1
+    // write into a writer-unique STAGING dir, renamed into place after
+    // validation: two writers racing on the same version would otherwise
+    // both mode("overwrite") the shared dataDir(v), and the loser's write
+    // DELETES the winner's already-written files before the manifest
+    // guard fires — the published manifest then points at missing data.
+    // With staging, the loser fails at the exists/rename step below and
+    // its staging dir is removed; the winner's data is never touched.
     val outDir = dataDir(v)
+    val staging = new Path(new Path(rootPath, "data"),
+      s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
     // write FIRST, metrics from the WRITTEN snapshot: a pre-write
     // count().collect() would execute the incoming plan twice (the
     // whole batch job re-runs for the second action) and, under any
@@ -120,21 +180,29 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     // write then produced. The read-back count is partition-pruned
     // columnar metadata over the snapshot we just wrote — cheap, and
     // the manifest rows/bytes now describe the committed bytes exactly.
-    fresh.write.partitionBy(partKey).mode("overwrite").parquet(outDir.toString)
-    val wrotePartDirs = fs.exists(outDir) && fs.listStatus(outDir).iterator
+    fresh.write.partitionBy(partKey).mode("overwrite").parquet(staging.toString)
+    val wrotePartDirs = fs.exists(staging) && fs.listStatus(staging).iterator
       .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$partKey="))
     val counted: Map[String, Long] =
       if (!wrotePartDirs) Map.empty
-      else spark.read.schema(fresh.schema).parquet(outDir.toString)
+      else spark.read.schema(fresh.schema).parquet(staging.toString)
         .groupBy(partKey).count() // explicit schema: no partition-type
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // inference
+    if (counted.contains(null)) {
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"commit to $root: partition column '$partKey' contains NULL " +
+          "values — a snapshot partition value must be a real string")
+    }
     val counts = counted ++ (declaredKeys -- prior.keySet -- counted.keySet)
       .map(_ -> 0L)
-    if (counts.isEmpty) { fs.delete(outDir, true); return Set.empty }
-    // byte metrics from the files just written
-    val bytes = counts.keys.map(k => k -> parquetFiles(partDir(v, k))._2).toMap
+    if (counts.isEmpty) { fs.delete(staging, true); return Set.empty }
+    moveIntoPlace(staging, v)
+    // byte metrics from the files just written — ONE recursive listing of
+    // the snapshot dir, not one RPC per partition
+    val bytes = parquetFilesByPart(v)
     val merged = prior ++ counts.map { case (k, n) =>
-      k -> PartMeta(n, bytes(k), v, writer)
+      k -> PartMeta(n, bytes.getOrElse(partDirName(k), (0, 0L))._2, v, writer)
     }
     publishManifest(v, merged)
     counts.keySet
@@ -168,11 +236,16 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     // compaction silently erasing the concurrent commit from the manifest
     val v0 = currentVersion
     val prior = committedAt(v0)
-    // current file count + target per live partition (metadata-only scan)
+    // current file count + target per live partition — one recursive
+    // listing per DISTINCT live snapshot dir (a handful), not one RPC
+    // per partition
+    val filesBySnapshot = prior.values.map(_.snapshot).toSet
+      .map((sv: Int) => sv -> parquetFilesByPart(sv)).toMap
     val plans = prior.toSeq.flatMap { case (k, m) =>
       if (m.rows == 0) None
       else {
-        val (nFiles, _) = parquetFiles(partDir(m.snapshot, k))
+        val nFiles =
+          filesBySnapshot(m.snapshot).getOrElse(partDirName(k), (0, 0L))._1
         val target = math.max(1L, (m.bytes + maxFileBytes - 1) / maxFileBytes).toInt
         if (nFiles > target) Some(k -> target) else None
       }
@@ -186,10 +259,17 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
       .withColumn("__salt", pmod(xxhash64(dataCols: _*), col("__nf")))
       .repartition(col(partKey), col("__salt"))
       .drop("__nf", "__salt")
+    // same staging-then-rename protocol as commit(): never overwrite a
+    // shared dataDir(v) a racing writer may already own
+    val staging = new Path(new Path(rootPath, "data"),
+      s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
     salted.write.partitionBy(partKey).mode("overwrite")
-      .parquet(dataDir(v).toString)
+      .parquet(staging.toString)
+    moveIntoPlace(staging, v)
+    val bytes = parquetFilesByPart(v)
     val merged = prior ++ plans.keys.map { k =>
-      k -> PartMeta(prior(k).rows, parquetFiles(partDir(v, k))._2, v, writer)
+      k -> PartMeta(prior(k).rows,
+        bytes.getOrElse(partDirName(k), (0, 0L))._2, v, writer)
     }
     publishManifest(v, merged)
     plans.keySet
@@ -216,7 +296,9 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
     // only dirs AT OR BELOW the newest published version are candidates:
     // a dir above it is an IN-FLIGHT commit/compaction that has written
     // data but not yet published its manifest — sweeping it would let the
-    // writer publish a manifest pointing at deleted files
+    // writer publish a manifest pointing at deleted files. (.staging-*
+    // dirs — possibly stranded by a crashed writer — are dot-prefixed,
+    // invisible to readers, skipped here for the same in-flight reason.)
     val deletable = f.listStatus(dataRoot).iterator
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.stripPrefix("v").toInt }
@@ -246,8 +328,15 @@ class SnapshotTable(spark: SparkSession, root: String, partKey: String) {
 
   private def readFrom(parts: Map[String, PartMeta]): DataFrame = {
     require(parts.nonEmpty, s"empty snapshot table at $root")
-    parts.filter(_._2.rows > 0) // declared-empty partitions have no files
-      .toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>
+    val live = parts.filter(_._2.rows > 0) // declared-empty parts have no files
+    // all-declared-empty is legal table state (every shard committed
+    // zero rows) but unreadable — no data file exists to derive a
+    // schema from, so the bare reduce below would die with the cryptic
+    // "empty.reduce"; fail with the actual contract instead
+    require(live.nonEmpty,
+      s"snapshot table at $root holds only declared-empty partitions " +
+        "(every committed shard had zero rows) — nothing to read")
+    live.toSeq.groupBy(_._2.snapshot).toSeq.sortBy(_._1).map { case (v, ps) =>
       spark.read
         .option("basePath", dataDir(v).toString)
         .parquet(ps.map { case (k, _) => partDir(v, k).toString }: _*)

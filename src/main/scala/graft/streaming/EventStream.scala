@@ -94,14 +94,23 @@ object EventStream {
                  gapMs: Long = 60 * 60 * 1000L)
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    // Session state times are MICROseconds: the batch replay
+    // (sessionizeBatch) splits on exact µs gaps over the parquet µs
+    // timestamps, and Timestamp.getTime would truncate to ms — two
+    // events 1 gap + 1 µs apart would merge here but split there.
+    // (The watermark itself is ms-granular — Spark's contract — so only
+    // the CLOSING decision rounds, conservatively, never the split.)
+    val gapUs = gapMs * 1000L
     def mergeAll(sessions: Seq[Session]): List[Session] =
       sessions.sortBy(_.start).foldLeft(List.empty[Session]) { (acc, s) =>
         acc match {
-          case head :: rest if s.start - head.end <= gapMs =>
+          case head :: rest if s.start - head.end <= gapUs =>
             Session(head.start, math.max(head.end, s.end), head.n + s.n) :: rest
           case _ => s :: acc
         }
       }.reverse
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     def update(userId: Long, evs: Iterator[Ev],
                state: GroupState[List[Session]]): Iterator[SessionOut] = {
@@ -109,18 +118,21 @@ object EventStream {
       val merged =
         if (state.hasTimedOut) state.get
         else mergeAll(state.getOption.getOrElse(Nil) ++
-          evs.map(e => Session(e.ts.getTime, e.ts.getTime, 1)))
+          evs.map(e => Session(micros(e.ts), micros(e.ts), 1)))
       // a session is FINAL once nothing inside the watermark horizon can
       // still extend it: end + gap <= watermark
-      val (closed, open) = merged.partition(_.end + gapMs <= wm)
+      val (closed, open) = merged.partition(_.end + gapUs <= wm * 1000L)
       if (open.isEmpty) state.remove()
       else {
         state.update(open)
         // fire again when the earliest open session can close; event-time
-        // timeouts must be strictly beyond the current watermark
-        state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
+        // timeouts are ms-granular and must be strictly beyond the
+        // current watermark
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.end).min / 1000L + gapMs, wm + 1))
       }
-      closed.iterator.map(s => SessionOut(userId, s.start, s.end, s.n))
+      closed.iterator.map(s =>
+        SessionOut(userId, s.start / 1000L, s.end / 1000L, s.n))
     }
     events.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts")).as[Ev]

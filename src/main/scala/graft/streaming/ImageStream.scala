@@ -68,9 +68,6 @@ object ImageStream {
   }
 
   /** Fold the streamed histogram deltas into final zonal stats. */
-  def stats(spark: SparkSession, outDir: String): DataFrame = {
-    val hist = spark.read.parquet(outDir)
-      .groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
-    ZonalStats.stats(hist)
-  }
+  def stats(spark: SparkSession, outDir: String): DataFrame =
+    ZonalStats.stats(ZonalStats.foldPartials(spark.read.parquet(outDir)))
 }

@@ -172,4 +172,47 @@ class EventStreamSpec extends AnyFunSuite {
     assert(utc.exists(_._2 == java.time.LocalDateTime.parse("2024-03-01T00:10")
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L))
   }
+
+  test("sub-ms timestamps split sessions identically in stream and batch") {
+    // two events exactly gap apart MERGE; gap + 1 µs apart SPLIT. The
+    // streaming state must decide in µs like sessionizeBatch — under
+    // Timestamp.getTime's ms truncation both pairs look exactly gap
+    // apart and the second pair would wrongly merge.
+    val dir = Files.createTempDirectory("graft_subms_in_").toString
+    val gapUs = 3600000L * 1000L
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val b0 = Base * 1000L + 500L // µs, deliberately off the ms grid
+    val early = Seq(
+      (1L, tsUs(b0), 1L, "c", 0.0, "{}"),
+      (2L, tsUs(b0 + gapUs), 1L, "c", 0.0, "{}"),          // = gap: merge
+      (3L, tsUs(b0 + 2 * gapUs + 1L), 1L, "c", 0.0, "{}")) // 1 µs over: split
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flush = Seq((4L, ts(50000), 4L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    early.repartition(1).write.mode("append").parquet(dir)
+    flush.repartition(1).write.mode("append").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_subms_ck_").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.sessionize(stream).toDF()
+      .writeStream.format("memory").queryName("sessions_subms")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_subms")
+      .filter(col("user_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStream.sessionizeBatch(spark.read.parquet(dir))
+      .filter(col("user_id") === 1L)
+      .select(col("user_id"), (col("start_us") / 1000).cast("long"),
+        (col("end_us") / 1000).cast("long"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.map(_._4) == Set(2L, 1L), "expected a 2-event and a 1-event session")
+  }
 }

@@ -211,4 +211,55 @@ class SnapshotSpec extends AnyFunSuite {
       "v2's manifest still references v1's data -> nothing deletable")
     assert(t2.read().count() == 20)
   }
+
+  test("NULL partition values fail loudly before anything is published") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    val df = Seq(("a", 1L, "x"), (null.asInstanceOf[String], 2L, "y"))
+      .toDF("shard", "seq", "payload")
+    val ex = intercept[IllegalArgumentException] { t.commit(df, "w") }
+    assert(ex.getMessage.contains("NULL"))
+    assert(t.snapshots().isEmpty, "a failed commit must publish nothing")
+    // the staging dir is cleaned up too
+    val dataDir = Paths.get(root, "data").toFile
+    assert(!dataDir.exists || dataDir.listFiles.forall(
+      f => !f.getName.startsWith(".staging")))
+    // and with a PRIOR commit, a null-keyed row must still fail loudly
+    // (the isin-negation filter would otherwise silently drop it)
+    t.commit(workload(Seq("a")), "w1")
+    val ex2 = intercept[IllegalArgumentException] { t.commit(df, "w2") }
+    assert(ex2.getMessage.contains("NULL"))
+  }
+
+  test("all-declared-empty table reads fail with the contract, not empty.reduce") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    val empty = workload(Seq("a")).where(lit(false))
+    val written = t.commit(empty, "w", declaredKeys = Set("a", "b"))
+    assert(written == Set("a", "b")) // completed (empty) work publishes
+    assert(t.committed().values.forall(_.rows == 0))
+    val ex = intercept[IllegalArgumentException] { t.read() }
+    assert(ex.getMessage.contains("declared-empty"))
+  }
+
+  test("staged commits replace crash orphans and leave no staging litter") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, "shard")
+    t.commit(workload(Seq("a")), "w1")
+    // a crashed writer's orphan (data, no manifest) is replaced by the
+    // retry — the documented recovery contract, now via the staging
+    // rename instead of a shared-dir overwrite
+    val v2 = Paths.get(root, "data", "v2")
+    Files.createDirectories(v2)
+    Files.writeString(v2.resolve("sentinel"), "crashed-writer")
+    val w = t.commit(workload(Seq("b")), "w2")
+    assert(w == Set("b"))
+    assert(!Files.exists(v2.resolve("sentinel")), "orphan not replaced")
+    assert(Files.exists(v2.resolve("_SUCCESS")), "staged move incomplete")
+    assert(t.read().count() == 20)
+    // no .staging-* dirs survive any commit/compact path
+    t.compact(maxFileBytes = 1L) // force a rewrite pass too
+    assert(Paths.get(root, "data").toFile.listFiles.forall(
+      f => !f.getName.startsWith(".staging")), "staging dir leaked")
+  }
 }
