@@ -137,70 +137,83 @@ object ConvNet {
     while (li < layers.length) {
       val l = layers(li)
       require(cur.length == l.inC, s"input has ${cur.length} bands, layer wants ${l.inC}")
-      // hoist every field the tap loop touches — measured 1.5x
-      val wts = l.weights; val bs = l.bias
-      val inC = l.inC; val outC = l.outC; val k = l.k; val r = l.radius
-      val relu = l.relu
       val out =
-        if (scratch != null) scratch.planes(li, outC, w * h)
-        else Array.fill(outC)(new Array[Float](w * h))
-      var oc = 0
-      while (oc < outC) {
-        val plane = out(oc)
-        val bias = bs(oc).toDouble
-        var y = 0
-        while (y < h) {
-          val innerY = y >= r && y < h - r
-          var x = 0
-          while (x < w) {
-            var s: Double = bias
-            if (innerY && x >= r && x < w - r) {
-              var ic = 0
-              while (ic < inC) {
-                val src = cur(ic)
-                var wi = (oc * inC + ic) * k * k
-                var dy = -r
-                while (dy <= r) {
-                  var p = (y + dy) * w + x - r
-                  var t = 0
-                  while (t < k) {
-                    s += src(p) * wts(wi)
-                    p += 1; wi += 1; t += 1
-                  }
-                  dy += 1
-                }
-                ic += 1
-              }
-            } else {
-              var ic = 0
-              while (ic < inC) {
-                val src = cur(ic)
-                val wBase = (oc * inC + ic) * k * k
-                var dy = -r
-                while (dy <= r) {
-                  val yy = math.min(h - 1, math.max(0, y + dy))
-                  var dx = -r
-                  while (dx <= r) {
-                    val xx = math.min(w - 1, math.max(0, x + dx))
-                    s += src(yy * w + xx) * wts(wBase + (dy + r) * k + (dx + r))
-                    dx += 1
-                  }
-                  dy += 1
-                }
-                ic += 1
-              }
-            }
-            plane(y * w + x) = if (relu && s < 0) 0f else s.toFloat
-            x += 1
-          }
-          y += 1
-        }
-        oc += 1
-      }
+        if (scratch != null) scratch.planes(li, l.outC, w * h)
+        else Array.fill(l.outC)(new Array[Float](w * h))
+      layerForwardInto(cur, w, h, l, out)
       cur = out
       li += 1
     }
     cur
+  }
+
+  /** One layer's edge-replicated `same` conv forward into `out`
+    * (pre-sized outC planes of w*h): the hoisted interior fast path
+    * (measured 1.5x) plus the clamped border path, identical ic -> dy
+    * -> dx accumulation order on both so results are bit-equal.
+    * Shared by forward() above and ConvTrain.forwardAll's per-layer
+    * calls — ONE conv kernel, so the training and inference forwards
+    * cannot drift (and training doesn't pay the clamp arithmetic on
+    * interior pixels). */
+  private[operators] def layerForwardInto(cur: Array[Array[Float]],
+                                          w: Int, h: Int, l: ConvLayer,
+                                          out: Array[Array[Float]]): Unit = {
+    val wts = l.weights; val bs = l.bias
+    val inC = l.inC; val outC = l.outC; val k = l.k; val r = l.radius
+    val relu = l.relu
+    var oc = 0
+    while (oc < outC) {
+      val plane = out(oc)
+      val bias = bs(oc).toDouble
+      var y = 0
+      while (y < h) {
+        val innerY = y >= r && y < h - r
+        var x = 0
+        while (x < w) {
+          var s: Double = bias
+          if (innerY && x >= r && x < w - r) {
+            var ic = 0
+            while (ic < inC) {
+              val src = cur(ic)
+              var wi = (oc * inC + ic) * k * k
+              var dy = -r
+              while (dy <= r) {
+                var p = (y + dy) * w + x - r
+                var t = 0
+                while (t < k) {
+                  s += src(p) * wts(wi)
+                  p += 1; wi += 1; t += 1
+                }
+                dy += 1
+              }
+              ic += 1
+            }
+          } else {
+            var ic = 0
+            while (ic < inC) {
+              val src = cur(ic)
+              val wBase = (oc * inC + ic) * k * k
+              var dy = -r
+              while (dy <= r) {
+                val yy = math.min(h - 1, math.max(0, y + dy))
+                var dx = -r
+                while (dx <= r) {
+                  val xx = math.min(w - 1, math.max(0, x + dx))
+                  s += src(yy * w + xx) * wts(wBase + (dy + r) * k + (dx + r))
+                  dx += 1
+                }
+                dy += 1
+              }
+              ic += 1
+            }
+          }
+          plane(y * w + x) = if (relu && s < 0) 0f else s.toFloat
+          x += 1
+        }
+        y += 1
+      }
+      oc += 1
+    }
   }
 
   /** Per-pixel class decision from the final planes — the reference's

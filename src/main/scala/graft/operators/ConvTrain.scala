@@ -60,46 +60,15 @@ object ConvTrain {
   @inline private[graft] def snap(v: Double, scale: Double): Double =
     math.floor(v * scale) / scale
 
-  /** Edge-replicated `same` conv forward for one layer, clamped taps
-    * everywhere, ic -> dy -> dx accumulation — the same tap order as
-    * ConvNet.forward's two paths, so results are bit-equal to it. */
+  /** Edge-replicated `same` conv forward for one layer — delegates to
+    * ConvNet.layerForwardInto, the ONE shared conv kernel (hoisted
+    * interior fast path + clamped border, bit-equal tap order), so the
+    * training forward can neither drift from inference nor pay clamp
+    * arithmetic on interior pixels. */
   private def layerForward(in: Array[Array[Float]], w: Int, h: Int,
                            l: ConvLayer): Array[Array[Float]] = {
     val out = Array.fill(l.outC)(new Array[Float](w * h))
-    val r = l.radius; val k = l.k
-    var oc = 0
-    while (oc < l.outC) {
-      val plane = out(oc)
-      val bias = l.bias(oc).toDouble
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          var s: Double = bias
-          var ic = 0
-          while (ic < l.inC) {
-            val src = in(ic)
-            val wBase = (oc * l.inC + ic) * k * k
-            var dy = -r
-            while (dy <= r) {
-              val yy = math.min(h - 1, math.max(0, y + dy))
-              var dx = -r
-              while (dx <= r) {
-                val xx = math.min(w - 1, math.max(0, x + dx))
-                s += src(yy * w + xx) * l.weights(wBase + (dy + r) * k + (dx + r))
-                dx += 1
-              }
-              dy += 1
-            }
-            ic += 1
-          }
-          plane(y * w + x) = if (l.relu && s < 0) 0f else s.toFloat
-          x += 1
-        }
-        y += 1
-      }
-      oc += 1
-    }
+    ConvNet.layerForwardInto(in, w, h, l, out)
     out
   }
 
@@ -604,17 +573,26 @@ object ConvTrain {
         st.mom1(li)(i) = m; st.mom2(li)(i) = v
         lr * (m / (1 - st.p1)) / (math.sqrt(v / (1 - st.p2)) + eps)
     }
-    val stepped = SegNet(net.layers.zipWithIndex.map { case (l, li) =>
+    (applyStep(net, gradScale, step), assembleLoss(lossFn, loss, ctx))
+    } finally bc.destroy()
+  }
+
+  /** One optimizer step applied to every parameter:
+    * snap(param - stepOf(layer, flatIdx), gradScale), bias entries at
+    * flat indices >= weights.length. The ONLY place the step-and-snap
+    * convention lives — runEpoch (SGD/Adam) and gridSearch's
+    * per-candidate SGD both apply through here, so the determinism
+    * contract cannot drift between the two training paths. */
+  private def applyStep(net: SegNet, gradScale: Double,
+                        stepOf: (Int, Int) => Double): SegNet =
+    SegNet(net.layers.zipWithIndex.map { case (l, li) =>
       val wl = l.weights.length
       l.copy(
         weights = Array.tabulate(wl)(i =>
-          snap(l.weights(i) - step(li, i), gradScale).toFloat),
+          snap(l.weights(i) - stepOf(li, i), gradScale).toFloat),
         bias = Array.tabulate(l.bias.length)(i =>
-          snap(l.bias(i) - step(li, wl + i), gradScale).toFloat))
+          snap(l.bias(i) - stepOf(li, wl + i), gradScale).toFloat))
     }, net.classes)
-    (stepped, assembleLoss(lossFn, loss, ctx))
-    } finally bc.destroy()
-  }
 
   /** Full-batch SGD (the common case). */
   def trainSeg(chips: Dataset[ChipRow], net0: SegNet, epochs: Int,
@@ -791,38 +769,53 @@ object ConvTrain {
                          opt: Optimizer, gradBits: Int = 8,
                          lossFn: Loss = SquaredError,
                          lrDropEpoch: Int = 25, lrDropTo: Double = 1e-5,
-                         isVal: ChipRow => Boolean = isHoldout)
+                         isVal: ChipRow => Boolean = null)
                         (implicit spark: SparkSession)
       : (SegNet, Seq[EpochLog]) = {
     require(epochs >= 1 && gradBits >= 0 && gradBits <= 24)
-    val train = chips.filter(ch => !isVal(ch))
-    val valid = chips.filter(ch => isVal(ch))
-    // an empty validation split would score every epoch 0 and the loop
-    // would silently return the untrained fail-safe — fail loudly, the
-    // same contract as the empty-train require below
-    require(!valid.isEmpty,
-      "trainSegCheckpoint: validation split is empty — isVal matched no chips")
-    val gradScale = math.pow(2.0, gradBits)
-    var net = net0
-    var lr = opt match { case Sgd(l) => l; case Adam(l, _, _, _) => l }
-    var best = net0
-    var bestScore = 0.0
-    var everSaved = false
-    val logs = Seq.newBuilder[EpochLog]
-    val st = new OptState(net0)
-    var e = 0
-    while (e < epochs) {
-      if (e == lrDropEpoch) lr = lrDropTo
-      val (stepped, loss) = runEpoch(train, net, gradScale, lossFn, opt,
-        lr, st, "training epoch saw zero chips (empty train split)")
-      net = stepped
-      val score = iouChips(valid, net)
-      val saved = score > bestScore
-      if (saved) { bestScore = score; best = net; everSaved = true }
-      logs += EpochLog(e, loss, score, lr, saved)
-      e += 1
-    }
-    (if (everSaved) best else net, logs.result())
+    // default split: the checkerboard at the dataset's nominal chip
+    // size (a null sentinel because a default expression cannot see
+    // `chips`; pass an explicit isVal to override)
+    val isV: ChipRow => Boolean =
+      if (isVal != null) isVal
+      else { val cs = nominalChipSize(chips); ch => isHoldout(ch, cs) }
+    // persist both splits once: the typed isV filter is opaque to
+    // pushdown, so each of the epochs x (train gradient + valid IoU)
+    // passes would otherwise rescan the ENTIRE upstream chip lineage —
+    // the same repeated-full-scan cost trainSegBatched's persist note
+    // quantifies (50 epochs = ~100 full-table reads at 100 TB)
+    val train = chips.filter(ch => !isV(ch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valid = chips.filter(ch => isV(ch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an empty validation split would score every epoch 0 and the loop
+      // would silently return the untrained fail-safe — fail loudly, the
+      // same contract as the empty-train require below
+      require(!valid.isEmpty,
+        "trainSegCheckpoint: validation split is empty — isVal matched no chips")
+      val gradScale = math.pow(2.0, gradBits)
+      var net = net0
+      var lr = opt match { case Sgd(l) => l; case Adam(l, _, _, _) => l }
+      var best = net0
+      var bestScore = 0.0
+      var everSaved = false
+      val logs = Seq.newBuilder[EpochLog]
+      val st = new OptState(net0)
+      var e = 0
+      while (e < epochs) {
+        if (e == lrDropEpoch) lr = lrDropTo
+        val (stepped, loss) = runEpoch(train, net, gradScale, lossFn, opt,
+          lr, st, "training epoch saw zero chips (empty train split)")
+        net = stepped
+        val score = iouChips(valid, net)
+        val saved = score > bestScore
+        if (saved) { bestScore = score; best = net; everSaved = true }
+        logs += EpochLog(e, loss, score, lr, saved)
+        e += 1
+      }
+      (if (everSaved) best else net, logs.result())
+    } finally { train.unpersist(false); valid.unpersist(false) }
   }
 
   /** One epoch's gradient aggregation: per-PARTITION accumulators emit
@@ -1149,16 +1142,24 @@ object ConvTrain {
     // 1/batches of it (50 epochs x 8 batches = 400 full-table reads at
     // the 100 TB design point). Cached, the upstream is read `batches`
     // times total and each step reads only its own batch's partitions.
-    val parts = (0 until batches).map(b =>
-      chips.filter(ch => (ch.cx / ch.w + ch.cy / ch.h) % batches == b)
+    // Batch residues come from the nominal-chip-size grid index (edge
+    // chips carry truncated w/h — see isHoldout).
+    val cs = nominalChipSize(chips)
+    val all = (0 until batches).map(b =>
+      chips.filter(ch => (ch.cx / cs + ch.cy / cs) % batches == b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
+      // a residue with no chips is simply skipped — torch's DataLoader
+      // analog yields fewer batches, it does not crash; the count also
+      // materializes each kept batch's cache before the epoch loop
+      val parts = all.filter(_.count() > 0)
+      require(parts.nonEmpty, "trainSegBatched: no batch holds any chip")
       var net = net0
       val losses = Seq.newBuilder[Double]
       var e = 0
       while (e < epochs) {
         var b = 0
-        while (b < batches) {
+        while (b < parts.length) {
           val (n2, l2) =
             trainSegOpt(parts(b), net, epochs = 1, Sgd(lr), gradBits, lossFn)
           net = n2
@@ -1168,7 +1169,7 @@ object ConvTrain {
         e += 1
       }
       (net, losses.result())
-    } finally parts.foreach(_.unpersist(false))
+    } finally all.foreach(_.unpersist(false))
   }
 
   /** One hyper-parameter candidate: a learning rate (power of two) and
@@ -1180,8 +1181,28 @@ object ConvTrain {
                                    holdoutLoss: Double, net: SegNet)
 
   /** The deterministic holdout split: chips at even (grid-x + grid-y)
-    * parity train, odd parity validate. */
-  def isHoldout(ch: ChipRow): Boolean = (ch.cx / ch.w + ch.cy / ch.h) % 2 == 1
+    * parity train, odd parity validate. Grid indices divide the chip
+    * ORIGIN by the nominal chip size — NOT by the chip's own w/h,
+    * which chipPairs truncates on edge chips (a 96-px image at
+    * chipSize 64 emits a chip at cx=64 with w=32; 64/32=2 would put it
+    * on the wrong checkerboard square, and the DuckDB training oracles
+    * replay the cx // chipSize form). */
+  def isHoldout(ch: ChipRow, chipSize: Int): Boolean =
+    (ch.cx / chipSize + ch.cy / chipSize) % 2 == 1
+
+  /** The nominal (untruncated) chip size of a chip grid: max w/h over
+    * the dataset — exact whenever at least one full-size chip exists.
+    * (A dataset of ONLY truncated chips means every image is smaller
+    * than the chip size, so every chip sits at grid (0, 0) and no
+    * origin-based rule can split it; the empty-split requires
+    * downstream fail loudly there.) One tiny agg job per training
+    * call; keeps chipSize out of every training signature. */
+  private def nominalChipSize(chips: Dataset[ChipRow]): Int = {
+    import org.apache.spark.sql.functions.{col, greatest, max}
+    val r = chips.agg(max(greatest(col("w"), col("h")))).head()
+    require(!r.isNullAt(0), "nominalChipSize: empty chip dataset")
+    r.getInt(0)
+  }
 
   /** GridSearchCV / create_model_optuna analog (learning.py:671-676,
     * convnet.py:50-428's optuna loop) as ONE data-parallel job family:
@@ -1212,8 +1233,9 @@ object ConvTrain {
         "the snap() exactness bound (|v| * 2^bits < 2^53) the " +
         "determinism contract relies on"))
     checkLossShape(lossFn, net0.layers.last.outC)
-    val train = chips.filter(ch => !isHoldout(ch))
-    val hold = chips.filter(ch => isHoldout(ch))
+    val cs = nominalChipSize(chips)
+    val train = chips.filter(ch => !isHoldout(ch, cs))
+    val hold = chips.filter(ch => isHoldout(ch, cs))
     val scales = cands.map(c => math.pow(2.0, c.gradBits)).toArray
     var nets = cands.map(_ => net0).toArray
     val lossTrails = Array.fill(cands.length)(Seq.newBuilder[Double])
@@ -1271,16 +1293,8 @@ object ConvTrain {
         else grads(ci)(li)(r.getInt(2)) = r.getDouble(3)
       }
       nets = Array.tabulate(nets.length) { ci =>
-        val c = cands(ci); val scale = scales(ci)
-        SegNet(nets(ci).layers.zipWithIndex.map { case (l, li) =>
-          val g = grads(ci)(li)
-          val wl = l.weights.length
-          l.copy(
-            weights = Array.tabulate(wl)(i =>
-              snap(l.weights(i) - c.lr * g(i), scale).toFloat),
-            bias = Array.tabulate(l.bias.length)(i =>
-              snap(l.bias(i) - c.lr * g(wl + i), scale).toFloat))
-        }, nets(ci).classes)
+        val c = cands(ci)
+        applyStep(nets(ci), scales(ci), (li, i) => c.lr * grads(ci)(li)(i))
       }
       } finally bc.destroy()
       e += 1

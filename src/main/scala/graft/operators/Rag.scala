@@ -134,6 +134,12 @@ object Rag {
       inc.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
     }
     edges.foreach { case (a, b, s, c) =>
+      // a self-loop would put a node in its own incidence set; when it
+      // later merges as the drop side, the dropN loop would re-create
+      // an edge to the just-dropped root and a later pop could "merge"
+      // with a dead node. buildBoundary never emits a == b; guard the
+      // private[graft] direct-call surface too.
+      require(a != b, s"RAG self-loop edge on label $a")
       val k = (math.min(a, b), math.max(a, b))
       val (s0, c0) = adj.getOrElse(k, (0.0, 0L))
       adj(k) = (s0 + s, c0 + c)
@@ -184,7 +190,14 @@ object Rag {
   /** Full ragmerge: returns the relabeled per-pixel rows
     * (image_id, x, y, label). Fully lazy/distributed — building the
     * DataFrame launches no Spark job; merges run one-task-per-image on
-    * executors and the per-image edge list is fail-fast bounded. */
+    * executors and the per-image edge list is fail-fast bounded.
+    *
+    * Contract: every segmentation must have its raster in `images`. A
+    * missing raster produces no boundary rows, which the bare relabel
+    * join could not tell apart from "nothing to merge" — the output
+    * would silently pass through unmerged. So every raster id gets a
+    * (possibly empty) merge-map row via the id-only left join below,
+    * and a seg whose join row is NULL fails the task loudly. */
   def ragMerge(segs: Dataset[ImageRow], images: Dataset[ImageRow],
                band: Int = 0, thresh: Double = 0.02,
                maxEdgesPerImage: Int = 1 << 20)
@@ -207,14 +220,26 @@ object Rag {
         val changed = m.iterator.filter { case (k, v) => k != v }.toArray.sortBy(_._1)
         (id, changed.map(_._1), changed.map(_._2))
       }
+    // every raster id gets a merge-map row (empty when the image had no
+    // boundary edges) — id-only join, regions-sized rows
+    val rasterIds = images.select(col("image_id")).distinct().as[String]
+    val mapsAll = rasterIds
+      .joinWith(maps, rasterIds("image_id") === maps("_1"), "left_outer")
+      .map { case (id, m) =>
+        if (m == null) (id, Array.empty[Long], Array.empty[Long]) else m
+      }
     // relabel join: regions-sized right side — AQE broadcasts it when
     // small; at web scale it's a plain equi-join on image_id. Images
-    // with no merged labels (or no edges at all) pass through via left.
-    segs.joinWith(maps, segs("image_id") === maps("_1"), "left_outer")
+    // with no merged labels (or no edges at all) pass through via their
+    // empty map row; a NULL row means the seg has NO raster at all and
+    // fails loudly (see the contract above).
+    segs.joinWith(mapsAll, segs("image_id") === mapsAll("_1"), "left_outer")
       .flatMap { case (sg, mrow) =>
-        val m: Map[Long, Long] =
-          if (mrow == null) Map.empty
-          else mrow._2.iterator.zip(mrow._3.iterator).toMap
+        if (mrow == null)
+          throw new IllegalArgumentException(
+            s"ragMerge: segmentation '${sg.image_id}' has no matching " +
+              "raster in `images` — it would pass through unmerged")
+        val m: Map[Long, Long] = mrow._2.iterator.zip(mrow._3.iterator).toMap
         val lab = PixelCodec.decode(sg.bytes, sg.fmt, sg.w, sg.h).bands(0)
         lab.iterator.zipWithIndex.map { case (v, p) =>
           val l = v.toLong

@@ -319,11 +319,11 @@ class ConvLossSpec extends AnyFunSuite {
     // q_grid_dice's trajectories: both lr candidates trained on the
     // even-parity split with SGD, plus the holdout stats pass at the
     // final weights — the exact transcendental sites the oracle replays
-    val holdout = chipSeq.filter(ConvTrain.isHoldout _)
+    val holdout = chipSeq.filter(ConvTrain.isHoldout(_, 16))
     Seq(math.pow(2.0, -10), math.pow(2.0, -12)).foreach { lr =>
       val d = probeEpochs(ConvNet.fixtureNetSoft, ConvTrain.Dice(),
         ConvTrain.Sgd(lr), epochs = 2,
-        subset = ch => !ConvTrain.isHoldout(ch), probeFinal = holdout)
+        subset = ch => !ConvTrain.isHoldout(ch, 16), probeFinal = holdout)
       assert(d > 1e-7,
         s"grid-dice lr=$lr trajectory too close to a snap boundary: $d")
     }
@@ -394,7 +394,7 @@ class ConvLossSpec extends AnyFunSuite {
     val (w1, res1) = ConvTrain.gridSearch(chips, ConvNet.fixtureNetSoft,
       Seq(ConvTrain.Candidate("a", lr, gradBits = 20)), epochs = 2,
       lossFn = ConvTrain.Dice())
-    val train = chips.filter(ch => !ConvTrain.isHoldout(ch))
+    val train = chips.filter(ch => !ConvTrain.isHoldout(ch, 16))
     val (nRef, lRef) = ConvTrain.trainSegOpt(train, ConvNet.fixtureNetSoft,
       epochs = 2, ConvTrain.Sgd(lr), gradBits = 20,
       lossFn = ConvTrain.Dice())
@@ -403,7 +403,7 @@ class ConvLossSpec extends AnyFunSuite {
       assert(a.weights.sameElements(b.weights) && a.bias.sameElements(b.bias))
     }
     // the holdout score is the assembled dice loss over the odd split
-    val hold = chips.filter(ConvTrain.isHoldout _)
+    val hold = chips.filter(ConvTrain.isHoldout(_, 16))
     val st = ConvTrain.batchStats(hold, w1.net, math.pow(2.0, 20),
       ConvTrain.Dice())
     val expected = ConvTrain.assembleLoss(ConvTrain.Dice(), 0.0,

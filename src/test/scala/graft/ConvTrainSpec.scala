@@ -89,8 +89,8 @@ class ConvTrainSpec extends AnyFunSuite {
   test("gridSearch: single candidate == trainSeg on the train split; " +
        "holdout = sum of chipLoss; winner deterministic") {
     val chips = fixtureChips(1)
-    val train = chips.filter(ch => !ConvTrain.isHoldout(ch))
-    val hold = chips.filter(ch => ConvTrain.isHoldout(ch)).collect()
+    val train = chips.filter(ch => !ConvTrain.isHoldout(ch, 16))
+    val hold = chips.filter(ch => ConvTrain.isHoldout(ch, 16)).collect()
     assert(train.count() == 8 && hold.length == 7) // 5x3 grid, even parity trains
     val lr = math.pow(2.0, -25)
     val (win1, all1) = ConvTrain.gridSearch(chips, ConvNet.fixtureNet,
@@ -231,7 +231,7 @@ class ConvTrainSpec extends AnyFunSuite {
     }
     assert(exEpoch.getMessage.contains("zero chips"))
     // a holdout-empty split: only even-parity chips survive
-    val evenOnly = chips.filter(ch => !ConvTrain.isHoldout(ch))
+    val evenOnly = chips.filter(ch => !ConvTrain.isHoldout(ch, 16))
     val exHold = intercept[IllegalArgumentException] {
       ConvTrain.gridSearch(evenOnly, ConvNet.fixtureNet,
         Seq(ConvTrain.Candidate("a", math.pow(2.0, -25))), epochs = 1)
@@ -276,8 +276,8 @@ class ConvTrainSpec extends AnyFunSuite {
     // the returned net IS the weights after the first epoch attaining
     // the max validation IoU: replay the loop with trainSegOpt on the
     // train split epoch by epoch and compare
-    val train = chips.filter(ch => !ConvTrain.isHoldout(ch))
-    val valid = chips.filter(ch => ConvTrain.isHoldout(ch))
+    val train = chips.filter(ch => !ConvTrain.isHoldout(ch, 16))
+    val valid = chips.filter(ch => ConvTrain.isHoldout(ch, 16))
     val nets = (1 to 3).map { e =>
       // epochs 0,1 at lr0; epoch 2 at the dropped rate — replay manually
       var n = ConvNet.fixtureNet
@@ -316,5 +316,34 @@ class ConvTrainSpec extends AnyFunSuite {
     // losses measured at each epoch's starting weights: epoch-1 loss is
     // the post-step objective and must have descended
     assert(logs(1).loss < logs(0).loss, s"no descent: $logs")
+  }
+
+  test("edge chips land on the NOMINAL-size checkerboard (truncated w/h)") {
+    // a 24x16 image at chipSize 16 emits a truncated chip at cx=16 with
+    // w=8: cx/w would read grid-x 2 (wrong square); cx/chipSize reads 1
+    val edge = ChipRow("i", cx = 16, cy = 0, w = 8, h = 16,
+      bands = Array(new Array[Float](128)), mask = new Array[Float](128),
+      label = 1)
+    assert(ConvTrain.isHoldout(edge, 16)) // grid (1, 0) -> odd -> holdout
+    val full = edge.copy(cx = 0, w = 16)
+    assert(!ConvTrain.isHoldout(full, 16)) // grid (0, 0) -> even -> train
+  }
+
+  test("trainSegBatched skips empty batch residues instead of crashing") {
+    // every chip of a single-chip-per-image dataset sits at grid (0,0),
+    // so with batches=2 residue 1 is empty — a DataLoader yields fewer
+    // batches there, it does not crash
+    val chips = fixtureChips(1).filter(ch => ch.cx == 0 && ch.cy == 0)
+    assert(chips.count() == 1)
+    val lr = math.pow(2.0, -25)
+    val (nB, lB) = ConvTrain.trainSegBatched(chips, ConvNet.fixtureNet,
+      epochs = 1, batches = 2, lr = lr)
+    val (nRef, lRef) = ConvTrain.trainSeg(chips, ConvNet.fixtureNet,
+      epochs = 1, lr = lr)
+    assert(lB == lRef, "the one non-empty residue must equal a full-batch step")
+    nB.layers.zip(nRef.layers).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.weights, b.weights))
+      assert(java.util.Arrays.equals(a.bias, b.bias))
+    }
   }
 }

@@ -178,4 +178,26 @@ class RagSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mergeHierarchical rejects self-loop edges loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Rag.mergeHierarchical(Seq((3L, 3L, 1.0, 1L)), thresh = 10.0)
+    }
+    assert(ex.getMessage.contains("self-loop"))
+  }
+
+  test("ragMerge fails loudly when a segmentation has no raster") {
+    val segs = spark.createDataset(GridImages.ragSegImages(2).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    val imgs = spark.createDataset(GridImages.ragImages(1).toSeq)(
+      org.apache.spark.sql.Encoders.product[ImageRow])
+    // one seg's raster is missing -> its rows must not silently pass
+    // through unmerged; the task fails with the contract message
+    val ex = intercept[Exception] {
+      Rag.ragMerge(segs, imgs, thresh = 100.0).count()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(ex).exists(_.contains("no matching raster")), causes(ex).mkString(" | "))
+  }
 }
