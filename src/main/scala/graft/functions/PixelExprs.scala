@@ -180,7 +180,7 @@ object PxRuntime {
   }
 
   /** combine_scene rule: where a == 0 take b, else keep a. */
-  def combineScene(a: ArrayData, b: ArrayData): ArrayData = {
+  def combineScene(a: ArrayData, b: ArrayData, nd: Float): ArrayData = {
     val n = requireSameLength("px_combine_scene", a, b)
     val out = new Array[Float](n)
     var nulls: java.util.BitSet = null
@@ -190,9 +190,33 @@ object PxRuntime {
       if (a.isNullAt(i)) nulls = mark(nulls, i)
       else {
         val x = a.getFloat(i)
-        if (cmp(x, 0f) == 0) {
+        // "where s1 is nodata/0 take s2": 0, s1's declared sentinel,
+        // and NaN (never a valid class label; the tiler default
+        // sentinel) are all missing. cmp is Float.compare, so a NaN
+        // sentinel matches NaN pixels too.
+        if (cmp(x, 0f) == 0 || x.isNaN || cmp(x, nd) == 0) {
           if (b.isNullAt(i)) nulls = mark(nulls, i) else out(i) = b.getFloat(i)
         } else out(i) = x
+      }
+      i += 1
+    }
+    emit(out, nulls)
+  }
+
+  /** Normalize a tile's declared nodata sentinel to NaN (NaN sentinel =
+    * no-op: NaN pixels are already NaN). The composite kernels skip
+    * NaN, so this is the per-row pre-pass that makes mixed-sentinel
+    * series composite correctly. */
+  def nodataToNan(a: ArrayData, nd: Float): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var nulls: java.util.BitSet = null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) nulls = mark(nulls, i)
+      else {
+        val x = a.getFloat(i)
+        out(i) = if (cmp(x, nd) == 0) Float.NaN else x
       }
       i += 1
     }
@@ -203,7 +227,9 @@ object PxRuntime {
     * the temporal_comp / stat_comp fold, one native loop instead of the
     * aggregate/zip_with/array_sort HOF chains (which paid interpreted
     * lambdas per pixel PER SERIES ELEMENT and dominated the whole job).
-    * op: 0 sum, 1 mean, 2 min, 3 max, 4 percentile(q). Mirrors the HOF
+    * op: 0 sum, 1 mean, 2 min, 3 max, 4 percentile(q), 5 std
+    * (np.nanstd, population / ddof 0, DOUBLE accumulation — the
+    * convention a double-math SQL oracle replays). Mirrors the HOF
     * forms exactly: NaN-skipping pairwise folds in series order; a NULL
     * series array nulls the whole result (zip_with(acc, null) poisoning)
     * for fold ops and is SKIPPED by the percentile (element_at ->
@@ -224,7 +250,7 @@ object PxRuntime {
     require(t <= 65536,
       s"px_series_composite: $t snapshots in one series — pre-aggregate " +
         "upstream (media/percentile need the full series; cap = 65536)")
-    if (op == 4) {
+    if (op == 4 || op == 5) {
       val first = arrays.getArray(0)
       if (first == null) return null // size(null) -> null index list
       val n = first.numElements()
@@ -243,7 +269,19 @@ object PxRuntime {
           k += 1
         }
         if (m == 0) out(i) = Float.NaN
-        else {
+        else if (op == 5) {
+          // np.nanstd, ddof 0: mean first, then mean squared deviation —
+          // the two-pass form (not sumsq - mean^2, which cancels
+          // catastrophically on large offsets)
+          var sm = 0.0
+          var j = 0
+          while (j < m) { sm += buf(j); j += 1 }
+          val mean = sm / m
+          var dev = 0.0
+          j = 0
+          while (j < m) { val d = buf(j) - mean; dev += d * d; j += 1 }
+          out(i) = math.sqrt(dev / m).toFloat
+        } else {
           java.util.Arrays.sort(buf, 0, m)
           val pos = (m - 1) * q / 100.0
           val lo = pos.toInt
@@ -476,22 +514,52 @@ case class ZipMulExpr(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "px_mul"
 }
 
-case class CombineSceneExpr(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = PixelExprs.outType(left.dataType, right.dataType)
+case class CombineSceneExpr(first: Expression, second: Expression,
+                            third: Expression) extends TernaryExpression {
+  override def dataType: DataType = PixelExprs.outType(first.dataType, second.dataType)
   override def checkInputDataTypes(): TypeCheckResult =
-    PixelExprs.checkPx("px_combine_scene", "left" -> left.dataType, "right" -> right.dataType)
-  override def nullSafeEval(a: Any, b: Any): Any =
-    PxRuntime.combineScene(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (third.dataType != FloatType)
+      TypeCheckResult.TypeCheckFailure(
+        s"px_combine_scene nodata must be FLOAT, got ${third.dataType}")
+    else PixelExprs.checkPx("px_combine_scene",
+      "left" -> first.dataType, "right" -> second.dataType)
+  override def nullSafeEval(a: Any, b: Any, nd: Any): Any =
+    PxRuntime.combineScene(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      nd.asInstanceOf[Float])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PxRuntime.combineScene($a, $b)")
+    defineCodeGen(ctx, ev,
+      (a, b, nd) => s"graft.functions.PxRuntime.combineScene($a, $b, $nd)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "px_combine_scene"
+}
+
+/** Per-row sentinel normalization: pixels equal to the tile's declared
+  * nodata become NaN (PxRuntime.nodataToNan) — the pre-pass that makes
+  * mixed-sentinel series composite correctly through the NaN-skipping
+  * kernels. */
+case class NodataToNanExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (right.dataType != FloatType)
+      TypeCheckResult.TypeCheckFailure(
+        s"px_nodata_to_nan sentinel must be FLOAT, got ${right.dataType}")
+    else PixelExprs.checkPx("px_nodata_to_nan", "pixels" -> left.dataType)
+  override def nullSafeEval(a: Any, nd: Any): Any =
+    PxRuntime.nodataToNan(a.asInstanceOf[ArrayData], nd.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, nd) => s"graft.functions.PxRuntime.nodataToNan($a, $nd)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
-  override def prettyName: String = "px_combine_scene"
+  override def prettyName: String = "px_nodata_to_nan"
 }
 
 case class SeriesCompositeExpr(child: Expression, op: Int, q: Double)
     extends UnaryExpression {
-  require(op >= 0 && op <= 4)
+  require(op >= 0 && op <= 5)
   override def nullable: Boolean = true
   override def dataType: DataType = PixelExprs.PxTypeNullable
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -53,6 +53,12 @@ object ImageOps {
         ts.foreach { t =>
           val offC = math.round((t.x_min - x0) / px).toInt
           val offR = math.round((y1 - t.y_max) / px).toInt
+          // a tile extending past the declared extent would otherwise
+          // WRAP into the next image row via the flat arraycopy — a
+          // silently sheared image (only the last row would crash)
+          require(offC >= 0 && offR >= 0 && offC + t.tw <= w && offR + t.th <= h,
+            s"assemble($id): tile at ($offC, $offR) size ${t.tw}x${t.th} " +
+              s"does not fit the declared ${w}x$h extent")
           var r = 0
           while (r < t.th) {
             System.arraycopy(t.pixels, r * t.tw, bands(t.band), (offR + r) * w + offC, t.tw)
@@ -117,6 +123,11 @@ object ImageOps {
   def resize(images: Dataset[ImageRow], factor: Int)
             (implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
+    // factor = 0 would die with a raw ArithmeticException in a task;
+    // negative factors would silently emit a 1x1 all-NaN image (the
+    // box loops never run, 0.0/0). warpResample guards its params the
+    // same way.
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     images.map { img =>
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val nw = math.max(1, img.w / factor); val nh = math.max(1, img.h / factor)
@@ -270,6 +281,9 @@ object ImageOps {
   def frameSample(images: Dataset[ImageRow], stride: Int)
                  (implicit spark: SparkSession): Dataset[ImageRow] = {
     import spark.implicits._
+    // stride = 0 is i % 0 -> ArithmeticException inside a task; a
+    // negative stride silently acts like its absolute value
+    require(stride >= 1, s"frameSample stride must be >= 1, got $stride")
     images.map { img =>
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)
       val kept = dec.bands.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
@@ -327,13 +341,38 @@ object ImageOps {
     * windowed-local-stat kernels (localThreshold, queganFilter). */
   private def sat(b: Array[Float], w: Int, h: Int,
                   f: Double => Double): Array[Double] = {
+    // NaN contributes 0 here: prefix sums never recover from a NaN
+    // (NaN - NaN is NaN), so one bad pixel would otherwise corrupt
+    // EVERY window down-right of it. Callers consult satNanCount to
+    // give exactly the windows that CONTAIN the NaN a NaN stat — the
+    // per-window semantics skimage's windowed filters have.
     val s = new Array[Double]((w + 1) * (h + 1))
     var y = 0
     while (y < h) {
       var rowS = 0.0
       var x = 0
       while (x < w) {
-        rowS += f(b(y * w + x).toDouble)
+        val v = b(y * w + x).toDouble
+        if (!v.isNaN) rowS += f(v)
+        s((y + 1) * (w + 1) + x + 1) = s(y * (w + 1) + x + 1) + rowS
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** SAT of NaN indicators — windowSum over it counts the NaN pixels
+    * inside a clamped window (0 almost everywhere; the common all-valid
+    * image pays one flag array scan). */
+  private def satNanCount(b: Array[Float], w: Int, h: Int): Array[Double] = {
+    val s = new Array[Double]((w + 1) * (h + 1))
+    var y = 0
+    while (y < h) {
+      var rowS = 0.0
+      var x = 0
+      while (x < w) {
+        if (b(y * w + x).isNaN) rowS += 1.0
         s((y + 1) * (w + 1) + x + 1) = s(y * (w + 1) + x + 1) + rowS
         x += 1
       }
@@ -372,13 +411,21 @@ object ImageOps {
       val out = dec.bands.map { b =>
         val s1 = sat(b, w, h, v => v)
         val s2 = sat(b, w, h, v => v * v)
+        val sn = satNanCount(b, w, h)
         Array.tabulate(w * h) { i =>
           val (sum1, n) = windowSum(s1, w, h, half, i % w, i / w)
-          val (sum2, _) = windowSum(s2, w, h, half, i % w, i / w)
-          val m = sum1 / n
-          val sd = math.sqrt(math.max(0.0, sum2 / n - m * m))
-          val t = if (algo == "niblack") m - k * sd
-                  else m * (1.0 + k * (sd / r - 1.0))
+          val (nan, _) = windowSum(sn, w, h, half, i % w, i / w)
+          // a window containing a NaN has a NaN local stat (skimage's
+          // per-window behavior) -> b(i) > NaN is false -> 0, exactly
+          // and ONLY in the NaN's neighborhood
+          val t = if (nan > 0) Double.NaN
+          else {
+            val (sum2, _) = windowSum(s2, w, h, half, i % w, i / w)
+            val m = sum1 / n
+            val sd = math.sqrt(math.max(0.0, sum2 / n - m * m))
+            if (algo == "niblack") m - k * sd
+            else m * (1.0 + k * (sd / r - 1.0))
+          }
           if (b(i) > t) 1f else 0f
         }
       }
@@ -627,9 +674,12 @@ object ImageOps {
       val w = img.w; val h = img.h
       val means = dec.bands.map { b =>
         val s1 = sat(b, w, h, v => v)
+        val sn = satNanCount(b, w, h)
         Array.tabulate(w * h) { i =>
           val (sum, n) = windowSum(s1, w, h, half, i % w, i / w)
-          sum / n
+          val (nan, _) = windowSum(sn, w, h, half, i % w, i / w)
+          // NaN only where the window touches a NaN — not down-right of it
+          if (nan > 0) Double.NaN else sum / n
         }
       }
       val nb = dec.bands.length
@@ -700,6 +750,10 @@ object ImageOps {
                     tw: Int, th: Int, band: Int = 0)
                    (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    require(template.length == tw * th,
+      s"template length ${template.length} != $tw*$th — a longer template " +
+        "would silently skew the normalized scores, a shorter one crash " +
+        "mid-task")
     val tB = spark.sparkContext.broadcast(template)
     images.map { img =>
       val dec = PixelCodec.decode(img.bytes, img.fmt, img.w, img.h)

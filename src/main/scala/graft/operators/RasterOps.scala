@@ -169,7 +169,10 @@ object RasterOps {
 
   /** combine_scene (raster.py:1466-1524): aligned-grid per-pixel rule
     * merge of two classifications — where s1 is nodata/0 take s2, where
-    * both agree keep, else keep s1 (the reference's crop-map rules). */
+    * both agree keep, else keep s1 (the reference's crop-map rules).
+    * "nodata" = 0, s1's own declared sentinel, AND NaN (never a valid
+    * class label) — the kernel tests each pixel against the row's
+    * sentinel, so mixed-sentinel scene sets merge correctly. */
   def combineScene(s1: Dataset[TileRow], s2: Dataset[TileRow])
                   (implicit spark: SparkSession): DataFrame = {
     val a = s1.toDF().withColumnRenamed("pixels", "pa")
@@ -177,15 +180,17 @@ object RasterOps {
       col("band"), col("cell_id"), col("pixels").as("pb"))
     a.join(b, tileKey ++ Seq("band", "cell_id"))
       .withColumn("pixels",
-        colOf(CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb")))))
+        colOf(CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb")),
+          exprOf(col("nodata").cast("float")))))
       .drop("pa", "pb")
   }
 
   /**
    * temporal_comp (raster.py:2287-2407): element-wise reduce across N
    * aligned snapshots distinguished by a `t` column. stat in
-   * {"mean", "min", "max", "sum", "median", "percentile"} — the full
-   * statChoose dispatch (raster.py:2345-2356; median/percentile are the
+   * {"mean", "std", "min", "max", "sum", "median", "percentile"} — the
+   * full statChoose dispatch (raster.py:2345-2356, np.nanstd ddof 0 for
+   * "std"; median/percentile are the
    * reference's headline cloud-free-composite path). `q` is the
    * percentile in [0, 100], np.nanpercentile linear-interpolation
    * convention. NaN-safe like the reference's nan-stats. One shuffle on
@@ -193,12 +198,21 @@ object RasterOps {
    * rows).
    */
   def temporalComposite(snapshots: DataFrame, stat: String, q: Double = 50.0): DataFrame = {
-    val gathered = snapshots
+    // normalize each snapshot's OWN sentinel to NaN first: the composite
+    // kernel skips NaN, so mixed sentinels (one layer NaN, another
+    // -9999) composite correctly instead of averaging -9999 in as a
+    // real value; the output sentinel is then deterministically NaN
+    // (a first("nodata") would both misread differing layers and flip
+    // nondeterministically across runs — the mosaic note below)
+    val normalized = snapshots.withColumn("pixels",
+      colOf(graft.functions.NodataToNanExpr(exprOf(col("pixels")),
+        exprOf(col("nodata").cast("float")))))
+    val gathered = normalized
       .groupBy((tileKey ++ Seq("band", "cell_id")).map(col): _*)
       .agg(sort_array(collect_list(struct(col("t"), col("pixels")))).as("series"),
         first("x_min").as("x_min"), first("y_max").as("y_max"),
         first("px").as("px"), first("tw").as("tw"), first("th").as("th"),
-        first("nodata").as("nodata"))
+        lit(Float.NaN).cast("float").as("nodata"))
     val arrays = col("series.pixels")
     // native one-loop composite (PixelExprs): the aggregate/zip_with/
     // array_sort HOF chains paid interpreted lambdas per pixel PER
@@ -209,6 +223,7 @@ object RasterOps {
       case "min" => 2
       case "max" => 3
       case "median" | "percentile" => 4
+      case "std" => 5
       case s => throw new IllegalArgumentException(s"stat $s")
     }
     val qq = if (stat == "median") 50.0 else q
@@ -379,9 +394,6 @@ object RasterOps {
     * distinct-value pull to the driver). */
   def otsuThreshold(tiles: DataFrame, levels: Int = 256): Double = {
     val vals = tiles.select(explode(col("pixels")).as("v")).where(!isnan(col("v")))
-    val probe = vals.agg(
-      min(col("v")).as("mn"), max(col("v")).as("mx")).head()
-    val (mn, mx) = (probe.getFloat(0).toDouble, probe.getFloat(1).toDouble)
     // EXACT bounded distinct probe — deterministic path choice (an
     // approximate count's error could flip it across runs/engines) with
     // bounded cost: each partition emits at most levels+1 of ITS
@@ -389,7 +401,10 @@ object RasterOps {
     // regardless of the raster's distinct-value count. The <= levels
     // decision stays exact: a truncating partition alone contributes
     // levels+1 distinct values; if none truncates, the union is the true
-    // distinct set.
+    // distinct set. Probed FIRST: the quantized (uint8-style) common
+    // case needs no min/max, so it pays two scans of the exploded
+    // relation, not three — the min/max scan runs only on the
+    // continuous-float path that bins by range.
     val nd = {
       import org.apache.spark.sql.Encoders
       vals.select(col("v")).as[Float](Encoders.scalaFloat).mapPartitions { it =>
@@ -408,6 +423,9 @@ object RasterOps {
     val binned =
       if (nd <= levels) vals.groupBy(col("v").cast("double").as("v"))
       else {
+        val probe = vals.agg(
+          min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+        val (mn, mx) = (probe.getFloat(0).toDouble, probe.getFloat(1).toDouble)
         val width = (mx - mn) / levels
         // bin value = UPPER edge: "v <= threshold" must keep the whole
         // bin in the lower class (the reference uses bw = src > t)
@@ -418,6 +436,15 @@ object RasterOps {
     val hist = binned.agg(count(lit(1)).as("c"))
       .orderBy("v").collect()
       .map(r => (r.getDouble(0), r.getLong(1).toDouble))
+    otsuArgmax(hist)
+  }
+
+  /** Otsu's between-class-variance argmax over an ASCENDING per-value
+    * histogram — the ONE copy of the scan (otsuThreshold here and
+    * ThreshSeg.otsuLocal both select through it, so a tie-break or
+    * stability change cannot drift between the global and per-polygon
+    * paths). */
+  private[operators] def otsuArgmax(hist: Array[(Double, Double)]): Double = {
     val total = hist.map(_._2).sum
     val sumAll = hist.map { case (v, c) => v * c }.sum
     var sumB = 0.0; var wB = 0.0; var best = 0.0; var thr = hist.head._1

@@ -99,21 +99,7 @@ object ThreshSeg {
     // TreeMap's ascending order; the iterator preserves it
     val h = hist.entrySet().iterator().asScala
       .map(e => (e.getKey, e.getValue.toDouble)).toArray
-    val total = h.map(_._2).sum
-    val sumAll = h.map { case (v, c) => v * c }.sum
-    var sumB = 0.0; var wB = 0.0; var best = 0.0; var thr = h.head._1
-    h.foreach { case (v, c) =>
-      wB += c
-      if (wB > 0 && wB < total) {
-        sumB += v * c
-        val wF = total - wB
-        val mB = sumB / wB
-        val mF = (sumAll - sumB) / wF
-        val between = wB * wF * (mB - mF) * (mB - mF)
-        if (between > best) { best = between; thr = v }
-      }
-    }
-    thr
+    RasterOps.otsuArgmax(h)
   }
 
   /** Segment pixels: (image_id, poly_id, thr, x, y) — one row per

@@ -360,7 +360,9 @@ object Queries {
         round(median(col("cents")), 1).as("median_c"),
         // the time-axis percentile of statChoose (raster.py:2345-2356):
         // exact linear-interpolation percentile, mirrored by quantile_cont
-        round(percentile(col("cents"), lit(0.25)), 1).as("p25_c"))
+        round(percentile(col("cents"), lit(0.25)), 1).as("p25_c"),
+        // np.nanstd (population) — statChoose's "std" dispatch
+        round(stddev_pop(col("cents")), 1).as("std_c"))
   }
 
   val qTemporalCompSql: String =
@@ -369,7 +371,8 @@ object Queries {
       | CAST(floor(sum(cents) * CAST(10000.0 AS DOUBLE) / count(*)) AS BIGINT) AS mean_c4,
       | min(cents) AS min_c, max(cents) AS max_c,
       | round(median(cents), 1) AS median_c,
-      | round(quantile_cont(cents, CAST(0.25 AS DOUBLE)), 1) AS p25_c
+      | round(quantile_cont(cents, CAST(0.25 AS DOUBLE)), 1) AS p25_c,
+      | round(stddev_pop(cents), 1) AS std_c
       |FROM (SELECT user_id, cast(round(value*100) AS bigint) AS cents FROM events)
       |GROUP BY user_id""".stripMargin
 

@@ -151,9 +151,20 @@ class PixelExprsSpec extends AnyFunSuite {
     check(
       df.select(colOf(ZipMulExpr(exprOf(col("pa")), exprOf(col("pb"))))),
       df.select(zip_with(col("pa"), col("pb"), (x, y) => x * y)))
+    // the "missing" set is 0, NaN, and the row's declared sentinel
+    // (Spark SQL treats NaN === NaN as TRUE, matching Float.compare)
+    val snd = lit(-9999f)
     check(
-      df.select(colOf(CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb"))))),
-      df.select(zip_with(col("pa"), col("pb"), (x, y) => when(x === 0f, y).otherwise(x))))
+      df.select(colOf(CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb")),
+        exprOf(snd)))),
+      df.select(zip_with(col("pa"), col("pb"), (x, y) =>
+        when(x === 0f || isnan(x) || x === snd, y).otherwise(x))))
+    val sentinels = spark.createDataFrame(Seq(
+      (Array(-9999f, 1f, Float.NaN, 2f), Array(7f, 8f, 9f, 10f))))
+      .toDF("pa", "pb")
+    assert(sentinels.select(colOf(CombineSceneExpr(exprOf(col("pa")),
+        exprOf(col("pb")), exprOf(snd)))).as[Seq[Float]].head()
+      == Seq(7f, 1f, 9f, 2f))
     val nodata = lit(Float.NaN)
     check(
       df.select(colOf(NdviExpr(exprOf(col("pa")), exprOf(col("pb")),
@@ -183,7 +194,7 @@ class PixelExprsSpec extends AnyFunSuite {
       (Array(1f, 2f, 3f), Array(1f, 2f)))).toDF("pa", "pb")
     for (e <- Seq(
         ZipMulExpr(exprOf(col("pa")), exprOf(col("pb"))),
-        CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb"))),
+        CombineSceneExpr(exprOf(col("pa")), exprOf(col("pb")), exprOf(lit(0f))),
         NdviExpr(exprOf(col("pa")), exprOf(col("pb")), exprOf(lit(0f))))) {
       val ex = intercept[Exception](bad.select(colOf(e)).collect())
       def msgs(t: Throwable): Seq[String] =

@@ -76,6 +76,31 @@ class RasterOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temporalComposite: mixed sentinels composite as missing; std") {
+    // layer 2 declares -9999 (not NaN): its sentinel pixels must be
+    // skipped like NaN, not averaged in as real values; the output
+    // sentinel is deterministically NaN regardless of input order
+    val sentinelLayer = tile(Array.fill(16)(-9999f)).copy(nodata = -9999f)
+    val frames = Seq((0, tile(p0)), (1, tile(p1)), (2, sentinelLayer))
+      .map { case (t, tr) => (tr.image_id, tr.cell_id, tr.tx, tr.ty, tr.x_min,
+        tr.y_max, tr.px, tr.band, tr.pixels, tr.tw, tr.th, tr.nodata, t) }
+      .toDF("image_id", "cell_id", "tx", "ty", "x_min", "y_max", "px",
+        "band", "pixels", "tw", "th", "nodata", "t")
+    val out = RasterOps.temporalComposite(frames, "mean")
+      .select("pixels", "nodata").as[(Array[Float], Float)].head()
+    p0.indices.foreach { i =>
+      assert(out._1(i) == (p0(i) + p1(i)) / 2, s"mean $i skipped the sentinel")
+    }
+    assert(out._2.isNaN, "output sentinel must be the deterministic NaN")
+    // std = np.nanstd (population): for two values a, b it is |a-b|/2
+    val sd = RasterOps.temporalComposite(frames, "std")
+      .select("pixels").as[Array[Float]].head()
+    p0.indices.foreach { i =>
+      val want = math.abs(p0(i) - p1(i)) / 2.0
+      assert(math.abs(sd(i) - want) < 1e-6, s"std $i: ${sd(i)} vs $want")
+    }
+  }
+
   test("rasterToPoints emits pixel centers, drops nodata, honors cell ownership") {
     val t = tile(p0.updated(5, Float.NaN))
     val pts = RasterOps.rasterToPoints(Seq(t).toDS.toDF())

@@ -145,6 +145,33 @@ class Round2FixSpec extends AnyFunSuite {
     assert(sv(8 * w + 29) == 1f && sv(8 * w + 2) == 0f)
   }
 
+  test("localThreshold: a NaN pixel corrupts ONLY its window, not all down-right") {
+    val w = 32; val h = 16
+    val base = Array.tabulate(w * h)(i => if (i % w < 16) 0f else 100f)
+    val img0 = ImageRow("t", PixelCodec.encode(PixelCodec.FmtRawLe, w, h,
+      Array(base)), w, h, PixelCodec.FmtRawLe, "c", 0L, 0.0, h.toDouble, 1.0)
+    val bNaN = base.updated(2 * w + 2, Float.NaN) // NaN at (2, 2)
+    val imgN = img0.copy(bytes =
+      PixelCodec.encode(PixelCodec.FmtRawLe, w, h, Array(bNaN)))
+    def mask(img: ImageRow) = {
+      val out = ImageOps.localThreshold(Seq(img).toDS, "sauvola",
+        window = 7, k = 0.2).collect().head
+      PixelCodec.decode(out.bytes, out.fmt, w, h).bands(0)
+    }
+    val clean = mask(img0); val dirty = mask(imgN)
+    // inside the NaN's 7x7 window: threshold NaN -> v > NaN false -> 0
+    assert(dirty(2 * w + 2) == 0f && dirty(4 * w + 4) == 0f)
+    // OUTSIDE the window the outputs must be identical — the prefix-sum
+    // poisoning bug zeroed everything down-right of the NaN
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      if (math.abs(x - 2) > 3 || math.abs(y - 2) > 3)
+        assert(dirty(i) == clean(i), s"($x, $y) diverged outside the window")
+      i += 1
+    }
+  }
+
   test("demProcess: plane gradient gives known slope/aspect; hillshade bounded") {
     val w = 16; val h = 16
     val b = Array.tabulate(w * h)(i => (2 * (i % w)).toFloat) // dz/dx = 2
