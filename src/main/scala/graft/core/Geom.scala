@@ -222,14 +222,33 @@ object Geom {
       i += 1
     }
     val (_, w, h, ang) = best
-    (math.max(w, h), math.min(w, h), ang)
+    // ang is the angle of the hull edge the WIDTH was measured along;
+    // when the min rectangle is taller than wide the major axis lies a
+    // quarter turn away — the returned angle must pair with the major
+    // axis the tuple reports (normalized to (-pi/2, pi/2])
+    val majorAng = if (h > w) ang + math.Pi / 2 else ang
+    val norm = {
+      var a = majorAng
+      while (a > math.Pi / 2) a -= math.Pi
+      while (a <= -math.Pi / 2) a += math.Pi
+      a
+    }
+    (math.max(w, h), math.min(w, h), norm)
   }
 
   /** Does axis-aligned rect intersect the polygon (conservative exact):
     * true if any rect corner is inside, any polygon vertex is inside the
     * rect, or any edge pair intersects. Used for cell covering. */
-  def rectIntersectsPolygon(rect: BBox, rings: Rings): Boolean = {
-    if (!rect.intersects(bbox(rings))) return false
+  def rectIntersectsPolygon(rect: BBox, rings: Rings): Boolean =
+    rectIntersectsPolygon(rect, rings, bbox(rings))
+
+  /** Overload with a PRECOMPUTED polygon bbox: the bbox prefilter scans
+    * every ring vertex, so a caller testing MANY rects against one
+    * polygon (coverPolygon tests up to 16M cells) must not recompute it
+    * per rect — O(cells x vertices) driver time on the broadcast build
+    * side. */
+  def rectIntersectsPolygon(rect: BBox, rings: Rings, polyBox: BBox): Boolean = {
+    if (!rect.intersects(polyBox)) return false
     if (pointInPolygon(rect.x0, rect.y0, rings) || pointInPolygon(rect.x1, rect.y0, rings) ||
         pointInPolygon(rect.x0, rect.y1, rings) || pointInPolygon(rect.x1, rect.y1, rings)) return true
     if (rings.exists(_.exists { case (x, y) => rect.contains(x, y) })) return true

@@ -105,6 +105,11 @@ object GridIndex {
 
   /** Cells overlapping an axis-aligned box (inclusive of edge-touching). */
   def coverBBox(b: Geom.BBox, res: Int): Array[Long] = {
+    // an inverted bbox is Geom.bbox of EMPTY rings — zero cells, not a
+    // large garbage allocation (axisIndex clamping would make the
+    // inverted extent read as nearly the whole grid) or a misleading
+    // "too large" require
+    if (b.x1 < b.x0 || b.y1 < b.y0) return Array.empty
     val x0 = axisIndex(b.x0, res); val x1 = axisIndex(b.x1, res)
     val y0 = axisIndex(b.y0, res); val y1 = axisIndex(b.y1, res)
     val n = (x1 - x0 + 1) * (y1 - y0 + 1) // Long arithmetic
@@ -124,7 +129,9 @@ object GridIndex {
   /** Cells whose square actually intersects the polygon — the broadcast
     * build side of the prefilter join (exactness comes from the PIP refine,
     * so this only needs to be a superset-free-enough cover). */
-  def coverPolygon(rings: Geom.Rings, res: Int): Array[Long] =
-    coverBBox(Geom.bbox(rings), res)
-      .filter(c => Geom.rectIntersectsPolygon(cellBounds(c), rings))
+  def coverPolygon(rings: Geom.Rings, res: Int): Array[Long] = {
+    val box = Geom.bbox(rings) // computed ONCE, not per candidate cell
+    coverBBox(box, res)
+      .filter(c => Geom.rectIntersectsPolygon(cellBounds(c), rings, box))
+  }
 }

@@ -64,6 +64,10 @@ object PixelCodec {
   }
 
   private def encodeRle(bands: Array[Array[Float]]): Array[Byte] = {
+    // the band count is one header byte — 256 bands would silently
+    // truncate to 0 and decode would drop every band
+    require(bands.length <= 255,
+      s"rle supports at most 255 bands, got ${bands.length}")
     val out = new java.io.ByteArrayOutputStream()
     val hdr = ByteBuffer.allocate(1)
     hdr.put(bands.length.toByte)
@@ -73,8 +77,15 @@ object PixelCodec {
       val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       while (i < b.length) {
         val v = b(i)
+        // BIT equality, not float ==: NaN != NaN would emit every NaN
+        // nodata pixel as its own 8-byte run (2x raw size for exactly
+        // the constant regions RLE exists for), and 0.0f == -0.0f would
+        // decode -0.0 back as +0.0, breaking the lossless contract
+        val vb = java.lang.Float.floatToRawIntBits(v)
         var j = i + 1
-        while (j < b.length && b(j) == v && j - i < Int.MaxValue) j += 1
+        while (j < b.length &&
+               java.lang.Float.floatToRawIntBits(b(j)) == vb &&
+               j - i < Int.MaxValue) j += 1
         bb.clear(); bb.putInt(j - i); bb.putFloat(v)
         out.write(bb.array(), 0, 8)
         i = j
@@ -89,7 +100,19 @@ object PixelCodec {
     bands.foreach { b =>
       var mn = Float.MaxValue; var mx = Float.MinValue
       var i = 0
-      while (i < b.length) { val v = b(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      while (i < b.length) {
+        val v = b(i)
+        // qnt8 has no NaN slot: math.round(NaN) = 0 would silently turn
+        // a nodata pixel into the band MINIMUM (a valid-looking value
+        // that then skews every downstream stat), and an infinite range
+        // overflows to a constant-mn band. The lossless fmts carry NaN
+        // nodata; a lossy transcode of missing data must be explicit
+        // (fillNodata first), not silent.
+        require(!v.isNaN && !v.isInfinite,
+          s"qnt8 cannot encode non-finite pixel $v — fill or mask nodata " +
+            "before a lossy transcode")
+        if (v < mn) mn = v; if (v > mx) mx = v; i += 1
+      }
       if (b.isEmpty) { mn = 0f; mx = 0f }
       bb.putFloat(mn); bb.putFloat(mx)
       val range = mx - mn

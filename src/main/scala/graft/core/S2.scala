@@ -187,10 +187,15 @@ object S2 {
     // center of the cell = leaf (i,j) truncated to level, + half cell
     val cellBits = MaxLevel - lev
     val size = 1 << cellBits
+    // leaf cells (size 1): the center sits half a leaf past the corner.
+    // NON-leaf cells: corner + size/2 IS the exact center in leaf units —
+    // adding the half-leaf there would bias the center by half a leaf
+    // (25% of the cell at level 29)
+    val half = if (cellBits == 0) 0.5 else 0.0
     val iC = (i >> cellBits << cellBits) + size / 2
     val jC = (j >> cellBits << cellBits) + size / 2
-    val u = stToUv((iC + 0.5) / (1 << MaxLevel))
-    val v = stToUv((jC + 0.5) / (1 << MaxLevel))
+    val u = stToUv((iC + half) / (1 << MaxLevel))
+    val v = stToUv((jC + half) / (1 << MaxLevel))
     val (x, y, z) = faceUvToXyz(face, u, v)
     xyzToLatLng(x, y, z)
   }

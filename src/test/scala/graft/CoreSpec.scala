@@ -114,8 +114,47 @@ class GeomSpec extends AnyFunSuite with SeededProps {
 
   test("minAreaRect of an axis-aligned rectangle") {
     val pts = Array((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0), (2.0, 1.0))
-    val (major, minor, _) = Geom.minAreaRect(pts)
+    val (major, minor, ang) = Geom.minAreaRect(pts)
     assert(math.abs(major - 4.0) < 1e-9 && math.abs(minor - 2.0) < 1e-9)
+    // the major (4-unit) axis lies along x: angle ~ 0, not pi/2
+    assert(math.abs(ang) < 1e-9, s"angle $ang must pair with the MAJOR axis")
+    // a TALL rectangle: major axis along y -> angle ~ +-pi/2... which
+    // normalizes into (-pi/2, pi/2] as pi/2
+    val tall = Array((0.0, 0.0), (2.0, 0.0), (2.0, 4.0), (0.0, 4.0))
+    val (ma2, mi2, ang2) = Geom.minAreaRect(tall)
+    assert(math.abs(ma2 - 4.0) < 1e-9 && math.abs(mi2 - 2.0) < 1e-9)
+    assert(math.abs(math.abs(ang2) - math.Pi / 2) < 1e-9,
+      s"tall rect: angle $ang2 must be a quarter turn, not 0")
+  }
+
+  test("codec: RLE NaN runs compress and -0.0 round-trips bit-exactly") {
+    import graft.core.PixelCodec
+    val band = Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN,
+      0.0f, -0.0f, 1f, 1f, 1f, 2f, Float.NaN, Float.NaN, 3f, 3f, 4f, 5f)
+    val enc = PixelCodec.encode(PixelCodec.FmtRle, 4, 4, Array(band))
+    val dec = PixelCodec.decode(enc, PixelCodec.FmtRle, 4, 4).bands(0)
+    band.indices.foreach { i =>
+      assert(java.lang.Float.floatToRawIntBits(dec(i)) ==
+             java.lang.Float.floatToRawIntBits(band(i)),
+        s"i=$i: ${dec(i)} != ${band(i)} (bit-exact lossless contract)")
+    }
+    // 9 runs (NaN x4 | 0.0 | -0.0 | 1 x3 | 2 | NaN x2 | 3 x2 | 4 | 5):
+    // the NaN runs merge (float == would emit 6 singleton NaN pairs ->
+    // 97 bytes) and +-0.0 stay SEPARATE runs (== would fuse them)
+    assert(enc.length == 1 + 9 * 8, s"unexpected run structure: ${enc.length}")
+  }
+
+  test("codec: qnt8 rejects non-finite pixels loudly") {
+    import graft.core.PixelCodec
+    val nan = Array(1f, Float.NaN, 3f, 4f)
+    val ex = intercept[IllegalArgumentException] {
+      PixelCodec.encode(PixelCodec.FmtQnt8, 2, 2, Array(nan))
+    }
+    assert(ex.getMessage.contains("non-finite"))
+    val inf = Array(1f, Float.PositiveInfinity, 3f, 4f)
+    intercept[IllegalArgumentException] {
+      PixelCodec.encode(PixelCodec.FmtQnt8, 2, 2, Array(inf))
+    }
   }
 
   test("rectIntersectsPolygon: disjoint, contained, crossing") {
