@@ -245,8 +245,17 @@ object Edge {
   private[operators] def hysteresis8(cand0: DataFrame): DataFrame = {
     // the sparse candidate set feeds four downstream joins — checkpoint
     // once so the upstream per-tile kernel runs once, not four times
-    // (and the shuffled relations downstream are candidate rows only)
-    val cand = cand0.localCheckpoint()
+    // (and the shuffled relations downstream are candidate rows only).
+    // RELIABLE when a checkpoint dir is set, local otherwise — the same
+    // contract as Components.connected: localCheckpoint blocks are
+    // unreplicated, so a cluster run MUST ride the fault-tolerant path.
+    // Lazy (eager=false): the per-tile kernel must not run at
+    // DataFrame-CONSTRUCTION time; it materializes under the first
+    // downstream action that reads it.
+    val cand =
+      if (cand0.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        cand0.checkpoint(false)
+      else cand0.localCheckpoint(false)
     val c = cand.withColumn("id",
       concat_ws(":", col("image_id"), col("x"), col("y")))
     // 8-neighbor adjacency: each pixel probes its 4 FORWARD neighbors,

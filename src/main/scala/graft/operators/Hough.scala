@@ -124,7 +124,10 @@ object Hough {
   def burnLine(mask: Array[Boolean], w: Int, h: Int, theta: Double, rho: Double): Unit = {
     val s = math.sin(theta); val c = math.cos(theta)
     if (math.abs(s) < 1e-9) {
-      val x = math.floor(rho / c + 0.5).toInt
+      // np.around (half-even) like the general branch below — a
+      // half-up here would shift the burned column by one pixel on a
+      // .5 rho exactly when theta crosses the vertical cutoff
+      val x = math.rint(rho / c).toInt
       if (x >= 0 && x < w) drawLine(mask, w, h, x, 0, x, h - 1)
     } else {
       val y0 = rho / s

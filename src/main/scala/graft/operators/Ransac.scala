@@ -86,6 +86,11 @@ object Ransac {
 
   /** One fitted model per (image, strip):
     * (image_id, strip, xa, ya, xb, yb, inliers). */
+  /** Hard per-(image, strip) edge-point cap for [[fit]] — ~16M points
+    * is ~400 MB of buffered tuples on one task, far past any sane
+    * consensus problem. */
+  val MaxPointsPerStrip: Int = 1 << 24
+
   def fit(edgePx: DataFrame, binwidth: Int, orient: String = "col",
           residual: Double = 1.0, exhaustiveMax: Int = 64,
           maxTrials: Int = 2500, seed: Long = 42L)
@@ -102,7 +107,18 @@ object Ransac {
       .groupByKey(t => (t._1, t._2))
       .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Int, Int)]) =>
         val (id, strip) = key
-        val pts = it.toArray.sortBy(t => t._5.toLong * t._3 + t._4) // row-major ord
+        // fail-fast bound, not a generic OOM: a low thresh can make
+        // nearly every pixel an edge pixel, and one strip of a huge
+        // image buffers on a single task (the same contract as
+        // iterFit's maxPointsPerImage and boundedCollect)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Int)]
+        while (it.hasNext) {
+          buf += it.next()
+          require(buf.length <= MaxPointsPerStrip,
+            s"RANSAC strip ($id, $strip) exceeds $MaxPointsPerStrip edge " +
+              "points — raise thresh or shrink binwidth")
+        }
+        val pts = buf.toArray.sortBy(t => t._5.toLong * t._3 + t._4) // row-major ord
         val xs = pts.map(_._4); val ys = pts.map(_._5)
         val (bestA, bestB, bestCnt) = bestPair(xs, ys, colMode, r2,
           exhaustiveMax, maxTrials, seed ^ id.hashCode.toLong << 20 ^ strip)
@@ -249,9 +265,13 @@ object Ransac {
         (col("yb") - col("ya"), col("xb") - col("xa"), col("xa"), col("ya"), col("y"))
       else
         (col("xb") - col("xa"), col("yb") - col("ya"), col("ya"), col("xa"), col("x"))
-    val den = abs(dDrive)
-    val num = when(dDrive > 0, dCross * (drive - refA))
-      .otherwise(-dCross * (drive - refA))
+    // LONG arithmetic end-to-end (the iterFit kernel uses 2L* for the
+    // same reason): num*2 on int columns wraps silently under Spark's
+    // non-ANSI multiply for coordinates near the raster-size limit —
+    // "exact integer arithmetic" must mean exact at any raster size
+    val den = abs(dDrive).cast("long")
+    val num = when(dDrive > 0, dCross.cast("long") * (drive - refA))
+      .otherwise(-dCross.cast("long") * (drive - refA))
     val pred = (base +
       floor((num * 2 + den).cast("double") / (den * 2)).cast("int"))
     val burnX = if (colMode) pred else col("x")
