@@ -45,21 +45,42 @@ object Glcm {
     joined.flatMap { case (t, p) =>
       val cb = GridIndex.cellBounds(p.cell_id)
       val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+      val pb = Geom.bbox(rings)
+      // interior-tile shortcut (the ZonalStats.histogram fast path):
+      // when the rect spanned by ALL pixel centers this call can touch
+      // (core + one offset of halo) sits entirely inside the polygon,
+      // every PIP below is true — large polygons pay zero per-pixel
+      // geometry for interior tiles
+      val pad = (math.max(math.abs(dx), math.abs(dy)) + 0.5) * t.px
+      val centers = Geom.BBox(
+        t.x_min + 0.5 * t.px - pad, t.y_max - (t.th - 0.5) * t.px - pad,
+        t.x_min + (t.tw - 0.5) * t.px + pad, t.y_max - 0.5 * t.px + pad)
+      val fullInside =
+        pb.x0 <= centers.x0 && centers.x1 <= pb.x1 &&
+        pb.y0 <= centers.y0 && centers.y1 <= pb.y1 &&
+        Geom.rectInsidePolygon(centers, rings)
       val acc = new scala.collection.mutable.HashMap[(Int, Int), Long]
       def quant(v: Float): Int = math.min(lv - 1, math.max(0, (v / maxVal * lv).toInt))
+      // nodata pixels form NO pair (the reference masks them out of the
+      // GLCM, shape.py:1690-1694): unguarded, quant(NaN) = 0 and a
+      // sentinel clamps to 0 — phantom level-0 mass in every stat
+      val nod = t.nodata
+      def valid(v: Float): Boolean =
+        !v.isNaN && java.lang.Float.compare(v, nod) != 0
       // origin: owning-cell bounds (dedupe) + polygon; partner: polygon
       // only (it may sit in a neighbor cell — that's what the halo is for)
       def insideOrigin(row: Int, c: Int): Boolean = {
         val cx = t.x_min + (c + 0.5) * t.px
         val cy = t.y_max - (row + 0.5) * t.px
         cx >= cb.x0 && cx < cb.x1 && cy >= cb.y0 && cy < cb.y1 &&
+          (fullInside || Geom.pointInPolygon(cx, cy, rings))
+      }
+      def insidePartner(row: Int, c: Int): Boolean =
+        fullInside || {
+          val cx = t.x_min + (c + 0.5) * t.px
+          val cy = t.y_max - (row + 0.5) * t.px
           Geom.pointInPolygon(cx, cy, rings)
-      }
-      def insidePartner(row: Int, c: Int): Boolean = {
-        val cx = t.x_min + (c + 0.5) * t.px
-        val cy = t.y_max - (row + 0.5) * t.px
-        Geom.pointInPolygon(cx, cy, rings)
-      }
+        }
       // core region inside the (possibly halo-expanded) pixel array —
       // the ONE shared definition (Tiler.coreWindow), so the cropping
       // arithmetic cannot drift from the tiler's halo clipping and the
@@ -77,6 +98,7 @@ object Glcm {
           while (c < cLeft + coreW) {
             val pc2 = c + dx
             if (pc2 >= 0 && pc2 < t.tw &&
+              valid(t.pixels(row * t.tw + c)) && valid(t.pixels(pr * t.tw + pc2)) &&
               insideOrigin(row, c) && insidePartner(pr, pc2)) {
               val a = quant(t.pixels(row * t.tw + c))
               val b = quant(t.pixels(pr * t.tw + pc2))

@@ -141,7 +141,10 @@ object Mesh {
     * regionprops' angle convention differs by a constant rotation —
     * documented; equal on the axis-aligned fixtures). */
   def maskOrientation(tiles: Dataset[TileRow])(implicit spark: SparkSession): DataFrame =
-    maskMoments(tiles).select(col("image_id"),
+    // an all-dark image aggregates to n = 0: 0.0/0 would flow a silent
+    // NaN orientation downstream — drop it, the same empty-mask
+    // semantics as imAngle's n == 0 filter
+    maskMoments(tiles).where(col("n") > 0).select(col("image_id"),
       (lit(0.5) * atan2(lit(2) * (col("sxy") - col("sx") * col("sy") / col("n")),
         (col("sxx") - col("sx") * col("sx") / col("n")) -
           (col("syy") - col("sy") * col("sy") / col("n"))))

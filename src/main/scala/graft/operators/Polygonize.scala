@@ -37,6 +37,13 @@ object Polygonize {
   private[operators] def regions(img: ImageRow, band: Int, v: Array[Float]): Seq[RegionRow] = {
     val w = img.w; val h = img.h
     val label = new Array[Int](w * h)
+    // NaN nodata pixels form NO region (gdal.Polygonize's mask
+    // excludes them): unmasked, every NaN pixel would become its own
+    // singleton region (NaN == NaN is false, so flood fill never
+    // merges them) — a half-nodata image would emit tens of thousands
+    // of spurious rows
+    var k = 0
+    while (k < w * h) { if (v(k).isNaN) label(k) = -1; k += 1 }
     var next = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[RegionRow]
     val stack = new java.util.ArrayDeque[Int]()

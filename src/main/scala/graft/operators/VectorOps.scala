@@ -52,9 +52,17 @@ object VectorOps {
     * interchangeable, so their arbitrary relative order is
     * unobservable. */
   def writeIdField(df: DataFrame, orderCol: String, idCol: String = "fid"): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField}
-    val tiebreak = xxhash64(struct(df.columns.map(col): _*))
-    val sorted = df.sort(col(orderCol), tiebreak)
+    import org.apache.spark.sql.types.{LongType, MapType, StructField}
+    // df.col (not col): a column named "a.b" must resolve as ITSELF,
+    // not as field b of struct a. Map-typed columns are unhashable
+    // (xxhash64 rejects MapType) — exclude them from the tiebreak; rows
+    // differing ONLY in a map column tie arbitrarily, which is the
+    // pre-tiebreak behavior for all columns and still deterministic
+    // per the multiset argument above for every hashable field.
+    val hashable = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[MapType]).map(f => df.col(f.name))
+    val tiebreak = xxhash64(struct(hashable: _*))
+    val sorted = df.sort(df.col(orderCol), tiebreak)
     val schema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
@@ -62,15 +70,26 @@ object VectorOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** shp2gj (shape.py:54-92): GeoJSON Feature strings per polygon row. */
+  /** shp2gj (shape.py:54-92): GeoJSON Feature strings per polygon row.
+    * The name is JSON-escaped (a quote/backslash/control char in an
+    * attribute must not produce an unparseable feature) and a
+    * non-finite measure emits as null — bare NaN/Infinity is not legal
+    * JSON. */
   def toGeoJson(polys: Dataset[PolyRow])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    def esc(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     polys.map { p =>
       val coords = p.rings.map(ring =>
         (ring :+ ring.head).map(q => s"[${q.x},${q.y}]").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
+      val m = if (java.lang.Double.isFinite(p.measure)) p.measure.toString else "null"
       (p.poly_id, s"""{"type":"Feature","geometry":{"type":"Polygon","coordinates":$coords},""" +
-        s""""properties":{"poly_id":${p.poly_id},"class":${p.cls},"name":"${p.name}","measure":${p.measure}}}""")
+        s""""properties":{"poly_id":${p.poly_id},"class":${p.cls},"name":"${esc(p.name)}","measure":$m}}""")
     }.toDF("poly_id", "geojson")
   }
 
@@ -92,7 +111,12 @@ object VectorOps {
         if (!rect.intersects(bb)) None
         else {
           val clipped = rings.map(r => clipRingToRect(r, rect)).filter(_.length >= 3)
-          if (clipped.isEmpty || clipped(0).isEmpty) None
+          // rings clip independently, so a rect entirely inside a HOLE
+          // collapses BOTH the exterior and the hole to the rect itself
+          // — a phantom zero-area feature ogr.Layer.Clip would not emit;
+          // net area <= 0 means nothing of the polygon survives here
+          if (clipped.isEmpty ||
+              Geom.area(clipped) <= 0.0) None
           else Some(PolyRow(p.poly_id * 100000 + rid, p.part,
             clipped.map(_.map { case (x, y) => Pt(x, y) }),
             p.cls, p.name, p.measure))
@@ -142,23 +166,33 @@ object VectorOps {
    * pattern. Result ids: subject_id * 100000 + clip_id (the clipToRects
    * convention); one output row per polygon part.
    */
+  /** One broadcast clip feature; the JTS geometry is @transient lazy,
+    * so it is built ONCE per executor on first use instead of once per
+    * (subject x clip) pair — the subject side already caches via its
+    * own lazy val, and rebuilding the clip ring validation per pair is
+    * O(subjects x clips) wasted work against a broadcast layer. */
+  private final class ClipEntry(val id: Long, val bbox: Geom.BBox,
+                                val rings: Geom.Rings) extends Serializable {
+    @transient lazy val jts: JPolygon = toJts(rings)
+  }
+
   def clipToPolygons(polys: Dataset[PolyRow], clipLayer: Seq[PolyRow])
                     (implicit spark: SparkSession): Dataset[PolyRow] = {
     import spark.implicits._
     val clipB = spark.sparkContext.broadcast(clipLayer.map { c =>
       val rings: Geom.Rings = c.rings.map(_.map(q => (q.x, q.y)))
-      (c.poly_id, Geom.bbox(rings), rings)
+      new ClipEntry(c.poly_id, Geom.bbox(rings), rings)
     })
     polys.flatMap { p =>
       val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
       val bb = Geom.bbox(rings)
       lazy val subj = toJts(rings)
-      clipB.value.flatMap { case (cid, cbb, crings) =>
-        if (!cbb.intersects(bb)) Seq.empty
+      clipB.value.flatMap { c =>
+        if (!c.bbox.intersects(bb)) Seq.empty
         else {
-          val inter = subj.intersection(toJts(crings))
+          val inter = subj.intersection(c.jts)
           fromJts(inter).zipWithIndex.map { case (rr, part) =>
-            PolyRow(p.poly_id * 100000 + cid, part,
+            PolyRow(p.poly_id * 100000 + c.id, part,
               rr.map(_.map { case (x, y) => Pt(x, y) }), p.cls, p.name, p.measure)
           }
         }

@@ -138,4 +138,56 @@ class Round5FixSpec extends AnyFunSuite {
     assert(fa.collect().map(_.getInt(0)).toSeq == Seq(2))
     assert(fb.collect().map(_.getInt(0)).toSeq == Seq(9))
   }
+
+  test("polygonize: NaN nodata pixels form no region") {
+    import graft.operators.Polygonize
+    val w = 8; val h = 8
+    // left half value 64, right half NaN
+    val b = Array.tabulate(w * h)(i => if (i % w < 4) 64f else Float.NaN)
+    val img = img1("pz", b, w, h)
+    val rs = Polygonize.polygonize(Seq(img).toDS, quant = 32f).collect()
+    assert(rs.length == 1, s"NaN pixels must form no region: ${rs.length}")
+    assert(rs.head.pixel_count == 32L)
+  }
+
+  test("toGeoJson escapes names and emits null for non-finite measures") {
+    import graft.operators.VectorOps
+    import graft.{PolyRow, Pt}
+    val p = PolyRow(1, 0,
+      Array(Array(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1))),
+      2, "O\"Brien\\tract", Double.NaN)
+    val js = VectorOps.toGeoJson(Seq(p).toDS).select("geojson")
+      .collect().head.getString(0)
+    // must parse as strict JSON: quotes/backslashes escaped, NaN -> null
+    assert(js.contains("O\\\"Brien\\\\tract"), js)
+    assert(js.contains("\"measure\":null"), js)
+    assert(!js.contains("NaN"), js)
+  }
+
+  test("clipToRects: a rect entirely inside a hole clips to nothing") {
+    import graft.operators.VectorOps
+    import graft.{PolyRow, Pt}
+    import graft.core.Geom
+    val holed = PolyRow(1, 0, Array(
+      Array(Pt(0, 0), Pt(100, 0), Pt(100, 100), Pt(0, 100)),
+      Array(Pt(40, 40), Pt(60, 40), Pt(60, 60), Pt(40, 60))), 1, "n", 0.0)
+    val out = VectorOps.clipToRects(Seq(holed).toDS,
+      Seq((7L, Geom.BBox(45, 45, 55, 55)))).collect()
+    assert(out.isEmpty, s"phantom zero-area feature emitted: ${out.length}")
+    // a rect straddling the hole boundary still clips normally
+    val out2 = VectorOps.clipToRects(Seq(holed).toDS,
+      Seq((8L, Geom.BBox(30, 30, 50, 50)))).collect()
+    assert(out2.length == 1)
+  }
+
+  test("maskOrientation drops all-dark images instead of emitting NaN") {
+    import graft.operators.{Mesh, Tiler}
+    val dark = img1("dk", Array.fill(64)(0f), 8, 8)
+    val lit0 = img1("lt", Array.tabulate(64)(i => if (i % 8 == i / 8) 5f else 0f), 8, 8)
+    val tiles = Tiler.tiles(Seq(dark, lit0).toDS, 8, Tiler.resForCellSize(8.0))
+    val rows = Mesh.maskOrientation(tiles).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("lt"),
+      "all-dark image must be dropped, not NaN")
+    assert(!rows.exists(r => r.getDouble(1).isNaN))
+  }
 }
