@@ -147,70 +147,100 @@ object ConvNet {
     cur
   }
 
+  /** Per-thread double accumulator for the tap-AXPY kernel below,
+    * reused across tiles (every index is overwritten before use, so no
+    * clearing). Keyed by size so mixed tile widths in one partition
+    * each keep their buffer. */
+  private val axpyScratch =
+    new ThreadLocal[scala.collection.mutable.HashMap[Int, Array[Double]]] {
+      override def initialValue() =
+        scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+    }
+  private def dblBuf(n: Int): Array[Double] =
+    axpyScratch.get().getOrElseUpdate(n, new Array[Double](n))
+
   /** One layer's edge-replicated `same` conv forward into `out`
-    * (pre-sized outC planes of w*h): the hoisted interior fast path
-    * (measured 1.5x) plus the clamped border path, identical ic -> dy
-    * -> dx accumulation order on both so results are bit-equal.
-    * Shared by forward() above and ConvTrain.forwardAll's per-layer
-    * calls — ONE conv kernel, so the training and inference forwards
-    * cannot drift (and training doesn't pay the clamp arithmetic on
-    * interior pixels). */
+    * (pre-sized outC planes of w*h), restructured as per-tap AXPY
+    * sweeps: for each (oc, ic, dy, dx) tap the scalar weight multiplies
+    * a contiguous source-row segment into a double accumulator plane.
+    * The previous per-pixel register reduction was a strict sequential
+    * FP-add chain (one 4-cycle-latency dependent add per tap); here
+    * consecutive iterations touch INDEPENDENT accumulator elements, so
+    * the adds pipeline (and the JIT may vectorize). Bit-exactness:
+    * every output pixel still receives its additions in the IDENTICAL
+    * ic -> dy -> dx tap order with the identical clamped source
+    * indices, and each product is still the FLOAT-precision multiply
+    * src * weight (Java promotes float*float to a float-rounded
+    * product before the double add — preserved exactly), so results
+    * are bit-equal to the scalar form for ARBITRARY nets (spec-gated
+    * against the reference kernel). Shared by forward() above and
+    * ConvTrain.forwardAll's per-layer calls — ONE conv kernel, so the
+    * training and inference forwards cannot drift. */
   private[operators] def layerForwardInto(cur: Array[Array[Float]],
                                           w: Int, h: Int, l: ConvLayer,
                                           out: Array[Array[Float]]): Unit = {
     val wts = l.weights; val bs = l.bias
     val inC = l.inC; val outC = l.outC; val k = l.k; val r = l.radius
     val relu = l.relu
+    val n = w * h
+    val acc = dblBuf(n)
     var oc = 0
     while (oc < outC) {
-      val plane = out(oc)
       val bias = bs(oc).toDouble
-      var y = 0
-      while (y < h) {
-        val innerY = y >= r && y < h - r
-        var x = 0
-        while (x < w) {
-          var s: Double = bias
-          if (innerY && x >= r && x < w - r) {
-            var ic = 0
-            while (ic < inC) {
-              val src = cur(ic)
-              var wi = (oc * inC + ic) * k * k
-              var dy = -r
-              while (dy <= r) {
-                var p = (y + dy) * w + x - r
-                var t = 0
-                while (t < k) {
-                  s += src(p) * wts(wi)
-                  p += 1; wi += 1; t += 1
-                }
-                dy += 1
+      java.util.Arrays.fill(acc, bias)
+      var ic = 0
+      while (ic < inC) {
+        val src = cur(ic)
+        val wBase = (oc * inC + ic) * k * k
+        if (k == 1) {
+          val wv = wts(wBase)
+          var i = 0
+          while (i < n) { acc(i) += src(i) * wv; i += 1 }
+        } else {
+          var dy = -r
+          while (dy <= r) {
+            var dx = -r
+            while (dx <= r) {
+              // wv stays FLOAT: src * wv below must round the product in
+              // float precision exactly as the scalar kernel's
+              // `s += src(p) * wts(wi)` did
+              val wv = wts(wBase + (dy + r) * k + (dx + r))
+              var y = 0
+              while (y < h) {
+                val yc = y + dy
+                val yy = if (yc < 0) 0 else if (yc > h - 1) h - 1 else yc
+                val srow = yy * w
+                val arow = y * w
+                // x + dx clamps to [0, w-1]: left-clamped prefix, exact
+                // middle run, right-clamped suffix — no branch in the
+                // middle loop, which is the vectorized hot path
+                var x = 0
+                val leftEnd = if (-dx < 0) 0 else if (-dx > w) w else -dx
+                val v0 = src(srow) * wv
+                while (x < leftEnd) { acc(arow + x) += v0; x += 1 }
+                val midEnd = if (w - dx < x) x else if (w - dx > w) w else w - dx
+                var p = srow + x + dx
+                var a = arow + x
+                val aEnd = arow + midEnd
+                while (a < aEnd) { acc(a) += src(p) * wv; a += 1; p += 1 }
+                x = midEnd
+                val vLast = src(srow + w - 1) * wv
+                while (x < w) { acc(arow + x) += vLast; x += 1 }
+                y += 1
               }
-              ic += 1
+              dx += 1
             }
-          } else {
-            var ic = 0
-            while (ic < inC) {
-              val src = cur(ic)
-              val wBase = (oc * inC + ic) * k * k
-              var dy = -r
-              while (dy <= r) {
-                val yy = math.min(h - 1, math.max(0, y + dy))
-                var dx = -r
-                while (dx <= r) {
-                  val xx = math.min(w - 1, math.max(0, x + dx))
-                  s += src(yy * w + xx) * wts(wBase + (dy + r) * k + (dx + r))
-                  dx += 1
-                }
-                dy += 1
-              }
-              ic += 1
-            }
+            dy += 1
           }
-          plane(y * w + x) = if (relu && s < 0) 0f else s.toFloat
-          x += 1
         }
-        y += 1
+        ic += 1
+      }
+      val plane = out(oc)
+      var i = 0
+      if (relu) {
+        while (i < n) { val v = acc(i); plane(i) = if (v < 0) 0f else v.toFloat; i += 1 }
+      } else {
+        while (i < n) { plane(i) = acc(i).toFloat; i += 1 }
       }
       oc += 1
     }

@@ -80,72 +80,195 @@ object ZonalStats {
     }
   }
 
+  /** One pre-resolved (cell, polygon-part) prefilter entry of the
+    * broadcast index: rings/bbox converted ONCE at build time instead of
+    * per joined pair. */
+  private final case class PolyPre(polyId: Long, rings: Geom.Rings,
+                                   pb: Geom.BBox) extends Serializable
+
+  /** Hard cap on the driver-held prefilter index — the SAME smallness
+    * contract the plan-level BroadcastExchange this path replaced
+    * enforced implicitly (its build side was collected to the driver
+    * too), made loud: a vector layer whose cell cover exceeds it fails
+    * fast instead of OOM-ing the driver. 2^22 entries ~ a few hundred MB
+    * of rings at typical ring sizes. */
+  val MaxBroadcastPolyCells: Int = 1 << 22
+
+  /**
+   * Tiles x polygons histogram, executed as a broadcast-VARIABLE map
+   * join: the polygon side (small by the zonal contract) is exploded
+   * into covering cells, collected once, indexed by cell_id and shipped
+   * via sparkContext.broadcast; the tile side streams through ONE
+   * mapPartitions that accumulates per-(poly, band) histograms for the
+   * whole partition and emits only the merged partials. vs the previous
+   * plan-level joinWith(broadcast(pc)):
+   *  - pixels never enter Tungsten rows between the tiler and the
+   *    kernel (EliminateSerialization fuses the two typed operators —
+   *    the join forced a serialize + per-matched-pair deserialize of
+   *    every pixel array);
+   *  - the pre-shuffle row count drops from (pairs x distinct values)
+   *    to (polys x bands x values x partitions);
+   *  - ring/bbox conversion happens once per (cell, poly), not once per
+   *    joined pair.
+   * Output rows and the final groupBy are IDENTICAL to the join form
+   * (oracle-checked); the only shuffle is still the summary-sized
+   * histogram merge.
+   */
   def histogram(tiles: Dataset[TileRow], polys: Dataset[PolyRow], cellRes: Int,
                 pipParallelism: Int = 0)
                (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val pc = polyCells(polys, cellRes)
-    val joined0 = tiles.joinWith(broadcast(pc), tiles("cell_id") === pc("cell_id"))
+    // driver-held build side (bounded, fail-fast — see MaxBroadcastPolyCells)
+    val pcLocal = polyCells(polys, cellRes).limit(MaxBroadcastPolyCells + 1).collect()
+    require(pcLocal.length <= MaxBroadcastPolyCells,
+      s"zonal prefilter index exceeds $MaxBroadcastPolyCells (cell, polygon) " +
+        "entries — coarsen cellRes or shard the polygon layer")
+    val index = new java.util.HashMap[Long, Array[PolyPre]]()
+    pcLocal.groupBy(_.cell_id).foreach { case (cell, entries) =>
+      index.put(cell, entries.map { p =>
+        val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
+        PolyPre(p.poly_id, rings, Geom.bbox(rings))
+      })
+    }
+    val bc = spark.sparkContext.broadcast(index)
     // Dense cells concentrate (tile x poly) pairs in few input partitions
-    // and the broadcast join gives AQE no shuffle to split — the salted
+    // and the map-side join gives AQE no shuffle to split — the salted
     // repartition below is the north rule's fix. Worth it exactly when the
     // per-pair PIP kernel dominates the one-off payload shuffle.
-    val joined = if (pipParallelism > 0) joined0.repartition(pipParallelism) else joined0
-    joined.flatMap { case (t, p) =>
-      val cb = GridIndex.cellBounds(p.cell_id)
-      val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
-      val pb = Geom.bbox(rings)
-      // interior-tile shortcut: when the rect spanned by the tile's pixel
-      // CENTERS sits entirely inside the polygon, every center passes PIP
-      // — large polygons pay zero per-pixel geometry. The bbox pre-check
-      // keeps boundary/exterior pairs (the common case) from paying the
-      // full ring scans of the exact containment test.
-      val centers = Geom.BBox(
-        t.x_min + 0.5 * t.px, t.y_max - (t.th - 0.5) * t.px,
-        t.x_min + (t.tw - 0.5) * t.px, t.y_max - 0.5 * t.px)
-      val fullInside =
-        pb.x0 <= centers.x0 && centers.x1 <= pb.x1 &&
-        pb.y0 <= centers.y0 && centers.y1 <= pb.y1 &&
-        Geom.rectInsidePolygon(centers, rings)
+    val src = if (pipParallelism > 0) tiles.repartition(pipParallelism) else tiles
+    src.mapPartitions { it =>
+      val idx = bc.value
+      // partition-level accumulators keyed by (poly_id, band):
       // uint8-regime fast path (the reference's native domain,
-      // shape.py:1704-1710): integral values in [0, 256) count into a
-      // flat array — no boxing, no hashing; anything else falls to the map
-      val arr = new Array[Long](256)
-      var acc: scala.collection.mutable.HashMap[Float, Long] = null
-      val nod = t.nodata
-      var row = 0
-      while (row < t.th) {
-        val cy = t.y_max - (row + 0.5) * t.px
-        if (cy >= cb.y0 && cy < cb.y1 && cy >= pb.y0 && cy <= pb.y1) {
-          var col = 0
-          while (col < t.tw) {
-            val cx = t.x_min + (col + 0.5) * t.px
-            // ownership: pixel belongs to exactly one (tile, cell) row
-            if (cx >= cb.x0 && cx < cb.x1 && cx >= pb.x0 && cx <= pb.x1) {
-              val v = t.pixels(row * t.tw + col)
-              val isNodata = if (nod.isNaN) v.isNaN else v == nod
-              if (!isNodata && (fullInside || Geom.pointInPolygon(cx, cy, rings))) {
-                val iv = v.toInt
-                if (iv >= 0 && iv < 256 && iv.toFloat == v) arr(iv) += 1L
-                else {
-                  if (acc == null) acc = new scala.collection.mutable.HashMap[Float, Long]
-                  acc.update(v, acc.getOrElse(v, 0L) + 1L)
-                }
-              }
-            }
-            col += 1
+      // shape.py:1704-1710) counts integral values in [0, 256) into a
+      // flat array; anything else falls to a float-bits map. Flushed
+      // early if the float-value cardinality grows past the cap (the
+      // final groupBy re-merges partials, so flushing never changes the
+      // result).
+      val flat = new java.util.HashMap[(Long, Int), Array[Long]]()
+      val over = new java.util.HashMap[(Long, Int), scala.collection.mutable.LongMap[Long]]()
+      var overCount = 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Float, Long)]
+      def flush(): Unit = {
+        val fi = flat.entrySet().iterator()
+        while (fi.hasNext) {
+          val e = fi.next(); val (pid, band) = e.getKey; val arr = e.getValue
+          var iv = 0
+          while (iv < 256) {
+            if (arr(iv) > 0L) out += ((pid, band, iv.toFloat, arr(iv)))
+            iv += 1
           }
         }
-        row += 1
+        val oi = over.entrySet().iterator()
+        while (oi.hasNext) {
+          val e = oi.next(); val (pid, band) = e.getKey
+          e.getValue.foreach { case (bits, c) =>
+            out += ((pid, band, java.lang.Float.intBitsToFloat(bits.toInt), c))
+          }
+        }
+        flat.clear(); over.clear(); overCount = 0L
       }
-      val fromArr = (0 until 256).iterator.filter(arr(_) > 0L)
-        .map(iv => (p.poly_id, t.band, iv.toFloat, arr(iv)))
-      val fromMap =
-        if (acc == null) Iterator.empty
-        else acc.iterator.map { case (v, c) => (p.poly_id, t.band, v, c) }
-      fromArr ++ fromMap
+      it.foreach { t =>
+        val entries = idx.get(t.cell_id)
+        if (entries != null) {
+          val cb = GridIndex.cellBounds(t.cell_id)
+          var ei = 0
+          while (ei < entries.length) {
+            val p = entries(ei)
+            val rings = p.rings
+            val pb = p.pb
+            // interior-tile shortcut: when the rect spanned by the tile's
+            // pixel CENTERS sits entirely inside the polygon, every center
+            // passes PIP — large polygons pay zero per-pixel geometry. The
+            // bbox pre-check keeps boundary/exterior pairs (the common
+            // case) from paying the full ring scans of the containment
+            // test.
+            val centers = Geom.BBox(
+              t.x_min + 0.5 * t.px, t.y_max - (t.th - 0.5) * t.px,
+              t.x_min + (t.tw - 0.5) * t.px, t.y_max - 0.5 * t.px)
+            val fullInside =
+              pb.x0 <= centers.x0 && centers.x1 <= pb.x1 &&
+              pb.y0 <= centers.y0 && centers.y1 <= pb.y1 &&
+              Geom.rectInsidePolygon(centers, rings)
+            // Hoist the per-pixel ownership + bbox bounds out of the inner
+            // loop: the row predicate (cy in cell & poly-bbox y-range) and
+            // col predicate (cx in cell & poly-bbox x-range) are monotone
+            // in row/col, so each holds on a contiguous index range found
+            // by scanning the EXACT per-pixel expressions once per pair
+            // (bit-identical acceptance set, O(tw+th) instead of tw*th).
+            var rowLo = 0
+            while (rowLo < t.th && !rowOk(t, rowLo, cb, pb)) rowLo += 1
+            var rowHi = t.th - 1
+            while (rowHi >= rowLo && !rowOk(t, rowHi, cb, pb)) rowHi -= 1
+            var colLo = 0
+            while (colLo < t.tw && !colOk(t, colLo, cb, pb)) colLo += 1
+            var colHi = t.tw - 1
+            while (colHi >= colLo && !colOk(t, colHi, cb, pb)) colHi -= 1
+            if (rowLo <= rowHi && colLo <= colHi) {
+              val key = (p.polyId, t.band)
+              var arr = flat.get(key)
+              if (arr == null) { arr = new Array[Long](256); flat.put(key, arr) }
+              var acc = over.get(key)
+              val nod = t.nodata
+              val nodNaN = nod.isNaN
+              var row = rowLo
+              while (row <= rowHi) {
+                val cy = t.y_max - (row + 0.5) * t.px
+                val base = row * t.tw
+                var col = colLo
+                while (col <= colHi) {
+                  val v = t.pixels(base + col)
+                  val isNodata = if (nodNaN) v.isNaN else v == nod
+                  if (!isNodata && (fullInside ||
+                      Geom.pointInPolygon(t.x_min + (col + 0.5) * t.px, cy, rings))) {
+                    val iv = v.toInt
+                    if (iv >= 0 && iv < 256 && iv.toFloat == v) arr(iv) += 1L
+                    else {
+                      if (acc == null) {
+                        acc = over.get(key)
+                        if (acc == null) {
+                          acc = scala.collection.mutable.LongMap.empty[Long]
+                          over.put(key, acc)
+                        }
+                      }
+                      // canonical bits (not raw): merges NaN payloads the
+                      // way a Float-keyed HashMap's equals would
+                      val bits = java.lang.Float.floatToIntBits(v).toLong
+                      val prev = acc.getOrElse(bits, 0L)
+                      if (prev == 0L) overCount += 1
+                      acc.update(bits, prev + 1L)
+                    }
+                  }
+                  col += 1
+                }
+                row += 1
+              }
+            }
+            ei += 1
+          }
+          if (overCount > (1L << 20)) flush()
+        }
+      }
+      flush()
+      out.iterator
     }.toDF("poly_id", "band", "value", "cnt")
       .groupBy("poly_id", "band", "value").agg(sum("cnt").as("cnt"))
+  }
+
+  /** The EXACT per-row ownership/bbox predicate of the histogram kernel
+    * (hoisted — see the range scan above). */
+  @inline private def rowOk(t: TileRow, row: Int, cb: Geom.BBox,
+                            pb: Geom.BBox): Boolean = {
+    val cy = t.y_max - (row + 0.5) * t.px
+    cy >= cb.y0 && cy < cb.y1 && cy >= pb.y0 && cy <= pb.y1
+  }
+
+  /** The EXACT per-col ownership/bbox predicate (pixel belongs to exactly
+    * one (tile, cell) row). */
+  @inline private def colOk(t: TileRow, col: Int, cb: Geom.BBox,
+                            pb: Geom.BBox): Boolean = {
+    val cx = t.x_min + (col + 0.5) * t.px
+    cx >= cb.x0 && cx < cb.x1 && cx >= pb.x0 && cx <= pb.x1
   }
 
   /** Fold partial histograms (per batch / per shard) back into one

@@ -42,6 +42,29 @@ class ConvNetSpec extends AnyFunSuite {
     }
   }
 
+  test("AXPY kernel is bit-exact for ARBITRARY (non-dyadic) nets and shapes") {
+    // Random fractional weights/pixels make every product round in float
+    // precision, so this gates the kernel's accumulation-ORDER and
+    // float-product contracts (not just the exact-dyadic fixtures).
+    // Shapes include w/h smaller than the kernel radius (full-clamp rows)
+    // and 1-wide strips.
+    val rng = new java.util.Random(20260822L)
+    def rf(): Float = (rng.nextFloat() - 0.5f) * 1.7f
+    val arb = SegNet(Seq(
+      ConvLayer(3, 2, 5, Array.fill(3 * 2 * 25)(rf()), Array.fill(3)(rf()), relu = true),
+      ConvLayer(2, 3, 3, Array.fill(2 * 3 * 9)(rf()), Array.fill(2)(rf()), relu = false),
+      ConvLayer(2, 2, 1, Array.fill(2 * 2)(rf()), Array.fill(2)(rf()), relu = false)),
+      Array(1, 2))
+    for ((w, h) <- Seq((17, 13), (1, 9), (9, 1), (2, 2), (40, 3))) {
+      val bands = Array.fill(2)(Array.fill(w * h)(rng.nextFloat() * 255f - 64f))
+      val got = ConvNet.forward(bands, w, h, arb)
+      val want = naiveForward2(bands, w, h, arb)
+      got.zip(want).zipWithIndex.foreach { case ((g, e), pl) =>
+        assert(g.sameElements(e), s"plane $pl at ${w}x$h")
+      }
+    }
+  }
+
   test("segPredict burns convert_pred labels (highest channel wins ties)") {
     val pred = ConvNet.segPredict(ds, net).collect().map(i => i.image_id -> i).toMap
     imgs.foreach { img =>

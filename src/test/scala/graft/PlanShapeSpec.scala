@@ -21,16 +21,27 @@ class PlanShapeSpec extends AnyFunSuite {
   def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("zonal pipeline: polygon side broadcasts; ONE aggregate exchange") {
+  test("zonal pipeline: map-side broadcast index, no join operator, ONE aggregate exchange") {
     val images = spark.createDataset(Synth.images(8, seed = 1L, bands = 1).toSeq)
     val polys = spark.createDataset(Synth.polygons(2).toSeq)
     val cellRes = Tiler.resForCellSize(64.0)
     val hist = ZonalStats.histogram(Tiler.tiles(images, 64, cellRes), polys, cellRes)
     val p = plan(hist)
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin"), "zonal join must never sort-merge")
+    // round 6: the polygon prefilter is a sparkContext.broadcast INDEX
+    // consumed inside the tile mapPartitions — no join operator at all,
+    // and in particular never a sort-merge fallback shuffling pixels
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"zonal prefilter regressed to a plan-level join:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"more than one shuffle in the zonal pipeline:\n$p")
+    // pixels must flow object-to-object from the tiler into the kernel:
+    // exactly ONE serialize boundary (the small histogram rows), i.e.
+    // EliminateSerialization fused the tiler flatMap with the histogram
+    // mapPartitions instead of round-tripping pixel arrays through
+    // Tungsten rows
+    assert("SerializeFromObject".r.findAllIn(p).size == 1 &&
+      "DeserializeToObject".r.findAllIn(p).size == 1,
+      s"tiler -> histogram pixel arrays round-trip through Tungsten:\n$p")
   }
 
   test("pointsInPolygons: broadcast prefilter + codegen'd refine") {
