@@ -36,13 +36,25 @@ object Geom {
 
   private val Eps = 1e-12
 
-  /** True if (px,py) lies on segment (ax,ay)-(bx,by) within Eps. */
+  /** True if (px,py) lies on segment (ax,ay)-(bx,by) within Eps.
+    * The threshold Eps * max(1, hypot(dx, dy)) is DECIDED without the
+    * ~100ns StrictMath.hypot call in all but a ~1e-9-relative-wide band:
+    * hypot(dx,dy) lies in [m, m*sqrt2] for m = max(|dx|,|dy|), so
+    * |cross| > Eps*max(1,m)*1.5 implies the original test's true branch
+    * and |cross| <= Eps*max(1,m)*0.999999999 its false branch; only the
+    * in-between band (never hit by real data) computes the exact hypot
+    * — result identical to the unguarded form for EVERY input. */
   private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
                         bx: Double, by: Double): Boolean = {
-    val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    if (math.abs(cross) > Eps * math.max(1.0, math.hypot(bx - ax, by - ay))) return false
-    val dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
-    val len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    val dxe = bx - ax; val dye = by - ay
+    val cross = dxe * (py - ay) - dye * (px - ax)
+    val ac = math.abs(cross)
+    val m = math.max(1.0, math.max(math.abs(dxe), math.abs(dye)))
+    if (ac > Eps * m * 1.5) return false
+    if (ac > Eps * m * 0.999999999 &&
+        ac > Eps * math.max(1.0, math.hypot(dxe, dye))) return false
+    val dot = (px - ax) * dxe + (py - ay) * dye
+    val len2 = dxe * dxe + dye * dye
     dot >= -Eps && dot <= len2 + Eps
   }
 
@@ -89,6 +101,64 @@ object Geom {
       }
       inside
     }
+  }
+
+  /** Packed-ring form of [[pointInPolygon]]: identical algorithm and
+    * arithmetic over per-ring flat (xs, ys) vertex arrays — decision-
+    * identical for every input, but per-pixel kernels read doubles from
+    * contiguous arrays instead of chasing a Tuple2 pointer per vertex. */
+  def pointInPolygonPacked(px: Double, py: Double,
+                           xss: Array[Array[Double]],
+                           yss: Array[Array[Double]]): Boolean = {
+    var crossings = 0
+    var ambiguous = false
+    var r = 0
+    while (r < xss.length) {
+      val xs = xss(r); val ys = yss(r)
+      val n = xs.length
+      var i = 0
+      while (i < n) {
+        val ax = xs(i); val ay = ys(i)
+        val j = if (i + 1 < n) i + 1 else 0
+        val bx = xs(j); val by = ys(j)
+        if (onSegment(px, py, ax, ay, bx, by)) return true
+        if (math.abs(ay - py) < Eps || math.abs(by - py) < Eps) ambiguous = true
+        val crosses = (ay > py) != (by > py)
+        if (crosses) {
+          val xInt = ax + (py - ay) / (by - ay) * (bx - ax)
+          if (xInt > px) crossings += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    if (!ambiguous) (crossings & 1) == 1
+    else {
+      var inside = false
+      var r = 0
+      while (r < xss.length) {
+        if (ringWindingPacked(px, py, xss(r), yss(r)) != 0) inside = !inside
+        r += 1
+      }
+      inside
+    }
+  }
+
+  private def ringWindingPacked(px: Double, py: Double,
+                                xs: Array[Double], ys: Array[Double]): Int = {
+    var wn = 0
+    val n = xs.length
+    var i = 0
+    while (i < n) {
+      val ax = xs(i); val ay = ys(i)
+      val j = if (i + 1 < n) i + 1 else 0
+      val bx = xs(j); val by = ys(j)
+      val isLeft = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+      if (ay <= py) { if (by > py && isLeft > 0) wn += 1 }
+      else if (by <= py && isLeft < 0) wn -= 1
+      i += 1
+    }
+    wn
   }
 
   /** Winding number of a single ring around the point. */

@@ -128,6 +128,17 @@ object PixelCodec {
 
   // ---------------------------------------------------------------- decode
 
+  /** Little-endian int from a byte array by shift composition — plain
+    * primitive loads the JIT folds well (the per-value ByteBuffer get()s
+    * this replaced paid position bookkeeping + a virtual call per PIXEL
+    * on the rle/qnt8 paths; noisy imagery degenerates rle to 1-px runs,
+    * so that was per-pixel cost on a third of the bench table. NOT a
+    * VarHandle byte-view: Scala cannot emit @PolymorphicSignature call
+    * sites, so VarHandle.get from Scala boxes per call). */
+  @inline private def intAt(bytes: Array[Byte], off: Int): Int =
+    (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16) | (bytes(off + 3) << 24)
+
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Decoded = {
     val px = w * h
     fmt match {
@@ -141,13 +152,16 @@ object PixelCodec {
         })
       case FmtRle =>
         val nb = bytes(0) & 0xff
-        val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1).order(ByteOrder.LITTLE_ENDIAN)
+        var off = 1
         val bands = Array.fill(nb) {
           val b = new Array[Float](px)
           var i = 0
           while (i < px) {
-            val cnt = bb.getInt; val v = bb.getFloat
-            java.util.Arrays.fill(b, i, i + cnt, v)
+            val cnt = intAt(bytes, off)
+            val v = java.lang.Float.intBitsToFloat(intAt(bytes, off + 4))
+            off += 8
+            if (cnt == 1) b(i) = v // the degenerate-run fast path
+            else java.util.Arrays.fill(b, i, i + cnt, v)
             i += cnt
           }
           b
@@ -155,13 +169,16 @@ object PixelCodec {
         Decoded(w, h, bands)
       case FmtQnt8 =>
         val nb = bytes.length / (8 + px)
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var off = 0
         val bands = Array.fill(nb) {
-          val mn = bb.getFloat; val mx = bb.getFloat
+          val mn = java.lang.Float.intBitsToFloat(intAt(bytes, off))
+          val mx = java.lang.Float.intBitsToFloat(intAt(bytes, off + 4))
           val step = (mx - mn) / 255f
           val b = new Array[Float](px)
+          val base = off + 8
           var i = 0
-          while (i < px) { b(i) = mn + (bb.get() & 0xff) * step; i += 1 }
+          while (i < px) { b(i) = mn + (bytes(base + i) & 0xff) * step; i += 1 }
+          off = base + px
           b
         }
         Decoded(w, h, bands)

@@ -27,18 +27,29 @@ object PipRuntime {
     while (r < nRings) {
       val ring = rings.getArray(r)
       val n = ring.numElements()
+      // edge i is (v_i, v_{i+1 mod n}): carry v_i forward from the
+      // previous iteration so each vertex struct materializes ONCE per
+      // call instead of twice (getStruct allocates a row view)
+      var ax = 0.0; var ay = 0.0; var x0 = 0.0; var y0 = 0.0
+      if (n > 0) {
+        val v0 = ring.getStruct(0, 2)
+        x0 = v0.getDouble(0); y0 = v0.getDouble(1)
+        ax = x0; ay = y0
+      }
       var i = 0
       while (i < n) {
-        val a = ring.getStruct(i, 2)
-        val b = ring.getStruct((i + 1) % n, 2)
-        val ax = a.getDouble(0); val ay = a.getDouble(1)
-        val bx = b.getDouble(0); val by = b.getDouble(1)
+        var bx = x0; var by = y0
+        if (i + 1 < n) {
+          val b = ring.getStruct(i + 1, 2)
+          bx = b.getDouble(0); by = b.getDouble(1)
+        }
         if (onSegment(px, py, ax, ay, bx, by)) return true
         if (math.abs(ay - py) < Eps || math.abs(by - py) < Eps) ambiguous = true
         if ((ay > py) != (by > py)) {
           val xInt = ax + (py - ay) / (by - ay) * (bx - ax)
           if (xInt > px) crossings += 1
         }
+        ax = bx; ay = by
         i += 1
       }
       r += 1
@@ -57,12 +68,19 @@ object PipRuntime {
     }
   }
 
+  /** hypot-guarded form, decision-identical to the unguarded test for
+    * every input — see Geom.onSegment for the bound derivation. */
   private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
                         bx: Double, by: Double): Boolean = {
-    val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    if (math.abs(cross) > Eps * math.max(1.0, math.hypot(bx - ax, by - ay))) return false
-    val dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
-    val len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    val dxe = bx - ax; val dye = by - ay
+    val cross = dxe * (py - ay) - dye * (px - ax)
+    val ac = math.abs(cross)
+    val m = math.max(1.0, math.max(math.abs(dxe), math.abs(dye)))
+    if (ac > Eps * m * 1.5) return false
+    if (ac > Eps * m * 0.999999999 &&
+        ac > Eps * math.max(1.0, math.hypot(dxe, dye))) return false
+    val dot = (px - ax) * dxe + (py - ay) * dye
+    val len2 = dxe * dxe + dye * dye
     dot >= -Eps && dot <= len2 + Eps
   }
 

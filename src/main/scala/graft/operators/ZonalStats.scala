@@ -82,8 +82,11 @@ object ZonalStats {
 
   /** One pre-resolved (cell, polygon-part) prefilter entry of the
     * broadcast index: rings/bbox converted ONCE at build time instead of
-    * per joined pair. */
+    * per joined pair; per-ring packed (xs, ys) arrays feed the per-pixel
+    * PIP (flat-array reads, no Tuple2 chase per vertex). */
   private final case class PolyPre(polyId: Long, rings: Geom.Rings,
+                                   xss: Array[Array[Double]],
+                                   yss: Array[Array[Double]],
                                    pb: Geom.BBox) extends Serializable
 
   /** Hard cap on the driver-held prefilter index — the SAME smallness
@@ -127,7 +130,9 @@ object ZonalStats {
     pcLocal.groupBy(_.cell_id).foreach { case (cell, entries) =>
       index.put(cell, entries.map { p =>
         val rings: Geom.Rings = p.rings.map(_.map(q => (q.x, q.y)))
-        PolyPre(p.poly_id, rings, Geom.bbox(rings))
+        PolyPre(p.poly_id, rings,
+          p.rings.map(_.map(_.x)), p.rings.map(_.map(_.y)),
+          Geom.bbox(rings))
       })
     }
     val bc = spark.sparkContext.broadcast(index)
@@ -220,7 +225,8 @@ object ZonalStats {
                   val v = t.pixels(base + col)
                   val isNodata = if (nodNaN) v.isNaN else v == nod
                   if (!isNodata && (fullInside ||
-                      Geom.pointInPolygon(t.x_min + (col + 0.5) * t.px, cy, rings))) {
+                      Geom.pointInPolygonPacked(t.x_min + (col + 0.5) * t.px, cy,
+                        p.xss, p.yss))) {
                     val iv = v.toInt
                     if (iv >= 0 && iv < 256 && iv.toFloat == v) arr(iv) += 1L
                     else {
