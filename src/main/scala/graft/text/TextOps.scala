@@ -172,7 +172,14 @@ object TextOps {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val P = HashFamily.P
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // NO per-doc distinct here (unlike [[shingles]]): the signature is a
+    // min-aggregate, which is multiset-invariant, so duplicate shingle
+    // fingerprints cannot change any h_i — and the distinct's own
+    // (doc, fp) exchange was the largest shuffle in the whole chain
+    // (every shingle row, ahead of the one-row-per-doc aggregate).
+    // Duplicates now fold in the groupBy's map-side partial instead.
+    val sh = docs.select(col(idCol).as("doc"),
+      explode(colOf(ShingleFpsExpr(exprOf(col(textCol)), shingleN))).as("sh"))
     // signature: numHashes min-aggregates in ONE pass (partial+final agg).
     // The composed 62-bit fingerprint splits into its 31-bit halves with
     // bit ops (never a double-rounding division) so each permutation sees
@@ -286,22 +293,32 @@ object TextOps {
     val rem = 64 % nChunks
     val withSig = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
     // chunk i: width base (+1 for the first `rem`), at the cumulative offset
-    val chunkCols = (0 until nChunks).map { i =>
+    def chunkAt(sig: org.apache.spark.sql.Column, i: Int) = {
       val width = base + (if (i < rem) 1 else 0)
       val offset = i * base + math.min(i, rem)
-      if (width == 64) col("__sig")
-      else shiftrightunsigned(col("__sig"), offset).bitwiseAND(lit((1L << width) - 1))
+      if (width == 64) sig
+      else shiftrightunsigned(sig, offset).bitwiseAND(lit((1L << width) - 1))
     }
+    val chunkCols = (0 until nChunks).map(i => chunkAt(col("__sig"), i))
     val chunked = withSig.select(col("__id"), col("__sig"),
       posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
     val a = chunked.select(col("chunk"), col("ch"), col("__id").as("d1"), col("__sig").as("s1"))
     val b = chunked.select(col("chunk"), col("ch"), col("__id").as("d2"), col("__sig").as("s2"))
+    // A pair colliding in k chunks would reach the result k times; the
+    // dedup is a pure COLUMN-MATH filter — keep the row only at the pair's
+    // FIRST agreeing chunk (both signatures ride the row, so "no earlier
+    // chunk agrees" is closed-form) — instead of the groupBy(d1, d2)
+    // exchange this replaced. Row set and hamming values are identical
+    // (hamming is a function of the pair, so min(hamming) == hamming).
+    val firstAgree = (0 until nChunks).foldRight(lit(-1)) { (i, rest) =>
+      when(chunkAt(col("s1"), i) === chunkAt(col("s2"), i), lit(i)).otherwise(rest)
+    }
     a.join(b, Seq("chunk", "ch")).where(col("d1") < col("d2"))
+      .where(col("chunk") === firstAgree)
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .groupBy("d1", "d2").agg(min("hamming").as("hamming"))
   }
 
   /** SimHash near-dup candidates at FULL recall for the requested radius:
