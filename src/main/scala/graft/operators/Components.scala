@@ -130,7 +130,12 @@ object Components {
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+    // NO distinct here (round 6): smallStar's output is invariant to
+    // duplicate input edges — its min-aggregate ignores multiplicity and
+    // its own trailing distinct canonicalizes — so deduping between the
+    // stars only bought an extra full exchange per round. The round's
+    // canonical (checksummed) edge set is still smallStar's distinct
+    // output, identical with or without this dedup.
   }
 
   /** Small-star: orient edges large->small; every node links its

@@ -243,43 +243,120 @@ object Edge {
     * through to the kept output rows. Shared by [[cannyTiles]] and
     * [[PhaseCong.phaseCongEdgesTiles]]. */
   private[operators] def hysteresis8(cand0: DataFrame): DataFrame = {
-    // the sparse candidate set feeds four downstream joins — checkpoint
-    // once so the upstream per-tile kernel runs once, not four times
-    // (and the shuffled relations downstream are candidate rows only).
-    // RELIABLE when a checkpoint dir is set, local otherwise — the same
-    // contract as Components.connected: localCheckpoint blocks are
-    // unreplicated, so a cluster run MUST ride the fault-tolerant path.
-    // Lazy (eager=false): the per-tile kernel must not run at
-    // DataFrame-CONSTRUCTION time; it materializes under the first
-    // downstream action that reads it.
-    val cand =
+    import org.apache.spark.sql.types.LongType
+    // TWO-LEVEL connected components (round 6): the distributed CC used
+    // to run on the PIXEL graph — every candidate pixel a node, every
+    // 8-adjacency a shuffled edge — so the alternating-star rounds paid
+    // their per-round shuffles on pixel-count-sized relations. Edge
+    // curves are locally connected, so first contract each PARTITION's
+    // candidates with an in-memory union-find (the per-partition buffer
+    // is the same candidate set the checkpoint below already holds as
+    // blocks); only UNRESOLVED cross-partition adjacencies become CC
+    // edges, and the stars run on the contracted label graph (one node
+    // per local curve segment, not per pixel). Result-identical:
+    // contraction preserves connectivity, so "component contains a
+    // strong pixel" is decided on labels exactly as it was on pixels
+    // (spec-gated against the whole-image kernel as before).
+    //
+    // Checkpointed once (kernel + labeling run once, not once per
+    // downstream consumer). RELIABLE when a checkpoint dir is set,
+    // local otherwise — the same contract as Components.connected:
+    // localCheckpoint blocks are unreplicated, so a cluster run MUST
+    // ride the fault-tolerant path. Lazy (eager=false): the per-tile
+    // kernel must not run at DataFrame-CONSTRUCTION time. (On the
+    // reliable path the first action computes the kernel once for
+    // itself and once for the checkpoint write — accepted and
+    // documented; see ADVICE r05.)
+    val schema = cand0.schema
+    val iImg = schema.fieldIndex("image_id")
+    val iX = schema.fieldIndex("x")
+    val iY = schema.fieldIndex("y")
+    val iStrong = schema.fieldIndex("strong")
+    val labeledSchema = schema.add("lab", LongType, nullable = false)
+    val labeled0 = cand0.mapPartitions { it =>
+      val rows = it.toArray
+      val idx = new java.util.HashMap[(String, Int, Int), Integer](rows.length * 2)
+      var i = 0
+      while (i < rows.length) {
+        idx.put((rows(i).getString(iImg), rows(i).getInt(iX), rows(i).getInt(iY)), i)
+        i += 1
+      }
+      val parent = Array.tabulate(rows.length)(identity)
+      def find(a: Int): Int = {
+        var r = a
+        while (parent(r) != r) r = parent(r)
+        var c = a
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // forward 4 of the 8 directions: every local undirected adjacency
+      // considered exactly once
+      val dxs = Array(1, -1, 0, 1); val dys = Array(0, 1, 1, 1)
+      i = 0
+      while (i < rows.length) {
+        val img = rows(i).getString(iImg)
+        val x = rows(i).getInt(iX); val y = rows(i).getInt(iY)
+        var d = 0
+        while (d < 4) {
+          val j = idx.get((img, x + dxs(d), y + dys(d)))
+          if (j != null) {
+            val ra = find(i); val rb = find(j)
+            if (ra != rb) parent(rb) = ra
+          }
+          d += 1
+        }
+        i += 1
+      }
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      rows.iterator.zipWithIndex.map { case (r, k) =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ ((pid << 40) | find(k).toLong))
+      }
+    }(org.apache.spark.sql.Encoders.row(labeledSchema))
+    val labeled =
       if (cand0.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        cand0.checkpoint(false)
-      else cand0.localCheckpoint(false)
-    val c = cand.withColumn("id",
-      concat_ws(":", col("image_id"), col("x"), col("y")))
-    // 8-neighbor adjacency: each pixel probes its 4 FORWARD neighbors,
-    // so every undirected pair appears exactly once
-    val dirs = Seq((1, 0), (-1, 1), (0, 1), (1, 1))
-    val probes = c
-      .withColumn("d", explode(array(dirs.map { case (dx, dy) =>
-        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
-      .select(col("image_id"), (col("x") + col("d.dx")).as("nx"),
-        (col("y") + col("d.dy")).as("ny"), col("id").as("src"))
+        labeled0.checkpoint(false)
+      else labeled0.localCheckpoint(false)
+    // cross-partition probes: only neighbors NOT resolved by the local
+    // union-find (the partition map is rebuilt from the checkpointed
+    // rows, so it matches the labeling pass exactly)
+    import cand0.sparkSession.implicits._
+    val probes = labeled.mapPartitions { it =>
+      val rows = it.toArray
+      val idx = new java.util.HashMap[(String, Int, Int), Integer](rows.length * 2)
+      var i = 0
+      while (i < rows.length) {
+        idx.put((rows(i).getString(iImg), rows(i).getInt(iX), rows(i).getInt(iY)), i)
+        i += 1
+      }
+      val dxs = Array(1, -1, 0, 1); val dys = Array(0, 1, 1, 1)
+      rows.iterator.flatMap { r =>
+        val img = r.getString(iImg)
+        val x = r.getInt(iX); val y = r.getInt(iY)
+        val lab = r.getLong(labeledSchema.length - 1)
+        (0 until 4).iterator.collect {
+          case d if idx.get((img, x + dxs(d), y + dys(d))) == null =>
+            (img, x + dxs(d), y + dys(d), lab)
+        }
+      }
+    }.toDF("image_id", "nx", "ny", "src")
     val edges = probes
-      .join(c.select(col("image_id"), col("x").as("nx"),
-        col("y").as("ny"), col("id").as("dst")), Seq("image_id", "nx", "ny"))
+      .join(labeled.select(col("image_id"), col("x").as("nx"),
+        col("y").as("ny"), col("lab").as("dst")), Seq("image_id", "nx", "ny"))
+      .where(col("src") =!= col("dst"))
       .select("src", "dst")
-    val cc = Components.connected(edges, "src", "dst") // (id, component)
-    val strongIds = c.where(col("strong")).select("id")
-    val keptComps = cc.join(strongIds, "id").select("component").distinct()
-    val keptViaCc = cc.join(keptComps, "component").select("id")
-    // a strong pixel with no weak/strong neighbor never enters the edge
-    // list — it is its own kept component
-    val isolatedStrong = strongIds.join(cc, Seq("id"), "left_anti")
+    val cc = Components.connected(edges, "src", "dst") // (id = lab, component)
+    val strongLabs = labeled.where(col("strong")).select(col("lab")).distinct()
+    val keptComps = cc.join(strongLabs, cc("id") === strongLabs("lab"))
+      .select("component").distinct()
+    val keptViaCc = cc.join(keptComps, "component").select(col("id").as("lab"))
+    // a strong label with no cross-partition neighbor never enters the
+    // edge list — it is its own kept component
+    val isolatedStrong = strongLabs
+      .join(cc, strongLabs("lab") === cc("id"), "left_anti")
     keptViaCc.union(isolatedStrong)
-      .join(c, "id")
-      .drop("id")
+      .join(labeled, "lab")
+      .drop("lab")
   }
 
   /** Canny over the image table: one binary-mask image row out per input
