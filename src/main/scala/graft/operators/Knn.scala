@@ -260,6 +260,13 @@ object Knn {
     finishExactGeneric(queries, k, cand, "dist", guard, Seq("lat", "lng"),
       badQ => points
         .select(col("pt_id"), col("lat").as("plat"), col("lng").as("plng"))
+        // the brute rescue pays ~8 libm calls per (point, query) pair; a
+        // single-split point scan (one parquet file) would run that
+        // entire kernel in ONE task. Spread the point side to the
+        // cluster's width first — scale-adaptive (defaultParallelism),
+        // and the shuffle moves 24-byte point rows, amortized by the
+        // per-pair trig it parallelizes. Row set unchanged.
+        .repartition(points.sparkSession.sparkContext.defaultParallelism)
         .crossJoin(broadcast(badQ
           .select(col("q_id"), col("lat").as("qlat"), col("lng").as("qlng"))))
         .withColumn("dist",

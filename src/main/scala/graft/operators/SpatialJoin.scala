@@ -67,7 +67,17 @@ object SpatialJoin {
     }.toDF("pc_cell", "poly_id", "part", "rings")
     val attrs = polys.select(col("poly_id").as("a_poly_id"),
       col("part").as("a_part"), col("cls"), col("name"), col("measure"))
-    val withCell = points.withColumn("__cell",
+    // The per-point work here is trig-heavy (S2 face projection + the
+    // PIP refine). A NARROW point source (fewer splits than the cluster
+    // is wide — e.g. one small parquet file) would run all of it in a
+    // handful of tasks; spread it first. Scale-adaptive: a real
+    // many-split table already exceeds defaultParallelism and is left
+    // untouched — no extra shuffle at scale.
+    val width = spark.sparkContext.defaultParallelism
+    val spread =
+      if (points.rdd.getNumPartitions < width) points.repartition(width)
+      else points
+    val withCell = spread.withColumn("__cell",
       s2CellId(col("lat"), col("lng"), level))
     withCell
       .join(broadcast(pc), col("__cell") === col("pc_cell"))
