@@ -94,24 +94,38 @@ object EmbedOps {
     require(planes % bandBits == 0)
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
-    // null-signature vectors (a null element — no usable direction)
-    // drop here: they could never verify (cos is NULL) but would all
-    // share one bucket and blow the candidate join up quadratically
+    def bandAt(s: Column, b: Int): Column =
+      shiftrightunsigned(s, b * bandBits).bitwiseAND(lit(mask))
+    // Null-signature vectors (a null element — no usable direction) are
+    // dropped by the band join itself: a NULL sig yields NULL band
+    // hashes, and NULL equi-join keys never match, so they can neither
+    // verify nor pile into a shared bucket (the quadratic-blowup guard
+    // holds with no explicit filter). An explicit isNotNull(sig) here
+    // would be PUSHED BELOW the projection and re-evaluate the
+    // planes x dims lsh_signature loop a second time per row.
     val sig = corpus.select(col("vec_id"),
       lshSignature(col("embedding"), planes).as("sig"))
-      .where(col("sig").isNotNull)
-    val banded = sig.select(col("vec_id"),
-      posexplode(array((0 until nBands).map(b =>
-        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+    val banded = sig.select(col("vec_id"), col("sig"),
+      posexplode(array((0 until nBands).map(b => bandAt(col("sig"), b)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // id-only candidate pairs, deduped across bands BEFORE any vector
     // work — a pair colliding in all 4 bands verifies once, not 4 times,
-    // and the band join shuffles 16-byte id rows, never embeddings
-    val cand = banded.select(col("band"), col("bh"), col("vec_id").as("v1"))
-      .join(banded.select(col("band"), col("bh"), col("vec_id").as("v2")),
-        Seq("band", "bh"))
+    // and the band join shuffles 16-byte id+sig rows, never embeddings.
+    // The cross-band dedup is a pure COLUMN-MATH filter: both signatures
+    // ride the row, so keep a pair only at its FIRST agreeing band ("no
+    // earlier band agrees" is closed-form over the same band extraction)
+    // — the pair set is identical to the distinct() exchange this
+    // replaced, without shuffling the candidate relation at all.
+    val firstAgree = (0 until nBands).foldRight(lit(-1)) { (b, rest) =>
+      when(bandAt(col("sig1"), b) === bandAt(col("sig2"), b), lit(b)).otherwise(rest)
+    }
+    val cand = banded.select(col("band"), col("bh"), col("vec_id").as("v1"),
+        col("sig").as("sig1"))
+      .join(banded.select(col("band"), col("bh"), col("vec_id").as("v2"),
+        col("sig").as("sig2")), Seq("band", "bh"))
       .where(col("v1") < col("v2"))
-      .select("v1", "v2").distinct()
+      .where(col("band") === firstAgree)
+      .select("v1", "v2")
     // embeddings + precomputed norms join back once per distinct pair
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
@@ -248,8 +262,9 @@ object EmbedRuntime {
     * HOF form's signature 0): such a vector has no usable direction,
     * could never verify (its dot products are NULL), and a shared
     * 0-signature would funnel every broken vector into one LSH bucket
-    * — quadratic candidate blowup at corpus scale. Callers filter
-    * NULL signatures before bucketing. */
+    * — quadratic candidate blowup at corpus scale. NULL signatures
+    * yield NULL band hashes, which equi-join keys drop — bucketing
+    * consumers need no explicit filter. */
   def lshSig(v: ArrayData, planes: Int): java.lang.Long = {
     // validated HERE so every surface is covered — the registered SQL
     // function builds LshSigExpr directly and would otherwise bypass the

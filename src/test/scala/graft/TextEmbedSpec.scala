@@ -303,6 +303,25 @@ class EmbedOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall (${got.size}/${truePairs.size})")
   }
 
+  test("lshCosinePairs: exactly one row per colliding pair (first-band dedup == distinct)") {
+    // minCos = -1 keeps every candidate that verifies, so pairs colliding
+    // in SEVERAL bands are maximally present — the regime the first-
+    // agreeing-band filter (which replaced the distinct() exchange) must
+    // dedup. Expected set computed from the signatures themselves.
+    val rows = EmbedOps.lshCosinePairs(corpus, planes = 16, bandBits = 4, minCos = -1.0)
+      .select("v1", "v2").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size, "duplicate (v1,v2) rows")
+    val sigs = corpus.select(col("vec_id"),
+      EmbedOps.lshSignature(col("embedding"), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val expect = (for {
+      (i, _) <- vecs; (j, _) <- vecs if i < j
+      si = sigs(i); sj = sigs(j)
+      if (0 until 4).exists(b => ((si >>> (b * 4)) & 15) == ((sj >>> (b * 4)) & 15))
+    } yield (i, j)).toSet
+    assert(rows.toSet == expect)
+  }
+
   test("ivfTopK: high recall vs brute force with nProbe=3") {
     val queries = vecs.take(10).toDF("q_id", "embedding")
     val centroids = vecs.grouped(25).map(_.head).zipWithIndex
