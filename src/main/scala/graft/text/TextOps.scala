@@ -318,7 +318,14 @@ object TextOps {
       .where(col("chunk") === firstAgree)
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      // coalesce(.., false) instead of a bare <=: the bare predicate is
+      // null-intolerant, so the optimizer infers isnotnull(s1/s2) from it
+      // and pushes isnotnull(<sigCol expr>) below each side's projection
+      // — re-running the full signature expression (simhash64's text
+      // walk) a SECOND time per row as a filter. Rows here always carry
+      // non-null signatures (they survived the non-null chunk-key join),
+      // so the value is identical; only the inference is blocked.
+      .where(coalesce(col("hamming") <= maxHamming, lit(false)))
   }
 
   /** SimHash near-dup candidates at FULL recall for the requested radius:
