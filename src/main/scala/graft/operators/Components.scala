@@ -45,29 +45,7 @@ object Components {
     *   graph (a 4096-node chain converges in < 10). */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
                 maxRounds: Int = 64): DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-
-    // LAZY checkpoint: the Dataset's plan is truncated to a LogicalRDD
-    // either way; with eager=false the RDD materializes (and
-    // checkpoints) under the FIRST action that reads it — here the
-    // checksum aggregate that immediately follows — so a round skips
-    // the separate checkpoint-count job (measured: a few jobs saved per
-    // query, wall-neutral at bench scale; identical results).
-    //
-    // RELIABLE vs LOCAL: localCheckpoint stores blocks unreplicated on
-    // executors — after truncation an executor loss is unrecoverable
-    // and aborts the whole multi-round job. local[*] never loses an
-    // executor; a cluster deployment MUST set a checkpoint dir
-    // (sc.setCheckpointDir) and then every truncation here rides the
-    // fault-tolerant path instead.
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(false)
-      else df.localCheckpoint(false)
-    val eInit = truncate(e0)
+    val eInit = initEdges(edges, srcCol, dstCol)
     // checkpoint the (small) distinct node list NOW, off the edge
     // checkpoint — the final join reads it, so the (large) initial edge
     // set is free to unpersist after round 1 instead of pinning peak
@@ -89,6 +67,54 @@ object Components {
       else
         eInit.select(explode(array(col("u"), col("v"))).as("id"))
           .distinct().localCheckpoint()
+    nodes.join(starRoots(eInit, maxRounds), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** The star-fixpoint ROOT MAP alone: (id, component) for every
+    * NON-ROOT node appearing in an edge; a component's root (= min id)
+    * carries no row and maps to itself via the caller's coalesce.
+    * Exactly [[connected]] minus the node-list expansion and the final
+    * nodes-join — for callers that LEFT-join the result against their
+    * own id universe anyway (the dedup keep-one stage), where the
+    * expansion is a redundant extra pass over the edges plus a join. */
+  def connectedRoots(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxRounds: Int = 64): DataFrame =
+    starRoots(initEdges(edges, srcCol, dstCol), maxRounds)
+
+  /** Canonical edge relation (u, v): null-free, self-loop-free,
+    * distinct, lineage-truncated (see truncate note below). */
+  private def initEdges(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+
+    // LAZY checkpoint: the Dataset's plan is truncated to a LogicalRDD
+    // either way; with eager=false the RDD materializes (and
+    // checkpoints) under the FIRST action that reads it — here the
+    // checksum aggregate that immediately follows — so a round skips
+    // the separate checkpoint-count job (measured: a few jobs saved per
+    // query, wall-neutral at bench scale; identical results).
+    //
+    // RELIABLE vs LOCAL: localCheckpoint stores blocks unreplicated on
+    // executors — after truncation an executor loss is unrecoverable
+    // and aborts the whole multi-round job. local[*] never loses an
+    // executor; a cluster deployment MUST set a checkpoint dir
+    // (sc.setCheckpointDir) and then every truncation here rides the
+    // fault-tolerant path instead.
+    truncate(e0)
+  }
+
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(false)
+    else df.localCheckpoint(false)
+
+  /** Alternating large/small-star rounds to the fixpoint; returns the
+    * root map (id, component) over the final star edges. */
+  private def starRoots(eInit: DataFrame, maxRounds: Int): DataFrame = {
     var e = eInit
     var prevSig: (Long, Long) = checksum(e)
     var converged = prevSig._1 == 0L // empty graph: nothing to iterate
@@ -109,9 +135,7 @@ object Components {
 
     // At the fixpoint the edge set is a union of stars: every non-root
     // node carries exactly (node -> root). min() is belt and braces.
-    val roots = e.groupBy(col("u").as("id")).agg(min("v").as("component"))
-    nodes.join(roots, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    e.groupBy(col("u").as("id")).agg(min("v").as("component"))
   }
 
   /** Large-star: every node links its LARGER neighbors to the minimum

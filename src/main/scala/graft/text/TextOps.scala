@@ -120,11 +120,17 @@ object TextOps {
     * to ONE survivor even when A and C never became a candidate pair.
     * Shuffles only (id, id) edges, via [[graft.operators.Components]]
     * (alternating star algorithm, O(log^2 n) rounds). Returns
-    * (idCol, rep_id). */
+    * (idCol, rep_id).
+    *
+    * connectedRoots, not connected: the docs relation IS the node
+    * universe here (pairs reference doc ids), so Components' node-list
+    * expansion + nodes-join would be a redundant extra edge pass — the
+    * root map alone left-joins identically (a component's root, and any
+    * doc in no pair, coalesces to itself). */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "d1", bCol: String = "d2"): DataFrame =
     docs.select(col(idCol)).distinct()
-      .join(graft.operators.Components.connected(pairs, aCol, bCol)
+      .join(graft.operators.Components.connectedRoots(pairs, aCol, bCol)
               .withColumnRenamed("id", idCol),
             Seq(idCol), "left")
       .select(col(idCol),

@@ -50,6 +50,18 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got("e") == "c" && got("a") == "a" && got("b") == "a")
   }
 
+  test("connectedRoots: non-root map only; coalesce over nodes == connected") {
+    val chain = (0 until 25).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val edges = chain ++ Seq(("x1", "x2"), ("x2", "x3"), ("y1", "y2"))
+    val want = naive(edges)
+    val roots = Components.connectedRoots(edges.toDF("a", "b"), "a", "b")
+      .as[(String, String)].collect().toMap
+    // every non-root maps to its component min; roots carry NO row —
+    // the dedupClusters coalesce contract
+    assert(roots.keySet == want.keySet.filterNot(n => want(n) == n))
+    roots.foreach { case (id, c) => assert(want(id) == c, id) }
+  }
+
   test("seeded random graphs == union-find") {
     for (seed <- Seq(7, 41, 1234)) {
       val rng = new scala.util.Random(seed)
