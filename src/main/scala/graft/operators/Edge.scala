@@ -313,6 +313,14 @@ object Edge {
           r.toSeq :+ ((pid << 40) | find(k).toLong))
       }
     }(org.apache.spark.sql.Encoders.row(labeledSchema))
+    // Lazy RELIABLE checkpoint does not cache, so on the cluster path
+    // (checkpoint dir set) the labeling pass runs once for the first
+    // consuming action and once more for the checkpoint write — an
+    // accepted trade: the pass is one local union-find over candidate
+    // rows (cheap since the two-level contraction), and persisting it
+    // would pin candidate-sized blocks through the whole CC loop for a
+    // one-shot saving. localCheckpoint (the local-mode path) persists
+    // its blocks, so the bench path computes the kernel once.
     val labeled =
       if (cand0.sparkSession.sparkContext.getCheckpointDir.isDefined)
         labeled0.checkpoint(false)
